@@ -1,13 +1,222 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.UniqueOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2.1 is registered here against the
+  * driver-provided `events` table (FIXTURES.md §2: key = user_id, arrival
+  * seq = event_id, event time = ts), with a DuckDB oracle where the
+  * semantics are SQL-expressible. Window parameters are scale-factor
+  * independent (the events tables span ~30 days at every sf).
+  */
 object SparkEntry {
+  // events columns, used to project helper columns away deterministically
+  // oracle output columns: ts cast to µs TIMESTAMP so the DuckDB side matches
+  // the engine's TimestampType (the source parquet is TIMESTAMP_NS)
+  private val EVSQL = "event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props"
+
+  private val DAY = 86400000L
+  private val WEEK = 7 * DAY
+  private val H6 = 6 * 3600000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    UniqueOps.everCurrent(Tables.events(spark, "/root/testdata/sf0.001"),
+      Seq("user_id"), "event_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1. unique:ever
+    "ever_current" -> ((s, d) =>
+      UniqueOps.everCurrent(ev(s, d), Seq("user_id"), "event_id")),
+    "ever_expired" -> ((s, d) =>
+      UniqueOps.ever(ev(s, d), Seq("user_id"), "event_id").expired),
+    "ever_multikey" -> ((s, d) =>
+      UniqueOps.everCurrent(ev(s, d), Seq("user_id", "event_type"), "event_id")),
+    // 2. unique:first
+    "first_current" -> ((s, d) =>
+      UniqueOps.first(ev(s, d), Seq("user_id"), "event_id").current),
+    // 3. unique:time (7-day sliding horizon)
+    "time_current" -> ((s, d) =>
+      UniqueOps.time(ev(s, d), Seq("user_id"), "event_id", "ts", WEEK).current),
+    "time_expired" -> ((s, d) =>
+      UniqueOps.time(ev(s, d), Seq("user_id"), "event_id", "ts", WEEK).expired),
+    // 4. unique:timeBatch (1-day tumbling, epoch-aligned)
+    "timebatch_current" -> ((s, d) =>
+      UniqueOps.timeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
+    "timebatch_expired" -> ((s, d) =>
+      UniqueOps.timeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).expired),
+    // 8. unique:firstTimeBatch
+    "firsttimebatch_current" -> ((s, d) =>
+      UniqueOps.firstTimeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
+    // 9. unique:externalTimeBatch (6-hour tumbling, anchored at min(ts) —
+    //    the reference default, UniqueExternalTimeBatchWindowProcessor.java:346-347)
+    "externaltimebatch_current" -> ((s, d) =>
+      UniqueOps.externalTimeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", H6).current),
+    "externaltimebatch_replacets" -> ((s, d) =>
+      UniqueOps.externalTimeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", H6,
+        replaceTsWithBatchEnd = true).current),
+    // 5. unique:length (last 100 distinct keys by recency)
+    "length_current" -> ((s, d) =>
+      UniqueOps.length(ev(s, d), Seq("user_id"), "event_id", 100).current),
+    "length_expired" -> ((s, d) =>
+      UniqueOps.length(ev(s, d), Seq("user_id"), "event_id", 100).expired),
+    // 6. unique:lengthBatch (flush at 40 distinct keys)
+    "lengthbatch_current" -> ((s, d) =>
+      UniqueOps.lengthBatch(ev(s, d), Seq("user_id"), "event_id", 40).current),
+    // 7. unique:firstLengthBatch
+    "firstlengthbatch_current" -> ((s, d) =>
+      UniqueOps.firstLengthBatch(ev(s, d), Seq("user_id"), "event_id", 40).current),
+    // 10. unique:timeLengthBatch (1-day OR 50 distinct keys)
+    "timelengthbatch_current" -> ((s, d) =>
+      UniqueOps.timeLengthBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY, 50).current),
+    // 11. unique:deduplicate (1-day interval)
+    "deduplicate" -> ((s, d) =>
+      UniqueOps.deduplicate(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
+    // Join of a unique window with a dimension table
+    // (UniqueEverWindowTestCase.java:221-263 analog on orders ⨝ customer)
+    "join_windows" -> ((s, d) =>
+      UniqueOps.everCurrent(Tables.orders(s, d), Seq("o_custkey"), "o_orderkey")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "o_orderdate")),
+    // Aggregation over window contents
+    // (UniqueLengthBatchWindowTestCase.java:244-258 analog; FP-safe aggs)
+    "agg_over_window" -> ((s, d) =>
+      UniqueOps.everCurrent(ev(s, d), Seq("user_id"), "event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), min("value").as("min_value"),
+          max("value").as("max_value"), sum("event_id").as("sum_seq"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = {
+    val everCurrentSql =
+      s"""SELECT $EVSQL FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin
+    val timeCurrentSql =
+      s"""SELECT $EVSQL FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1
+         |  AND epoch_ms(ts) > (SELECT max(epoch_ms(ts)) FROM events) - $WEEK""".stripMargin
+    val lengthCurrentSql =
+      s"""SELECT $EVSQL FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 ORDER BY event_id DESC LIMIT 100""".stripMargin
+    Map(
+      "ever_current" -> everCurrentSql,
+      "ever_expired" ->
+        s"""SELECT $EVSQL FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn > 1""".stripMargin,
+      "ever_multikey" ->
+        s"""SELECT $EVSQL FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1""".stripMargin,
+      "first_current" ->
+        s"""SELECT $EVSQL FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
+           |  FROM events) WHERE rn = 1""".stripMargin,
+      "time_current" -> timeCurrentSql,
+      "time_expired" ->
+        s"""SELECT $EVSQL FROM events WHERE event_id NOT IN (
+           |  SELECT event_id FROM ($timeCurrentSql))""".stripMargin,
+      "timebatch_current" ->
+        s"""SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1""".stripMargin,
+      "timebatch_expired" ->
+        s"""SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1
+           |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin,
+      "firsttimebatch_current" ->
+        s"""SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id ASC) AS rn
+           |  FROM events) WHERE rn = 1""".stripMargin,
+      "externaltimebatch_current" ->
+        s"""SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT e.*, ((epoch_ms(ts) - s.m) // $H6) * $H6 + s.m AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY (epoch_ms(ts) - s.m) // $H6, user_id ORDER BY event_id DESC) AS rn
+           |  FROM events e CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s
+           |) WHERE rn = 1""".stripMargin,
+      "externaltimebatch_replacets" ->
+        s"""SELECT event_id, make_timestamp((batch_start_ms + $H6) * 1000) AS ts,
+           |  user_id, event_type, value, props, batch_start_ms FROM (
+           |  SELECT e.*, ((epoch_ms(ts) - s.m) // $H6) * $H6 + s.m AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY (epoch_ms(ts) - s.m) // $H6, user_id ORDER BY event_id DESC) AS rn
+           |  FROM events e CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s
+           |) WHERE rn = 1""".stripMargin,
+      "length_current" -> lengthCurrentSql,
+      "length_expired" ->
+        s"""SELECT $EVSQL FROM events WHERE event_id NOT IN (
+           |  SELECT event_id FROM ($lengthCurrentSql))""".stripMargin,
+      // lengthBatch boundary fold: next boundary after prev = first-occurrence
+      // seq of the 40th new distinct key (max of the 40 smallest first
+      // occurrences > prev); recursive CTE walks boundaries, then events are
+      // range-assigned to batches and reduced latest-per-(batch, key).
+      "lengthbatch_current" -> lengthBatchOracle(latest = true),
+      "firstlengthbatch_current" -> lengthBatchOracle(latest = false),
+      "timelengthbatch_current" ->
+        s"""WITH t AS (SELECT *, epoch_ms(ts) // $DAY AS b FROM events),
+           |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, user_id) THEN 1 ELSE 0 END AS isf FROM t),
+           |r AS (SELECT *, coalesce(sum(isf) OVER (PARTITION BY b ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f)
+           |SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, b * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id DESC) AS rn
+           |  FROM r WHERE bef < 50) WHERE rn = 1""".stripMargin,
+      "deduplicate" ->
+        s"""WITH RECURSIVE e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+           |kept AS (
+           |  SELECT user_id, min(ms) AS ms FROM e GROUP BY user_id
+           |  UNION ALL
+           |  SELECT e.user_id, min(e.ms) AS ms FROM e JOIN kept k
+           |    ON e.user_id = k.user_id AND e.ms > k.ms + $DAY GROUP BY e.user_id
+           |)
+           |SELECT $EVSQL FROM (
+           |  SELECT ev.*, row_number() OVER (PARTITION BY ev.user_id, epoch_ms(ev.ts) ORDER BY ev.event_id) AS rn
+           |  FROM events ev JOIN kept kp ON ev.user_id = kp.user_id AND epoch_ms(ev.ts) = kp.ms
+           |) WHERE rn = 1""".stripMargin,
+      "join_windows" ->
+        """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, o.o_orderdate FROM (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+          |    FROM orders) WHERE rn = 1) o
+          |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+      "agg_over_window" ->
+        s"""SELECT event_type, count(*) AS cnt, min(value) AS min_value,
+           |  max(value) AS max_value, CAST(sum(event_id) AS BIGINT) AS sum_seq
+           |FROM ($everCurrentSql) GROUP BY event_type""".stripMargin,
+    )
+  }
+
+  private def lengthBatchOracle(latest: Boolean): String = {
+    val ord = if (latest) "DESC" else "ASC"
+    s"""WITH RECURSIVE bnd(bid, s) AS (
+       |  SELECT 0::BIGINT AS bid, t.nb AS s FROM (
+       |    SELECT CASE WHEN count(*) = 40 THEN max(fs) END AS nb FROM (
+       |      SELECT min(event_id) AS fs FROM events GROUP BY user_id ORDER BY fs LIMIT 40)
+       |  ) t WHERE t.nb IS NOT NULL
+       |  UNION ALL
+       |  SELECT bnd.bid + 1, t.nb FROM bnd, LATERAL (
+       |    SELECT CASE WHEN count(*) = 40 THEN max(fs) END AS nb FROM (
+       |      SELECT min(event_id) AS fs FROM events WHERE event_id > bnd.s GROUP BY user_id ORDER BY fs LIMIT 40)
+       |  ) t WHERE t.nb IS NOT NULL
+       |),
+       |iv AS (SELECT bid, coalesce(lag(s) OVER (ORDER BY bid), -1) AS lo, s AS hi FROM bnd),
+       |t AS (SELECT e.*, iv.bid FROM events e JOIN iv ON e.event_id > iv.lo AND e.event_id <= iv.hi)
+       |SELECT $EVSQL, bid AS batch_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY bid, user_id ORDER BY event_id $ord) AS rn
+       |  FROM t) WHERE rn = 1""".stripMargin
+  }
 }

@@ -9,7 +9,19 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark 4 has
+    * no timestamp type for ([PARQUET_TYPE_ILLEGAL] by default). Read nanos
+    * as long and convert to a microsecond TimestampType (values are
+    * µs-aligned, so the conversion is lossless; `ts div 1000` stays in
+    * integer arithmetic — a double round-trip would lose precision at
+    * 1.7e18 ns).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

@@ -23,7 +23,8 @@ final case class UniqueResult(current: DataFrame, expired: DataFrame) {
   * Conventions (FIXTURES.md §2):
   *  - `keys`: uniqueness key columns. We key on a struct of columns
   *    (null-safe, collision-free) — a documented deviation from the
-  *    reference's string-concat keying (UniqueEverWindowProcessor.java:216-222).
+  *    reference's string-concat keying (UniqueEverWindowProcessor.java:216-222)
+  *    which collides ("ab","c") with ("a","bc").
   *  - `seqCol`: arrival sequence (monotone long, e.g. `event_id`) standing in
   *    for Siddhi's arrival order of StreamEvents.
   *  - `tsCol`: event-time timestamp column; time windows are defined on
@@ -35,8 +36,10 @@ final case class UniqueResult(current: DataFrame, expired: DataFrame) {
   * a per-key-partition window sort — both survive a 1000-executor cluster.
   * The two operators whose reference semantics are inherently global-order
   * sequential (`lengthBatch`/`firstLengthBatch` count-trigger; SURVEY.md
-  * §7.4.3) isolate the sequential part to a tiny (seq,key) projection and
-  * keep the per-key replace step fully parallel.
+  * §7.4.3) isolate the sequential part to a single-partition pass over a
+  * tiny two-column (seq, key) projection — no driver-side collect, no
+  * broadcast of data-proportional state — and keep the per-key
+  * replace/keep-first step fully parallel.
   */
 object UniqueOps {
   private val RN = "__graft_rn"
@@ -86,16 +89,20 @@ object UniqueOps {
   // ------------------------------------------------------------------
   // 3. unique:time — sliding window of windowMs holding latest-unique per
   //    key (UniqueTimeWindowProcessor.java:177-212). Batch reinterpretation:
-  //    final window contents = latest row per key among events with
-  //    ts > max(ts) - windowMs; everything else has expired (aged out or
-  //    replaced).
+  //    the window's final contents are the latest event per key, kept only
+  //    if its timestamp is still inside the horizon [max(ts)-windowMs, ..];
+  //    every other row (replaced OR aged out — including a key whose latest
+  //    event itself aged out) is expired. Computing latest over the FULL
+  //    input first prevents an older event from "resurfacing" when the
+  //    latest one aged out, matching reference replace-then-expire order.
   // ------------------------------------------------------------------
   def time(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
            windowMs: Long): UniqueResult = {
+    val latest = rowPerGroup(df, keys.map(col), seqCol, latest = true)
     val horizon = df.agg(max(msOf(tsCol)).as("__max_ms"))
-    val withMax = df.crossJoin(broadcast(horizon))
-    val alive = withMax.filter(msOf(tsCol) > col("__max_ms") - windowMs).drop("__max_ms")
-    val cur = rowPerGroup(alive, keys.map(col), seqCol, latest = true)
+    val cur = latest.crossJoin(broadcast(horizon))
+      .filter(msOf(tsCol) > col("__max_ms") - windowMs)
+      .drop("__max_ms")
     val expired = df.join(cur.select(seqCol), Seq(seqCol), "left_anti")
     UniqueResult(cur, expired.select(df.columns.map(col): _*))
   }
@@ -106,35 +113,43 @@ object UniqueOps {
   //    unique:externalTimeBatch (natively event-time,
   //    UniqueExternalTimeBatchWindowProcessor.java:303-326, boundary math
   //    findEndTime 454-458). Batch id = floor((ts_ms - startMs)/windowMs);
-  //    within a batch keep latest (ever) or first per key.
+  //    within a batch keep latest (ever) or first per key. When startMs is
+  //    None, batches anchor at the first event's timestamp, matching the
+  //    reference default (UniqueExternalTimeBatchWindowProcessor.java:346-347).
   //    replaceTsWithBatchEnd mirrors replace.time.stamp.with.batch.end.time
-  //    (cloneAppend 460-470): adds `batch_end_ms`.
+  //    (cloneAppend 460-470): the timestamp ATTRIBUTE itself is rewritten to
+  //    the batch end time (schema unchanged).
   // ------------------------------------------------------------------
   def timeBatch(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
-                windowMs: Long, startMs: Long = 0L, keepFirst: Boolean = false,
+                windowMs: Long, startMs: Option[Long] = Some(0L),
+                keepFirst: Boolean = false,
                 replaceTsWithBatchEnd: Boolean = false): UniqueResult = {
-    val batchId = floor((msOf(tsCol) - lit(startMs)) / lit(windowMs)).cast("long")
-    val tagged = df.withColumn("__batch_id", batchId)
+    val anchored = startMs match {
+      case Some(s) => df.withColumn("__start_ms", lit(s))
+      case None =>
+        df.crossJoin(broadcast(df.agg(min(msOf(tsCol)).as("__start_ms"))))
+    }
+    val batchId = floor((msOf(tsCol) - col("__start_ms")) / lit(windowMs)).cast("long")
+    val tagged = anchored.withColumn("__batch_id", batchId)
     var cur = rowPerGroup(tagged, col("__batch_id") +: keys.map(col), seqCol, !keepFirst)
-      .withColumn("batch_start_ms", lit(startMs) + col("__batch_id") * windowMs)
+      .withColumn("batch_start_ms", col("__start_ms") + col("__batch_id") * windowMs)
     if (replaceTsWithBatchEnd)
-      cur = cur.withColumn("batch_end_ms", col("batch_start_ms") + windowMs)
-    cur = cur.drop("__batch_id")
+      cur = cur.withColumn(tsCol, timestamp_millis(col("batch_start_ms") + windowMs))
     // every batch before the last has been re-emitted as EXPIRED on the next
     // flush (UniqueTimeBatchWindowProcessor.java:235-266)
     val lastBatch = tagged.agg(max(col("__batch_id")).as("__last"))
     val expired = cur.crossJoin(broadcast(lastBatch))
-      .filter((col("batch_start_ms") - startMs) / windowMs < col("__last"))
-      .drop("__last")
-    UniqueResult(cur, expired)
+      .filter(col("__batch_id") < col("__last"))
+      .drop("__last", "__batch_id", "__start_ms")
+    UniqueResult(cur.drop("__batch_id", "__start_ms"), expired)
   }
 
   def firstTimeBatch(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
-                     windowMs: Long, startMs: Long = 0L): UniqueResult =
+                     windowMs: Long, startMs: Option[Long] = Some(0L)): UniqueResult =
     timeBatch(df, keys, seqCol, tsCol, windowMs, startMs, keepFirst = true)
 
   def externalTimeBatch(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
-                        windowMs: Long, startMs: Long = 0L,
+                        windowMs: Long, startMs: Option[Long] = None,
                         replaceTsWithBatchEnd: Boolean = false): UniqueResult =
     timeBatch(df, keys, seqCol, tsCol, windowMs, startMs, keepFirst = false,
       replaceTsWithBatchEnd = replaceTsWithBatchEnd)
@@ -145,15 +160,13 @@ object UniqueOps {
   //    replaced key is removed and re-appended,
   //    UniqueLengthWindowProcessor.java:148-157; eviction polls the head,
   //    159-166), so final window contents = the N most-recently-seen
-  //    distinct keys, each holding its latest event.
+  //    distinct keys, each holding its latest event. The recency top-N is
+  //    orderBy(desc).limit(n) — Spark plans TakeOrderedAndProject (per-
+  //    partition top-N + driver merge of N), no single-partition sort.
   // ------------------------------------------------------------------
   def length(df: DataFrame, keys: Seq[String], seqCol: String, n: Int): UniqueResult = {
     val latest = rowPerGroup(df, keys.map(col), seqCol, latest = true)
-    // rank distinct keys by recency; |keys| rows only after the first agg,
-    // so the single-partition window sort is over key-cardinality, not rows.
-    val rankW = Window.orderBy(col(seqCol).desc)
-    val cur = latest.withColumn(RN, row_number().over(rankW))
-      .filter(col(RN) <= n).drop(RN)
+    val cur = latest.orderBy(col(seqCol).desc).limit(n)
     val expired = df.join(cur.select(seqCol), Seq(seqCol), "left_anti")
     UniqueResult(cur, expired.select(df.columns.map(col): _*))
   }
@@ -163,42 +176,46 @@ object UniqueOps {
   //    that flushes when it holds N distinct keys
   //    (UniqueLengthBatchWindowProcessor.java:165-197). The count trigger
   //    depends on global arrival order + per-batch distinct count — an
-  //    inherently sequential decision (SURVEY.md §7.4.3). We compute batch
-  //    boundaries with a fold over the (seq, key) projection on a single
-  //    partition (tiny: two columns), then do the keyed replace/keep-first
-  //    fully in parallel. Events after the last flush are still pending
-  //    (never emitted), matching the reference's observable output.
+  //    inherently sequential decision (SURVEY.md §7.4.3). We fold over the
+  //    (seq, key) projection on a single partition (tiny: two columns) and
+  //    emit (seq, batch_id) assignments directly from the fold — then join
+  //    them back onto the full rows with a shuffled EQUI-join: nothing
+  //    data-proportional ever visits the driver or a broadcast. Events
+  //    after the last flush are pending (never emitted), matching the
+  //    reference's observable output; the fold drops them (batch_id = -1).
   // ------------------------------------------------------------------
   def lengthBatch(df: DataFrame, keys: Seq[String], seqCol: String, n: Int,
                   keepFirst: Boolean = false): UniqueResult = {
-    val keyStr = concat_ws("", keys.map(c => col(c).cast("string")): _*)
-    val seqKey = df.select(col(seqCol).cast("long").as("s"), keyStr.as("k"))
-      .repartition(1).sortWithinPartitions("s")
-    implicit val enc = Encoders.scalaLong
-    // fold: boundary = seq of the event that brings the batch to N distinct keys
-    val boundaries: Array[Long] = seqKey.mapPartitions { it =>
-      val out = Iterator.newBuilder[Long] // scala.collection builder, small
-      val cur = scala.collection.mutable.HashSet.empty[String]
-      it.foreach { r =>
-        val s = r.getLong(0); val k = r.getString(1)
+    val seqKey = df.select((col(seqCol).cast("long").as("__s") +: keys.map(col)): _*)
+      .repartition(1).sortWithinPartitions("__s")
+    val kWidth = keys.length
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    // fold: running distinct-key set; flush (assign next batch id) at size n
+    val assigned = seqKey.mapPartitions { it =>
+      val cur = scala.collection.mutable.HashSet.empty[Seq[Any]]
+      var batch = 0L
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // lazy flat-map: memory bounded by one batch's events, emits per flush;
+      // the pending tail (unflushed at end of input) is never emitted
+      it.flatMap { r =>
+        val s = r.getLong(0)
+        val k: Seq[Any] = (1 to kWidth).map(r.get)
         cur += k
-        if (cur.size == n) { out += s; cur.clear() }
+        pending += s
+        if (cur.size == n) {
+          val chunk = pending.map(p => (p, batch)).toList
+          pending.clear(); cur.clear(); batch += 1
+          chunk
+        } else Nil
       }
-      out.result()
-    }(enc).collect().sorted
-    val bc = df.sparkSession.sparkContext.broadcast(boundaries)
-    val batchIdOf = udf { (s: Long) =>
-      val b = bc.value
-      var lo = 0; var hi = b.length // # boundaries strictly below s
-      while (lo < hi) { val mid = (lo + hi) >>> 1; if (b(mid) < s) lo = mid + 1 else hi = mid }
-      lo
-    }
-    val nBatches = boundaries.length
-    val tagged = df.withColumn("__batch_id", batchIdOf(col(seqCol).cast("long")))
-      .filter(col("__batch_id") < nBatches) // drop the pending (unflushed) tail
+    }(enc).toDF("__s", "__batch_id")
+    val tagged = df.join(assigned, col(seqCol).cast("long") === col("__s"))
+      .drop("__s")
     val cur = rowPerGroup(tagged, col("__batch_id") +: keys.map(col), seqCol, !keepFirst)
       .withColumnRenamed("__batch_id", "batch_id")
-    val expired = cur.filter(col("batch_id") < nBatches - 1)
+    val lastBatch = cur.agg(max(col("batch_id")).as("__last"))
+    val expired = cur.crossJoin(broadcast(lastBatch))
+      .filter(col("batch_id") < col("__last")).drop("__last")
     UniqueResult(cur, expired)
   }
 
@@ -229,12 +246,11 @@ object UniqueOps {
       .drop("__is_first", "__before")
     val cur = rowPerGroup(kept, col("__batch_id") +: keys.map(col), seqCol, latest = true)
       .withColumn("batch_start_ms", lit(startMs) + col("__batch_id") * windowMs)
-      .drop("__batch_id")
     val lastBatch = tagged.agg(max(col("__batch_id")).as("__last"))
     val expired = cur.crossJoin(broadcast(lastBatch))
-      .filter((col("batch_start_ms") - startMs) / windowMs < col("__last"))
-      .drop("__last")
-    UniqueResult(cur, expired)
+      .filter(col("__batch_id") < col("__last"))
+      .drop("__last", "__batch_id")
+    UniqueResult(cur.drop("__batch_id"), expired)
   }
 
   // ------------------------------------------------------------------
@@ -244,26 +260,27 @@ object UniqueOps {
   //    a key is re-admitted when ts - lastKeptTs > intervalMs (strict,
   //    eviction condition line 160). No expired stream
   //    (DeduplicateTestCase.java:84-86).
-  //    Implementation: secondary sort — repartition by key, sort partitions
-  //    by (key, ts_ms, seq), one streaming fold per partition. O(1) memory
-  //    per row, fully parallel across keys; survives 100 TB.
+  //    Implementation: secondary sort — repartition by key struct, sort
+  //    partitions by (key, ts_ms, seq), one streaming fold per partition.
+  //    O(1) memory per row, fully parallel across keys; survives 100 TB
+  //    (hot-key mitigation at that scale: pre-salt + second pass).
   // ------------------------------------------------------------------
   def deduplicate(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
                   intervalMs: Long): UniqueResult = {
-    val keyStr = concat_ws("", keys.map(c => col(c).cast("string")): _*)
-    val prepped = df.withColumn("__k", keyStr).withColumn("__ms", msOf(tsCol))
+    val keyStruct = struct(keys.map(col): _*)
+    val prepped = df.withColumn("__k", keyStruct).withColumn("__ms", msOf(tsCol))
     val sorted = prepped.repartition(col("__k"))
       .sortWithinPartitions(col("__k"), col("__ms"), col(seqCol))
     val schema = sorted.schema
     implicit val enc = Encoders.row(schema)
     val kept = sorted.mapPartitions { it =>
-      var curKey: String = null
+      var curKey: Row = null
       var lastKept = Long.MinValue
       val kIdx = schema.fieldIndex("__k")
       val msIdx = schema.fieldIndex("__ms")
       it.filter { r =>
-        val k = r.getString(kIdx); val ms = r.getLong(msIdx)
-        if (k != curKey) { curKey = k; lastKept = ms; true }
+        val k = r.getStruct(kIdx); val ms = r.getLong(msIdx)
+        if (curKey == null || k != curKey) { curKey = k; lastKept = ms; true }
         else if (ms - lastKept > intervalMs) { lastKept = ms; true }
         else false
       }
