@@ -91,6 +91,44 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), min("value").as("min_value"),
           max("value").as("max_value"), sum("event_id").as("sum_seq"))),
+    // ---- LLM-data-pipeline tier (graft.llm) ----
+    "doc_exact_dedup" -> ((s, d) =>
+      llm.TextDedup.exactDedup(Tables.documents(s, d), Seq("text"), "doc_id")),
+    "doc_text_stats" -> ((s, d) =>
+      llm.TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
+        .select("doc_id", "ws_tokens", "bpeish_tokens")),
+    "doc_quality" -> ((s, d) =>
+      llm.TextAnalysis.qualityColumns(Tables.documents(s, d), "text")
+        .select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio",
+          "stopword_ratio", "mean_token_len", "quality_score")),
+    "doc_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          llm.TextAnalysis.langId(col("text")).as("pred_lang"))),
+    "doc_fingerprint" -> ((s, d) =>
+      llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
+        .select("doc_id", "fp_min_gram", "fp_full")),
+    "doc_minhash_pairs" -> ((s, d) =>
+      llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.2)),
+    "doc_simhash" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        llm.TextDedup.simhash(llm.TextDedup.tokenize(col("text"))).as("simhash"))),
+    "doc_ngram_pairs" -> ((s, d) =>
+      llm.TextDedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.1)),
+    "emb_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+    }),
+    "emb_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+    }),
+    "mm_features" -> ((s, d) =>
+      llm.Multimodal.extractFeatures(
+        llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,6 +235,15 @@ object SparkEntry {
         s"""SELECT event_type, count(*) AS cnt, min(value) AS min_value,
            |  max(value) AS max_value, CAST(sum(event_id) AS BIGINT) AS sum_seq
            |FROM ($everCurrentSql) GROUP BY event_type""".stripMargin,
+      "doc_exact_dedup" ->
+        """SELECT doc_id, text, lang, source, n_chars FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1""".stripMargin,
+      "doc_text_stats" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS INTEGER) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpeish_tokens
+          |FROM documents""".stripMargin,
     )
   }
 

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract
+  * run as batched per-partition functions (the JVM analog of arrow-batched
+  * Python UDFs — same batch shape, same schema contract).
+  *
+  * The decode step itself is a clearly-marked DETERMINISTIC STUB (this
+  * environment ships no image/audio codecs); everything around it — the
+  * schema, the binary transport, the partition-batched execution, the
+  * output feature shape — is the real production plumbing and is tested.
+  *
+  * Scale notes: payload bytes never pass through a shuffle — media
+  * operators are projection-shaped (mapPartitions after pruning to the
+  * columns needed), so a 100 TB media table streams partition-by-partition
+  * with memory bounded by one batch. Repartition BEFORE attaching payloads
+  * when the downstream needs a different layout.
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = new StructType()
+    .add("kind", StringType)        // image | audio | video
+    .add("width", IntegerType)      // image/video
+    .add("height", IntegerType)
+    .add("sample_rate_hz", IntegerType) // audio
+    .add("n_frames", IntegerType)   // video
+
+  /** Attach a synthetic binary payload + metadata to a text table — a
+    * stand-in for reading real media files; gives the pipeline real
+    * binary-typed columns to exercise.
+    */
+  def withSyntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("media", col(textCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("image").as("kind"),
+        (pmod(xxhash64(col(idCol)), lit(512)) + 32).cast("int").as("width"),
+        (pmod(xxhash64(col(idCol), lit(1)), lit(512)) + 32).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate_hz"),
+        lit(null).cast("int").as("n_frames")))
+
+  /** STUB decoder: a real implementation would decode the image bytes and
+    * run a feature extractor. Here: a deterministic 8-float signature from
+    * the payload bytes so the plumbing is testable end-to-end. Marked ???
+    * semantics; replace with a codec-backed version in production.
+    */
+  private def stubDecodeFeatures(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
+    // ??? — real codec goes here; deterministic fake below
+    val n = 8
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < payload.length) {
+      out(i % n) += (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    var j = 0
+    while (j < n) { out(j) = out(j) / math.max(1, payload.length / n).toFloat; j += 1 }
+    out(0) += width * 0.001f; out(1) += height * 0.001f
+    out
+  }
+
+  /** Batched feature extraction over the media column: prunes to
+    * (id, media, meta), streams each partition through the decoder, and
+    * returns (id, features array<float>). The pruned projection keeps the
+    * scan narrow (ReadSchema excludes every other column).
+    */
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("id"),
+      col("media"), col("media_meta.width").as("w"), col("media_meta.height").as("h"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("features", ArrayType(FloatType))
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val feats = stubDecodeFeatures(r.getAs[Array[Byte]]("media"),
+          r.getAs[Int]("w"), r.getAs[Int]("h"))
+        Row(r.getLong(0), feats.toSeq)
+      }
+    }
+  }
+
+  /** Frame-sampling plan for video payloads: yields (id, frame_idx) rows
+    * for every k-th frame — the fan-out stage a real video pipeline feeds
+    * into the decoder. Pure expressions; no payload copy per frame (the
+    * payload column is carried by reference within the row).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, everyK: Int): DataFrame =
+    df.filter(col("media_meta.kind") === "video")
+      .select(col(idCol), col("media"),
+        explode(sequence(lit(0), greatest(col("media_meta.n_frames") - 1, lit(0)), lit(everyK)))
+          .as("frame_idx"))
+}

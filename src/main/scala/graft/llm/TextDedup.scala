@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard with
+  * min-hash blocking. All candidate generation is bucket-local (LSH band
+  * join / chunk join) — NEVER all-pairs — so the shuffle is
+  * O(candidate pairs), not O(n²), and survives a 100 TB corpus. Hashing
+  * and similarity are pure Catalyst expressions (higher-order functions,
+  * xxhash64) — whole-stage codegen, no UDFs.
+  */
+object TextDedup {
+
+  /** Lowercased word tokens, punctuation stripped. */
+  def tokenize(text: Column): Column =
+    array_remove(split(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}]+", " "), " "), "")
+
+  /** Word n-gram shingles joined with spaces; empty array when the doc has
+    * fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val t = toks
+    transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+  }
+
+  /** MinHash signature: k independent 64-bit min-hashes of the shingle set
+    * (seeded xxhash64 per position — one pass per seed, all codegen).
+    */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** Exact duplicates: keep the lowest-id row per identical value of
+    * `exactCols` (a hash-groupBy — one shuffle, partial-aggregable).
+    */
+  def exactDedup(df: DataFrame, exactCols: Seq[String], idCol: String): DataFrame = {
+    val allCols = struct(df.columns.map(col): _*)
+    df.groupBy(exactCols.map(col): _*)
+      .agg(min_by(allCols, col(idCol)).as("__row"))
+      .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * shingle → minhash(k = bands·rowsPerBand) → band hash → explode →
+    * self-join per (band, hash) bucket → exact Jaccard verify on shingle
+    * sets → pairs with jaccard ≥ threshold. Buckets larger than
+    * `maxBucket` are dropped (degenerate content, e.g. empty docs — an
+    * all-pairs explosion at scale); count dropped buckets before relying
+    * on completeness.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokenize(col("text")))
+      .withColumn("sh", shingles(col("toks"), shingleN))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b)).as("bh"))): _*))
+        .as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
+    val okBuckets = banded.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket && col("count") > 1)
+      .select("band", "bh")
+    val inBucket = banded.join(okBuckets, Seq("band", "bh"))
+    val a = inBucket.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = inBucket.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard")) // dedup multi-band hits
+  }
+
+  /** Jaccard similarity of two string arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a); val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    val union = size(ad) + size(bd) - size(array_intersect(ad, bd))
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 across token
+    * hashes; the sign gives the bit. Pure expressions (token hashes
+    * computed once, folded per bit position).
+    */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    // bit positions are compile-time constants — unroll in Scala so the
+    // shifts stay simple codegen'd expressions
+    val bitsum = array((0 until 64).map(b =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))): _*)
+    (0 until 64).map(b =>
+      when(element_at(bitsum, b + 1) > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
+    * Candidate generation: split the 64-bit fingerprint into 4 16-bit
+    * chunks; by pigeonhole, any pair within hamming 3 shares at least one
+    * exact chunk → join per (chunk index, chunk value) bucket only.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokenize(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("simhash", simhash(col("toks")))
+    val chunked = withSim.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
+    val okBuckets = chunked.groupBy("chunk", "cv").count()
+      .filter(col("count") <= maxBucket && col("count") > 1).select("chunk", "cv")
+    val inBucket = chunked.join(okBuckets, Seq("chunk", "cv"))
+    val a = inBucket.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = inBucket.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** n-gram Jaccard near-dup with single-min-hash blocking: candidates
+    * share the minimum shingle hash (cheap 1-band LSH), then exact Jaccard
+    * verifies. Higher recall needs minhashPairs; this is the lightweight
+    * variant.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.3,
+                        maxBucket: Int = 1000): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(tokenize(col("text")), shingleN))
+      .filter(size(col("sh")) > 0)
+      .withColumn("block", array_min(transform(col("sh"), s => xxhash64(s))))
+    val okBuckets = withSh.groupBy("block").count()
+      .filter(col("count") <= maxBucket && col("count") > 1).select("block")
+    val inB = withSh.join(okBuckets, Seq("block"))
+    val a = inB.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = inB.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

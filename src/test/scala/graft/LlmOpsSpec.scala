@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Multimodal, Similarity, TextDedup, TextAnalysis}
+
+/** Self-consistency tests for the LLM-pipeline operators that have no SQL
+  * oracle: near-dup recall vs exact Jaccard, ANN recall vs brute force,
+  * language-ID accuracy vs the labeled corpus, multimodal plumbing shape.
+  * Corpus = driver-provided sf0.001 tables (read-only).
+  */
+class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val embs = Tables.embeddings(spark, sf).cache()
+
+  test("exactDedup keeps one row per distinct text, lowest id") {
+    val dup = docs.select("doc_id", "text")
+      .union(docs.select(col("doc_id") + 10000, col("text"))) // forced dupes
+    val r = TextDedup.exactDedup(dup, Seq("text"), "doc_id")
+    assert(r.count() === docs.count())
+    assert(r.agg(max("doc_id")).as[Long].head() < 10000) // lowest id won
+  }
+
+  test("minhash signature is identical for identical texts") {
+    val two = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashPairs(two, "text", "doc_id", threshold = 0.99)
+    assert(pairs.count() === 1)
+    assert(pairs.select("jaccard").as[Double].head() === 1.0)
+  }
+
+  test("minhashPairs recall: finds every exact-Jaccard>=0.5 pair found by brute force") {
+    // brute-force ground truth on the 500-doc corpus (fine at sf0.001)
+    val withSh = docs.select(col("doc_id").as("id"),
+        TextDedup.shingles(TextDedup.tokenize(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), TextDedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = TextDedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "corpus should contain near-dup pairs")
+    // banded minhash is probabilistic on candidate GENERATION; with 8 bands
+    // of 4 rows, P(candidate | j=0.5) per band ≈ 0.94 overall — demand full
+    // recall at this threshold on this corpus and exact verify → no false positives
+    assert(found === truth)
+  }
+
+  test("simhash of identical token streams is identical; disjoint texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val h = df.select(col("doc_id"), TextDedup.simhash(TextDedup.tokenize(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+  }
+
+  test("simhashPairs finds near-identical docs via chunk buckets") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "astronomy telescopes observe distant galaxies through clear mountain air"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.simhashPairs(df, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngramJaccardPairs agrees with exact jaccard on its own candidates") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.1)
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("jaccard") < 0.1 || col("jaccard") > 1.0).count() === 0)
+  }
+
+  test("langId identifies real-language sentences") {
+    // the driver corpus's `lang` labels are synthetic (text is identical
+    // keyword soup for every label), so accuracy is asserted on real
+    // sentences instead
+    val df = Seq(
+      (1L, "en", "the cat sat on the mat and it was happy with the sun"),
+      (2L, "de", "der Hund und die Katze sind nicht mit dem Mann im Haus"),
+      (3L, "fr", "le chat est dans la maison et les enfants sont pour la plage"),
+      (4L, "es", "el perro y la casa son para los hombres y es una buena idea"),
+      (5L, "zh", "今天天气很好我们一起去公园散步吧然后吃晚饭")).toDF("id", "lang", "text")
+    val scored = df.select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+    assert(scored.filter(col("lang") =!= col("pred")).count() === 0)
+  }
+
+  test("quality score is in [0,1] and empty text scores low") {
+    val df = Seq((1L, "The quick brown fox jumps over the lazy dog and runs far away into the woods."),
+      (2L, ""), (3L, "!!! ??? *** !!! ??? ***")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityColumns(df, "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(q(1L) > q(2L) && q(1L) > q(3L))
+  }
+
+  test("tokenCounts: BPE-ish count >= whitespace count on punctuated text") {
+    val df = Seq((1L, "Hello, world! It's a test.")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df, "text")
+      .select("ws_tokens", "bpeish_tokens").as[(Int, Int)].head()
+    assert(r._1 === 5)
+    assert(r._2 === 10) // Hello , world ! It ' s a test .
+  }
+
+  test("fingerprint: identical normalized texts share both fingerprints") {
+    val df = Seq((1L, "Hello World"), (2L, "hello, world!"), (3L, "other text entirely"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, "text")
+      .select("doc_id", "fp_min_gram", "fp_full").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors with sims in [-1,1]") {
+    val r = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    assert(r.groupBy("query_id").count().select("count").as[Long].collect().forall(_ === 10))
+    assert(r.filter(col("sim") > 1.001 || col("sim") < -1.001).count() === 0)
+  }
+
+  test("annTopK recall@10 vs brute force is reasonable for 8-plane LSH") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallOf(probe: Int): Double = {
+      val ann = Similarity.annTopK(embs, queries, "vec_id", "embedding", 10,
+        nPlanes = 4, probeHamming = probe)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (truth intersect ann).size.toDouble / truth.size
+    }
+    val r0 = recallOf(0); val r1 = recallOf(1)
+    // the synthetic embeddings are near-random, so recall is bounded by
+    // bucket coverage: multi-probe hamming≤1 touches 5/16 ≈ 31% of buckets —
+    // recall must beat that coverage baseline (signal, not luck) and
+    // probing more buckets must strictly help
+    assert(r1 > 0.31, s"ANN recall@10 $r1 at or below coverage baseline")
+    assert(r1 > r0, s"multi-probe recall $r1 not above single-probe $r0")
+  }
+
+  test("multimodal plumbing: schema, determinism, batch shape") {
+    val media = Multimodal.withSyntheticMedia(docs, "doc_id", "text")
+    assert(media.schema("media").dataType.typeName === "binary")
+    assert(media.schema("media_meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val f1 = Multimodal.extractFeatures(media, "doc_id").orderBy("id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(7), "doc_id").orderBy("id").collect()
+    assert(f1.length === docs.count())
+    assert(f1.map(_.getSeq[Float](1)).forall(_.length === 8))
+    // partition layout must not change results
+    assert(f1.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq ===
+      f2.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+  }
+
+  test("sampleFrames fans a video row out to every k-th frame") {
+    val vid = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(lit("video").as("kind"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(null).cast("int").as("sample_rate_hz"), lit(10).as("n_frames")))
+    val frames = Multimodal.sampleFrames(vid, "doc_id", 3)
+    assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq === Seq(0, 3, 6, 9))
+  }
+}
