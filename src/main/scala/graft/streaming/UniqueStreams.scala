@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming implementations of the `unique:` operators
+  * (SURVEY.md §7.2 steps 3-4).
+  *
+  * Tier 1 maps directly onto Spark built-ins (dropDuplicates,
+  * dropDuplicatesWithinWatermark, watermark + windowed agg) — these get
+  * Spark's state store, checkpointing, and RocksDB backend for free,
+  * which is strictly stronger than the reference's non-snapshotted
+  * instance fields (SURVEY.md §1.5).
+  *
+  * Tier 2 (`ever`, `time`) needs custom keyed state with an expired
+  * stream: `flatMapGroupsWithState` emitting rows tagged with a `change`
+  * column ("insert" | "expire") — the streaming form of
+  * UniqueResult.all. State is partitioned by key (shuffle on the key,
+  * same layout as the batch operators), so a 1000-executor cluster
+  * scales by key cardinality with no global coordination.
+  *
+  * Keys: grouping uses `to_json(struct(keys))` — null-safe and
+  * collision-free across column boundaries (JSON escaping), the
+  * streaming analog of the batch structs (SURVEY.md §1.4).
+  */
+object UniqueStreams {
+
+  private def jsonKey(keys: Seq[String]): Column =
+    to_json(struct(keys.map(col): _*))
+
+  // ------------------------------------------------------------------
+  // Tier 1 — Spark built-ins
+  // ------------------------------------------------------------------
+
+  /** unique:first — keep the first event per key, forever
+    * (UniqueFirstWindowProcessor.java:122-134). Exact streaming match:
+    * dropDuplicates keeps the first arrival per key with unbounded state,
+    * like the reference's putIfAbsent map.
+    */
+  def firstStream(sdf: DataFrame, keys: Seq[String]): DataFrame =
+    sdf.dropDuplicates(keys)
+
+  /** unique:deduplicate — drop re-occurrences within intervalMs of the
+    * kept event (DeduplicateStreamProcessor.java:155-178). Watermarked
+    * dedup bounds the state exactly like the reference's insertion-order
+    * eviction scan.
+    */
+  def deduplicateStream(sdf: DataFrame, keys: Seq[String], tsCol: String,
+                        intervalMs: Long): DataFrame =
+    sdf.withWatermark(tsCol, s"$intervalMs milliseconds")
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** unique:timeBatch / firstTimeBatch / externalTimeBatch — tumbling
+    * event-time batches holding latest/first per key
+    * (UniqueTimeBatchWindowProcessor.java:203-266,
+    * UniqueExternalTimeBatchWindowProcessor.java:303-326). Watermark +
+    * windowed max_by/min_by; each batch emits on watermark passage
+    * (append mode), the streaming analog of the reference's flush.
+    * delayMs=0 reproduces the reference's monotonic-input model.
+    */
+  def timeBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
+                      tsCol: String, windowMs: Long, delayMs: Long = 0L,
+                      keepFirst: Boolean = false): DataFrame = {
+    val allCols = struct(sdf.columns.map(col): _*)
+    val pick = if (keepFirst) min_by(allCols, col(seqCol)) else max_by(allCols, col(seqCol))
+    sdf.withWatermark(tsCol, s"$delayMs milliseconds")
+      .groupBy((window(col(tsCol), s"$windowMs milliseconds") +: keys.map(col)): _*)
+      .agg(pick.as("__row"))
+      .select((sdf.columns.map(c => col(s"__row.`$c`").as(c)) :+
+        unix_millis(col("window.start")).as("batch_start_ms")): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Tier 2 — custom keyed state (flatMapGroupsWithState)
+  // ------------------------------------------------------------------
+
+  /** unique:ever — latest per key forever; each replacement emits the
+    * replaced row tagged "expire" alongside the new "insert"
+    * (UniqueEverWindowProcessor.java:143-169). Update output mode.
+    * Output schema = input + `change` string column.
+    */
+  def everStream(sdf: DataFrame, keys: Seq[String]): DataFrame = {
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("change", "string")
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[Row]
+    val n = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(kIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var latest = state.getOption.orNull
+          rows.foreach { r =>
+            if (latest != null)
+              out += Row.fromSeq(latest.toSeq.take(n) :+ "expire")
+            latest = r
+            out += Row.fromSeq(r.toSeq.take(n) :+ "insert")
+          }
+          if (latest != null) state.update(latest)
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  /** unique:time — sliding window of windowMs holding latest-unique per
+    * key; replacement expires the old row immediately, aging-out expires
+    * it on watermark passage (UniqueTimeWindowProcessor.java:177-212,
+    * scheduler-driven expiry ≈ event-time timeout). Requires an
+    * event-time watermark on tsCol upstream. Update output mode; output
+    * schema = input + `change`.
+    */
+  def timeStream(sdf: DataFrame, keys: Seq[String], tsCol: String,
+                 windowMs: Long, delayMs: Long = 0L): DataFrame = {
+    val withWm = sdf.withWatermark(tsCol, s"$delayMs milliseconds")
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("change", "string")
+    val keyed = withWm.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[Row]
+    val n = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(kIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          if (state.hasTimedOut) {
+            // latest row aged out of the sliding window
+            state.getOption.foreach(r => out += Row.fromSeq(r.toSeq.take(n) :+ "expire"))
+            state.remove()
+          } else {
+            var latest = state.getOption.orNull
+            rows.foreach { r =>
+              if (latest != null)
+                out += Row.fromSeq(latest.toSeq.take(n) :+ "expire")
+              latest = r
+              out += Row.fromSeq(r.toSeq.take(n) :+ "insert")
+            }
+            if (latest != null) {
+              state.update(latest)
+              val expireAtMs = latest.getAs[java.sql.Timestamp](tsIdx).getTime + windowMs
+              state.setTimeoutTimestamp(expireAtMs)
+            }
+          }
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+}

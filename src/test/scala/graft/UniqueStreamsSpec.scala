@@ -1,0 +1,139 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.UniqueStreams
+
+case class Login(ts: Timestamp, ip: String, seq: Int)
+
+/** Streaming-vs-batch equivalence on the reference fixtures, via
+  * MemoryStream (no wall-clock sleeps: event-time + explicit watermark
+  * advancement, mirroring DeduplicateStreamProcessor.java:155-178 and
+  * UniqueEverWindowProcessor.java:143-169 semantics).
+  */
+class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def login(ms: Long, ip: String, seq: Int) = Login(new Timestamp(ms), ip, seq)
+
+  /** Run a streaming DataFrame into a memory sink; returns (query, read-fn). */
+  private def startQuery(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+
+  test("firstStream == batch first (streaming dropDuplicates keeps first arrival)") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(UniqueStreams.firstStream(ms.toDF(), Seq("ip")), "first_s", OutputMode.Append())
+    ms.addData(login(1, "192.10.1.3", 1), login(2, "192.10.1.3", 2), login(3, "192.10.1.4", 3))
+    q.processAllAvailable()
+    ms.addData(login(4, "192.10.1.3", 4), login(5, "192.10.1.5", 5))
+    q.processAllAvailable()
+    val got = spark.table("first_s").select("ip", "seq").as[(String, Int)].collect().toSet
+    q.stop()
+    assert(got === Set(("192.10.1.3", 1), ("192.10.1.4", 3), ("192.10.1.5", 5)))
+  }
+
+  test("deduplicateStream drops within-interval keys and readmits after the watermark") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.deduplicateStream(ms.toDF(), Seq("ip"), "ts", 1000L),
+      "dedup_s", OutputMode.Append())
+    // separate micro-batches: within one micro-batch the post-shuffle row
+    // order per key is nondeterministic, so "first" is only well-defined
+    // across batch boundaries (matches the reference's arrival order).
+    // Base offset 100000: Spark's initial watermark is 0, and a ts-0 row
+    // would be filtered as late before reaching the dedup state.
+    val t0 = 100000L
+    ms.addData(login(t0, "a", 1))
+    q.processAllAvailable()
+    ms.addData(login(t0 + 500, "a", 2)) // inside interval of kept a@t0 → dropped
+    q.processAllAvailable()
+    ms.addData(login(t0 + 3000, "b", 3)) // advances watermark to t0+2000 → a's state expires
+    q.processAllAvailable()
+    ms.addData(login(t0 + 2500, "a", 4)) // not late (>= watermark), a readmitted
+    q.processAllAvailable()
+    val got = spark.table("dedup_s").select("ip", "seq").as[(String, Int)].collect().toSet
+    q.stop()
+    assert(got === Set(("a", 1), ("b", 3), ("a", 4)))
+  }
+
+  test("everStream emits insert+expire tags matching batch ever") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(UniqueStreams.everStream(ms.toDF(), Seq("ip")), "ever_s", OutputMode.Update())
+    ms.addData(login(1, "192.10.1.3", 1), login(2, "192.10.1.3", 2), login(3, "192.10.1.4", 3))
+    q.processAllAvailable()
+    ms.addData(login(4, "192.10.1.3", 4), login(5, "192.10.1.5", 5))
+    q.processAllAvailable()
+    val out = spark.table("ever_s").select("change", "seq").as[(String, Int)].collect()
+    q.stop()
+    val inserts = out.filter(_._1 == "insert").map(_._2).toSet
+    val expires = out.filter(_._1 == "expire").map(_._2).toSet
+    assert(inserts === Set(1, 2, 3, 4, 5)) // every arrival inserted
+    // batch oracle: ever.expired on the same rows = seqs 1 and 2
+    val batch = operators.UniqueOps.ever(
+      Seq((1, "192.10.1.3"), (2, "192.10.1.3"), (3, "192.10.1.4"),
+        (4, "192.10.1.3"), (5, "192.10.1.5")).toDF("seq", "ip"), Seq("ip"), "seq")
+    val batchExpired = batch.expired.select("seq").as[Int].collect().toSet
+    assert(expires === batchExpired)
+    assert(expires === Set(1, 2))
+  }
+
+  test("timeBatchStream emits closed windows equal to batch timeBatch") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.timeBatchStream(ms.toDF(), Seq("ip"), "seq", "ts", 1000L),
+      "tb_s", OutputMode.Append())
+    ms.addData(login(100, "a", 1), login(200, "a", 2), login(300, "b", 3))
+    q.processAllAvailable()
+    ms.addData(login(1100, "a", 4)) // watermark 300 → window [0,1000) still open
+    q.processAllAvailable()
+    ms.addData(login(2100, "c", 5)) // watermark 1100 → closes [0,1000)
+    q.processAllAvailable()
+    ms.addData(login(3100, "d", 6)) // watermark 2100 → closes [1000,2000)
+    q.processAllAvailable()
+    val got = spark.table("tb_s").select("ip", "seq", "batch_start_ms")
+      .as[(String, Int, Long)].collect().toSet
+    q.stop()
+    // batch oracle on the same rows, restricted to the closed windows
+    val batchDf = Seq((100L, "a", 1), (200L, "a", 2), (300L, "b", 3), (1100L, "a", 4),
+      (2100L, "c", 5), (3100L, "d", 6))
+      .toDF("ms", "ip", "seq").withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val oracle = operators.UniqueOps.timeBatch(batchDf, Seq("ip"), "seq", "ts", 1000L)
+      .current.filter(col("batch_start_ms") < 3000) // last window still open in the stream
+      .select("ip", "seq", "batch_start_ms").as[(String, Int, Long)].collect().toSet
+    assert(got === oracle)
+    assert(got === Set(("a", 2), ("b", 3), ("a", 4), ("c", 5)).map { case (i, s) =>
+      (i, s, (s match { case 2 | 3 => 0L; case 4 => 1000L; case 5 => 2000L })) })
+  }
+
+  test("timeStream expires replaced keys immediately and aged-out keys on watermark") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.timeStream(ms.toDF(), Seq("ip"), "ts", 2000L),
+      "time_s", OutputMode.Update())
+    ms.addData(login(1000, "a", 1))
+    q.processAllAvailable()
+    ms.addData(login(1500, "a", 2)) // replaces a@1 → expire seq 1 immediately
+    q.processAllAvailable()
+    ms.addData(login(5000, "b", 3)) // watermark → 1500 after this batch
+    q.processAllAvailable()
+    ms.addData(login(6000, "c", 4)) // batch runs with watermark 5000 > 1500+2000 → a ages out
+    q.processAllAvailable()
+    val out = spark.table("time_s").select("change", "seq").as[(String, Int)].collect().toSeq
+    q.stop()
+    assert(out.count(_ == ("insert", 1)) === 1)
+    assert(out.count(_ == ("expire", 1)) === 1) // replaced
+    assert(out.count(_ == ("expire", 2)) === 1) // aged out via event-time timeout
+    assert(out.count(_._1 == "insert") === 4)
+  }
+}
