@@ -44,6 +44,29 @@ final case class UniqueResult(current: DataFrame, expired: DataFrame) {
 object UniqueOps {
   private val RN = "__graft_rn"
 
+  /** Eager validation, mirroring the reference's init-time
+    * SiddhiAppValidationException checks (arity, attribute existence,
+    * positive constants — UniqueTimeWindowProcessor.java:137-161).
+    * Thrown as IllegalArgumentException before any job is launched.
+    */
+  private[graft] def validate(df: DataFrame, keys: Seq[String], seqCol: String,
+                              tsCol: Option[String] = None,
+                              windowMs: Option[Long] = None,
+                              n: Option[Int] = None): Unit = {
+    require(keys.nonEmpty, "unique operator needs at least one key column")
+    val cols = df.columns.toSet
+    (keys :+ seqCol).foreach(c =>
+      require(cols.contains(c), s"column '$c' not found in ${cols.mkString("[", ",", "]")}"))
+    tsCol.foreach { c =>
+      require(cols.contains(c), s"timestamp column '$c' not found")
+      val dt = df.schema(c).dataType.typeName
+      require(dt == "timestamp" || dt == "timestamp_ntz",
+        s"timestamp column '$c' must be a timestamp type, got $dt")
+    }
+    windowMs.foreach(w => require(w > 0, s"window duration must be positive, got $w"))
+    n.foreach(x => require(x > 0, s"window length must be positive, got $x"))
+  }
+
   private def msOf(tsCol: String): Column = unix_millis(col(tsCol))
 
   private def ranked(df: DataFrame, keys: Seq[String], order: Column): DataFrame =
@@ -66,6 +89,7 @@ object UniqueOps {
   //    the expired stream (UniqueEverWindowProcessor.java:143-169).
   // ------------------------------------------------------------------
   def ever(df: DataFrame, keys: Seq[String], seqCol: String): UniqueResult = {
+    validate(df, keys, seqCol)
     val r = ranked(df, keys, col(seqCol).desc)
     UniqueResult(
       current = r.filter(col(RN) === 1).drop(RN),
@@ -73,18 +97,22 @@ object UniqueOps {
   }
 
   /** current-only fast path: one shuffle, partial aggregation (no sort). */
-  def everCurrent(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame =
+  def everCurrent(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    validate(df, keys, seqCol)
     rowPerGroup(df, keys.map(col), seqCol, latest = true)
+  }
 
   // ------------------------------------------------------------------
   // 2. unique:first — first event per key, forever; duplicates silently
   //    dropped, no expired stream (UniqueFirstWindowProcessor.java:122-134,
   //    UniqueFirstWindowTestCase.java:77-79).
   // ------------------------------------------------------------------
-  def first(df: DataFrame, keys: Seq[String], seqCol: String): UniqueResult =
+  def first(df: DataFrame, keys: Seq[String], seqCol: String): UniqueResult = {
+    validate(df, keys, seqCol)
     UniqueResult(
       current = rowPerGroup(df, keys.map(col), seqCol, latest = false),
       expired = df.limit(0))
+  }
 
   // ------------------------------------------------------------------
   // 3. unique:time — sliding window of windowMs holding latest-unique per
@@ -98,6 +126,7 @@ object UniqueOps {
   // ------------------------------------------------------------------
   def time(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
            windowMs: Long): UniqueResult = {
+    validate(df, keys, seqCol, Some(tsCol), Some(windowMs))
     val latest = rowPerGroup(df, keys.map(col), seqCol, latest = true)
     val horizon = df.agg(max(msOf(tsCol)).as("__max_ms"))
     val cur = latest.crossJoin(broadcast(horizon))
@@ -124,6 +153,7 @@ object UniqueOps {
                 windowMs: Long, startMs: Option[Long] = Some(0L),
                 keepFirst: Boolean = false,
                 replaceTsWithBatchEnd: Boolean = false): UniqueResult = {
+    validate(df, keys, seqCol, Some(tsCol), Some(windowMs))
     val anchored = startMs match {
       case Some(s) => df.withColumn("__start_ms", lit(s))
       case None =>
@@ -165,6 +195,7 @@ object UniqueOps {
   //    partition top-N + driver merge of N), no single-partition sort.
   // ------------------------------------------------------------------
   def length(df: DataFrame, keys: Seq[String], seqCol: String, n: Int): UniqueResult = {
+    validate(df, keys, seqCol, n = Some(n))
     val latest = rowPerGroup(df, keys.map(col), seqCol, latest = true)
     val cur = latest.orderBy(col(seqCol).desc).limit(n)
     val expired = df.join(cur.select(seqCol), Seq(seqCol), "left_anti")
@@ -186,6 +217,7 @@ object UniqueOps {
   // ------------------------------------------------------------------
   def lengthBatch(df: DataFrame, keys: Seq[String], seqCol: String, n: Int,
                   keepFirst: Boolean = false): UniqueResult = {
+    validate(df, keys, seqCol, n = Some(n))
     val seqKey = df.select((col(seqCol).cast("long").as("__s") +: keys.map(col)): _*)
       .repartition(1).sortWithinPartitions("__s")
     val kWidth = keys.length
@@ -234,6 +266,7 @@ object UniqueOps {
   // ------------------------------------------------------------------
   def timeLengthBatch(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
                       windowMs: Long, n: Int, startMs: Long = 0L): UniqueResult = {
+    validate(df, keys, seqCol, Some(tsCol), Some(windowMs), Some(n))
     val batchId = floor((msOf(tsCol) - lit(startMs)) / lit(windowMs)).cast("long")
     val tagged = df.withColumn("__batch_id", batchId)
     val firstW = Window.partitionBy((col("__batch_id") +: keys.map(col)): _*)
@@ -267,6 +300,7 @@ object UniqueOps {
   // ------------------------------------------------------------------
   def deduplicate(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
                   intervalMs: Long): UniqueResult = {
+    validate(df, keys, seqCol, Some(tsCol), Some(intervalMs))
     val keyStruct = struct(keys.map(col): _*)
     val prepped = df.withColumn("__k", keyStruct).withColumn("__ms", msOf(tsCol))
     val sorted = prepped.repartition(col("__k"))

@@ -24,6 +24,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * collision-free across column boundaries (JSON escaping), the
   * streaming analog of the batch structs (SURVEY.md §1.4).
   */
+/** Keyed state for the global-order operators (public top-level: the kryo
+  * encoder rejects non-public classes).
+  */
+case class GlobalState(
+    order: List[(String, Row)],          // insertion-ordered live window (length)
+    batchKeys: Set[String],              // distinct keys in the filling batch
+    pending: List[Row],                  // filling batch's rows
+    prevBatch: List[Row],                // last flushed batch (expired on next flush)
+    batchId: Long,
+    latched: Boolean)                    // timeLengthBatch post-flush drop latch
+
 object UniqueStreams {
 
   private def jsonKey(keys: Seq[String]): Column =
@@ -148,6 +159,155 @@ object UniqueStreams {
               state.setTimeoutTimestamp(expireAtMs)
             }
           }
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  // ------------------------------------------------------------------
+  // Tier 2b — global-order stateful ops (length / lengthBatch /
+  // timeLengthBatch). Their reference semantics depend on a GLOBAL
+  // arrival order and a global distinct count
+  // (UniqueLengthBatchWindowProcessor.java:165, SURVEY.md §7.4.3), so the
+  // trigger decision runs in a single keyed group — the same scale
+  // ceiling as the reference's single JVM, documented and deliberate.
+  // Rows are processed in seqCol order within each micro-batch to make
+  // arrival order explicit (the reference relies on its input thread).
+  // ------------------------------------------------------------------
+
+  private def emptyGlobal = GlobalState(Nil, Set.empty, Nil, Nil, 0L, latched = false)
+
+  /** unique:length — sliding window of the last n distinct keys
+    * (UniqueLengthWindowProcessor.java:135-168): dup key replaces in place
+    * (old row expires), overflow evicts the least-recently-seen key.
+    * Update mode; output = input + change.
+    */
+  def lengthStream(sdf: DataFrame, keys: Seq[String], seqCol: String, n: Int): DataFrame = {
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("change", "string")
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val sIdx = keyed.schema.fieldIndex(seqCol)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[GlobalState]
+    val nCols = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .flatMapGroupsWithState[GlobalState, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Row], state: GroupState[GlobalState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var st = state.getOption.getOrElse(emptyGlobal)
+          rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+            val k = r.getString(kIdx)
+            val existing = st.order.find(_._1 == k)
+            existing.foreach { case (_, old) =>
+              out += Row.fromSeq(old.toSeq.take(nCols) :+ "expire")
+            }
+            var order = st.order.filterNot(_._1 == k) :+ (k -> r)
+            if (existing.isEmpty && order.length > n) {
+              val (_, evicted) = order.head
+              out += Row.fromSeq(evicted.toSeq.take(nCols) :+ "expire")
+              order = order.tail
+            }
+            out += Row.fromSeq(r.toSeq.take(nCols) :+ "insert")
+            st = st.copy(order = order)
+          }
+          state.update(st)
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  /** unique:lengthBatch / firstLengthBatch — batch fills at n distinct
+    * keys then flushes: current batch tagged "insert" with batch_id, the
+    * previous batch re-emitted "expire"
+    * (UniqueLengthBatchWindowProcessor.java:165-197). Update mode; output
+    * = input + change + batch_id. Nothing is emitted until a batch fills.
+    */
+  def lengthBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String, n: Int,
+                        keepFirst: Boolean = false): DataFrame = {
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("change", "string").add("batch_id", "long")
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val sIdx = keyed.schema.fieldIndex(seqCol)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[GlobalState]
+    val nCols = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .flatMapGroupsWithState[GlobalState, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Row], state: GroupState[GlobalState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var st = state.getOption.getOrElse(emptyGlobal)
+          rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+            val k = r.getString(kIdx)
+            // within-batch keep latest (or first) per key
+            val dup = st.pending.exists(_.getString(kIdx) == k)
+            val pending =
+              if (!dup) st.pending :+ r
+              else if (keepFirst) st.pending
+              else st.pending.filterNot(_.getString(kIdx) == k) :+ r
+            st = st.copy(batchKeys = st.batchKeys + k, pending = pending)
+            if (st.batchKeys.size == n) { // flush
+              st.prevBatch.foreach(p =>
+                out += Row.fromSeq(p.toSeq.take(nCols) ++ Seq("expire", st.batchId - 1)))
+              st.pending.foreach(p =>
+                out += Row.fromSeq(p.toSeq.take(nCols) ++ Seq("insert", st.batchId)))
+              st = GlobalState(Nil, Set.empty, Nil, st.pending, st.batchId + 1, latched = false)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  /** unique:timeLengthBatch — tumbling event-time batch flushed on the
+    * time boundary OR on n distinct keys, whichever first; after a length
+    * flush, remaining same-batch events are dropped (the eventSent latch,
+    * UniqueTimeLengthBatchWindowProcessor.java:254-290). Time flushes are
+    * event-driven (first event of a later batch closes the previous one) —
+    * the event-time reinterpretation of the reference's scheduler.
+    * Update mode; output = input + change + batch_start_ms.
+    */
+  def timeLengthBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
+                            tsCol: String, windowMs: Long, n: Int): DataFrame = {
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("change", "string").add("batch_start_ms", "long")
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val sIdx = keyed.schema.fieldIndex(seqCol)
+    val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[GlobalState]
+    val nCols = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .flatMapGroupsWithState[GlobalState, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Row], state: GroupState[GlobalState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var st = state.getOption.getOrElse(emptyGlobal)
+          def flush(startMs: Long): Unit = {
+            st.pending.foreach(p =>
+              out += Row.fromSeq(p.toSeq.take(nCols) ++ Seq("insert", startMs)))
+            st = st.copy(batchKeys = Set.empty, pending = Nil, latched = true)
+          }
+          rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+            val eventBatch = r.getAs[java.sql.Timestamp](tsIdx).getTime / windowMs
+            if (eventBatch > st.batchId) { // time boundary crossed
+              if (st.pending.nonEmpty) flush(st.batchId * windowMs)
+              st = st.copy(batchId = eventBatch, batchKeys = Set.empty,
+                pending = Nil, latched = false)
+            }
+            if (!st.latched) {
+              val k = r.getString(kIdx)
+              val pending = st.pending.filterNot(_.getString(kIdx) == k) :+ r
+              st = st.copy(batchKeys = st.batchKeys + k, pending = pending)
+              if (st.batchKeys.size == n) flush(st.batchId * windowMs) // length flush + latch
+            } // latched: drop until next boundary
+          }
+          state.update(st)
           out.iterator
       }(stateEnc, outEnc)
   }

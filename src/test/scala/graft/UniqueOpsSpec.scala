@@ -253,4 +253,60 @@ class UniqueOpsSpec extends AnyFunSuite with SparkTestSession {
     // 1000 - 0 == interval → still duplicate; 2001 - 0 > interval → kept
     assert(r.current.select("seq").as[Int].collect().toSet === Set(1, 3))
   }
+
+  // ---- validation layer: eager failures mirroring the reference's
+  // SiddhiAppValidationException cases (UniqueTimeWindowTestCase.java:232-263) ----
+  test("operators validate arguments eagerly") {
+    val df = logins((1L, "a"))
+    intercept[IllegalArgumentException](UniqueOps.ever(df, Seq.empty, "seq"))
+    intercept[IllegalArgumentException](UniqueOps.ever(df, Seq("nope"), "seq"))
+    intercept[IllegalArgumentException](UniqueOps.ever(df, Seq("ip"), "nope"))
+    intercept[IllegalArgumentException](UniqueOps.time(df, Seq("ip"), "seq", "ts", 0L))
+    intercept[IllegalArgumentException](UniqueOps.time(df, Seq("ip"), "seq", "ip", 100L)) // non-ts column
+    intercept[IllegalArgumentException](UniqueOps.length(df, Seq("ip"), "seq", 0))
+    intercept[IllegalArgumentException](UniqueOps.lengthBatch(df, Seq("ip"), "seq", -1))
+    intercept[IllegalArgumentException](UniqueOps.deduplicate(df, Seq("ip"), "seq", "ts", -5L))
+  }
+
+  // ---- plan-shape guards (the VERDICT scale criteria): no
+  // data-proportional driver collect, no partition-all window sort ----
+  test("length plans as TakeOrderedAndProject, not a global window sort") {
+    val df = logins((1L, "a"), (2L, "b"), (3L, "c"))
+    val plan = UniqueOps.length(df, Seq("ip"), "seq", 2)
+      .current.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"), s"unexpected window sort in plan:\n$plan")
+  }
+
+  test("everCurrent plan does map-side partial aggregation, no global sort or window") {
+    val df = logins((1L, "a"), (2L, "b"))
+    val plan = UniqueOps.everCurrent(df, Seq("ip"), "seq")
+      .queryExecution.executedPlan.toString
+    // max_by over a struct buffer plans as SortAggregate (non-primitive
+    // buffer) — what matters at scale is the partial combine before the
+    // key-hash exchange and the absence of any single-partition stage
+    assert(plan.contains("partial_max_by"))
+    assert(plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("SinglePartition"))
+  }
+
+  test("lengthBatch single-partition stage sees only the (seq, keys) projection") {
+    // the sequential fold is inherent (reference trigger is global); the
+    // guard is that ONLY the 2-column projection passes through the
+    // single partition, and the full rows are assigned via an equi-join
+    val df = logins((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    val cur = UniqueOps.lengthBatch(df, Seq("ip"), "seq", 2).current
+    val plan = cur.queryExecution.executedPlan.toString
+    assert(plan.contains("SinglePartition"))
+    assert(!plan.toLowerCase.contains("broadcastnestedloop"))
+    assert(cur.count() === 4)
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = docs.select("doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan not pruned to doc_id:\n$plan")
+  }
 }

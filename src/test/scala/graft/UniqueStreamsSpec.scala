@@ -136,4 +136,86 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(out.count(_ == ("expire", 2)) === 1) // aged out via event-time timeout
     assert(out.count(_._1 == "insert") === 4)
   }
+
+  test("lengthStream replaces dup keys and evicts the least-recent on overflow") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.lengthStream(ms.toDF().withColumn("seq", col("seq").cast("long")), Seq("ip"), "seq", 3),
+      "len_s", OutputMode.Update())
+    ms.addData(login(1, "a", 1), login(2, "b", 2), login(3, "c", 3))
+    q.processAllAvailable()
+    ms.addData(login(4, "a", 4), login(5, "d", 5))
+    q.processAllAvailable()
+    val out = spark.table("len_s").select("change", "seq").as[(String, Long)].collect()
+    q.stop()
+    assert(out.filter(_._1 == "insert").map(_._2).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    // a@1 replaced by a@4; b@2 evicted when d@5 overflows capacity —
+    // matches batch length() on the same fixture (UniqueOpsSpec)
+    assert(out.filter(_._1 == "expire").map(_._2).toSet === Set(1L, 2L))
+  }
+
+  test("lengthBatchStream: 6 alternating rows at n=2 → insert=6, expire=4") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.lengthBatchStream(ms.toDF().withColumn("seq", col("seq").cast("long")), Seq("ip"), "seq", 2),
+      "lb_s", OutputMode.Update())
+    ms.addData(login(1, "IBM", 1), login(2, "WSO2", 2), login(3, "IBM", 3))
+    q.processAllAvailable()
+    ms.addData(login(4, "WSO2", 4), login(5, "IBM", 5), login(6, "WSO2", 6))
+    q.processAllAvailable()
+    val out = spark.table("lb_s").select("change", "seq", "batch_id")
+      .as[(String, Long, Long)].collect()
+    q.stop()
+    // UniqueLengthBatchWindowTestCase.java:156-157: in=6, expired=4
+    assert(out.count(_._1 == "insert") === 6)
+    assert(out.count(_._1 == "expire") === 4)
+    assert(out.filter(_._1 == "insert").map(_._3).toSet === Set(0L, 1L, 2L))
+  }
+
+  test("timeLengthBatchStream: length flush latches, time boundary resets") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.timeLengthBatchStream(
+        ms.toDF().withColumn("seq", col("seq").cast("long")), Seq("ip"), "seq", "ts", 1000L, 2),
+      "tlb_s", OutputMode.Update())
+    ms.addData(login(100, "a", 1), login(200, "b", 2), login(300, "c", 3), login(400, "a", 4))
+    q.processAllAvailable()
+    ms.addData(login(1100, "d", 5), login(1200, "e", 6))
+    q.processAllAvailable()
+    val inserts = spark.table("tlb_s").filter(col("change") === "insert")
+      .select("seq").as[Long].collect().toSet
+    q.stop()
+    // batch oracle (UniqueOpsSpec timeLengthBatch fixture): {1, 2, 5, 6}
+    assert(inserts === Set(1L, 2L, 5L, 6L))
+  }
+
+  test("everStream restores keyed state from the checkpoint after a restart") {
+    val ckpt = Files.createTempDirectory("ckpt_restart").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    def run(ms: MemoryStream[Login]): StreamingQuery =
+      UniqueStreams.everStream(ms.toDF(), Seq("ip")).writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("change", "seq").collect()
+            .foreach(r => sink.add((r.getString(0), r.getInt(1))))
+        }
+        .start()
+    val ms1 = MemoryStream[Login]
+    val q1 = run(ms1)
+    ms1.addData(login(1, "192.10.1.3", 1))
+    q1.processAllAvailable()
+    q1.stop()
+    // same checkpoint, same source, new query instance — keyed state must
+    // carry over (mirror of UniqueEverWindowTestCase.java:190-217
+    // persist/restore round-trip)
+    ms1.addData(login(2, "192.10.1.3", 2))
+    val q2 = run(ms1)
+    q2.processAllAvailable()
+    q2.stop()
+    val all = sink.toArray(Array.empty[(String, Int)]).toSeq
+    assert(all.contains(("insert", 1)) && all.contains(("insert", 2)))
+    assert(all.contains(("expire", 1)), // pre-restart row expired post-restart
+      s"expected pre-restart state to expire seq 1, got $all")
+  }
 }
