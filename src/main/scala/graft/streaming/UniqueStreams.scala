@@ -35,6 +35,13 @@ case class GlobalState(
     batchId: Long,
     latched: Boolean)                    // timeLengthBatch post-flush drop latch
 
+/** State for externalTimeBatch-with-time.out (public for kryo). */
+case class EtbState(
+    endTimeMs: Long,                     // current batch's event-time end (exclusive)
+    batch: List[(String, Row)],          // latest-per-key contents, insertion order
+    sentIdle: Boolean,                   // an idle time.out flush already emitted this batch
+    dirty: Boolean)                      // events arrived since the last emit
+
 object UniqueStreams {
 
   private def jsonKey(keys: Seq[String]): Column =
@@ -258,6 +265,68 @@ object UniqueStreams {
             }
           }
           state.update(st)
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  /** unique:externalTimeBatch with `time.out` — event-time batches driven
+    * by the monotonic timestamp attribute, anchored at the first event;
+    * an idle processing-time timeout flushes the open batch early, and
+    * later same-batch events re-emit the batch MERGED with the already-
+    * sent rows (sentEvents append-flush,
+    * UniqueExternalTimeBatchWindowProcessor.java:279-298, 403-452).
+    * Emitted rows carry `flush_kind` ("close" | "timeout" | "append") and
+    * `batch_end_ms`. Update mode. Processing-time timeouts need a
+    * periodic trigger (e.g. Trigger.ProcessingTime) to fire on idle.
+    */
+  def externalTimeBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
+                              tsCol: String, windowMs: Long,
+                              timeOutMs: Long): DataFrame = {
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("flush_kind", "string").add("batch_end_ms", "long")
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val sIdx = keyed.schema.fieldIndex(seqCol)
+    val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[EtbState]
+    val nCols = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .flatMapGroupsWithState[EtbState, Row](OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: Int, rows: Iterator[Row], state: GroupState[EtbState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          def emit(st: EtbState, kind: String): Unit =
+            st.batch.foreach { case (_, r) =>
+              out += Row.fromSeq(r.toSeq.take(nCols) ++ Seq(kind, st.endTimeMs))
+            }
+          if (state.hasTimedOut) {
+            state.getOption.foreach { st =>
+              if (st.batch.nonEmpty && st.dirty) {
+                // idle flush; re-fires as a merged "append" if new
+                // same-batch events arrived after a previous idle flush
+                emit(st, if (st.sentIdle) "append" else "timeout")
+                state.update(st.copy(sentIdle = true, dirty = false))
+              }
+            }
+          } else {
+            var st = state.getOption.getOrElse(
+              EtbState(Long.MinValue, Nil, sentIdle = false, dirty = false))
+            rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+              val ts = r.getAs[java.sql.Timestamp](tsIdx).getTime
+              if (st.endTimeMs == Long.MinValue)
+                st = st.copy(endTimeMs = ts + windowMs) // anchor at first event
+              while (ts >= st.endTimeMs) { // batch closes (monotonic input)
+                if (st.batch.nonEmpty) emit(st, if (st.sentIdle) "append" else "close")
+                st = EtbState(st.endTimeMs + windowMs, Nil, sentIdle = false, dirty = false)
+              }
+              val k = r.getString(kIdx)
+              st = st.copy(batch = st.batch.filterNot(_._1 == k) :+ (k -> r), dirty = true)
+            }
+            state.update(st)
+            state.setTimeoutDuration(timeOutMs)
+          }
           out.iterator
       }(stateEnc, outEnc)
   }

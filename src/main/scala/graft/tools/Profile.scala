@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.llm.TextDedup
+
+/** Scratch profiler for the near-dup pipelines (not part of the driver
+  * contract). Usage: runMain graft.tools.Profile <sfDir>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir).cache()
+    docs.count()
+    def timeIt[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val withSh = docs.select(col("doc_id").as("id"), col("text"))
+      .withColumn("sh", array_distinct(TextDedup.shingles(TextDedup.tokenize(col("text")), 3)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextDedup.minhashSignature(col("sh"), 32))
+      .cache()
+    timeIt("shingle+sig materialize")(withSh.count())
+    println("[profile] avg shingles/doc: " + withSh.agg(avg(size(col("sh")))).head().getDouble(0))
+    val banded = withSh.select(col("id"),
+      explode(org.apache.spark.sql.functions.array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * 4 + 1, 4), lit(b)).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh")).cache()
+    timeIt("banded")(banded.count())
+    val sizes = banded.groupBy("band", "bh").count().cache()
+    println("[profile] bucket size deciles: " +
+      sizes.stat.approxQuantile("count", Array(0.5, 0.9, 0.99, 1.0), 0.0).mkString(","))
+    val ok = sizes.filter(col("count") <= 1000 && col("count") > 1).select("band", "bh")
+    val inB = banded.join(ok, Seq("band", "bh"))
+    val cand = inB.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(inB.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().cache()
+    timeIt("candidate pairs")(println("[profile] n_cand=" + cand.count()))
+    val sets = withSh.select(col("id"), col("sh"))
+    val verified = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextDedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+    timeIt("verify")(println("[profile] n_pairs=" + verified.count()))
+    spark.stop()
+  }
+}

@@ -189,6 +189,40 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(inserts === Set(1L, 2L, 5L, 6L))
   }
 
+  test("externalTimeBatchStream time.out flushes idle batches and append-merges later events") {
+    // wall-clock processing-time timeout (the reference's scheduler path,
+    // UniqueExternalTimeBatchWindowProcessor.java:279-298); generous
+    // margins, mirroring the reference's own sleep-based test1
+    val ms = MemoryStream[Login]
+    val q = UniqueStreams.externalTimeBatchStream(
+        ms.toDF().withColumn("seq", col("seq").cast("long")),
+        Seq("ip"), "seq", "ts", 1000L, timeOutMs = 300L)
+      .writeStream.format("memory").queryName("etb_s")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_etb").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rowsOfKind(kind: String): Set[Long] =
+      spark.table("etb_s").filter(col("flush_kind") === kind)
+        .select("seq").as[Long].collect().toSet
+    def awaitCond(cond: => Boolean, what: String): Unit = {
+      val deadline = System.currentTimeMillis() + 15000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    // NOTE: processAllAvailable() cannot be used here — with
+    // ProcessingTimeTimeout the engine constructs a batch on every trigger
+    // (shouldRunAnotherBatch is always true), so `noNewData` is never set
+    // and processAllAvailable blocks forever. Poll the sink instead.
+    try {
+      ms.addData(login(100, "a", 1), login(200, "b", 2))
+      awaitCond(rowsOfKind("timeout") === Set(1L, 2L), "idle time.out flush of {a,b}")
+      ms.addData(login(300, "c", 3)) // same event-time batch, after the idle flush
+      awaitCond(rowsOfKind("append") === Set(1L, 2L, 3L),
+        "append-merge of the already-sent rows with c")
+    } finally q.stop()
+  }
+
   test("everStream restores keyed state from the checkpoint after a restart") {
     val ckpt = Files.createTempDirectory("ckpt_restart").toString
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
