@@ -38,6 +38,8 @@ object SparkEntry {
       UniqueOps.ever(ev(s, d), Seq("user_id"), "event_id").expired),
     "ever_multikey" -> ((s, d) =>
       UniqueOps.everCurrent(ev(s, d), Seq("user_id", "event_type"), "event_id")),
+    "ever_all" -> ((s, d) =>
+      UniqueOps.ever(ev(s, d), Seq("user_id"), "event_id").all),
     // 2. unique:first
     "first_current" -> ((s, d) =>
       UniqueOps.first(ev(s, d), Seq("user_id"), "event_id").current),
@@ -61,6 +63,8 @@ object SparkEntry {
     "externaltimebatch_replacets" -> ((s, d) =>
       UniqueOps.externalTimeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", H6,
         replaceTsWithBatchEnd = true).current),
+    "externaltimebatch_expired" -> ((s, d) =>
+      UniqueOps.externalTimeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", H6).expired),
     // 5. unique:length (last 100 distinct keys by recency)
     "length_current" -> ((s, d) =>
       UniqueOps.length(ev(s, d), Seq("user_id"), "event_id", 100).current),
@@ -69,6 +73,8 @@ object SparkEntry {
     // 6. unique:lengthBatch (flush at 40 distinct keys)
     "lengthbatch_current" -> ((s, d) =>
       UniqueOps.lengthBatch(ev(s, d), Seq("user_id"), "event_id", 40).current),
+    "lengthbatch_expired" -> ((s, d) =>
+      UniqueOps.lengthBatch(ev(s, d), Seq("user_id"), "event_id", 40).expired),
     // 7. unique:firstLengthBatch
     "firstlengthbatch_current" -> ((s, d) =>
       UniqueOps.firstLengthBatch(ev(s, d), Seq("user_id"), "event_id", 40).current),
@@ -158,6 +164,11 @@ object SparkEntry {
         s"""SELECT $EVSQL FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn = 1""".stripMargin,
+      "ever_all" ->
+        s"""SELECT $EVSQL,
+           |  CASE WHEN rn = 1 THEN 'insert' ELSE 'expire' END AS change FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |  FROM events)""".stripMargin,
       "first_current" ->
         s"""SELECT $EVSQL FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
@@ -195,6 +206,15 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY (epoch_ms(ts) - s.m) // $H6, user_id ORDER BY event_id DESC) AS rn
            |  FROM events e CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s
            |) WHERE rn = 1""".stripMargin,
+      "externaltimebatch_expired" ->
+        s"""SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT e.*, ((epoch_ms(ts) - s.m) // $H6) * $H6 + s.m AS batch_start_ms,
+           |    (epoch_ms(ts) - s.m) // $H6 AS bid,
+           |    row_number() OVER (PARTITION BY (epoch_ms(ts) - s.m) // $H6, user_id ORDER BY event_id DESC) AS rn
+           |  FROM events e CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s
+           |) WHERE rn = 1 AND bid < (
+           |  SELECT max((epoch_ms(ts) - s2.m) // $H6)
+           |  FROM events CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s2)""".stripMargin,
       "length_current" -> lengthCurrentSql,
       "length_expired" ->
         s"""SELECT $EVSQL FROM events WHERE event_id NOT IN (
@@ -204,6 +224,7 @@ object SparkEntry {
       // occurrences > prev); recursive CTE walks boundaries, then events are
       // range-assigned to batches and reduced latest-per-(batch, key).
       "lengthbatch_current" -> lengthBatchOracle(latest = true),
+      "lengthbatch_expired" -> lengthBatchOracle(latest = true, expiredOnly = true),
       "firstlengthbatch_current" -> lengthBatchOracle(latest = false),
       "timelengthbatch_current" ->
         s"""WITH t AS (SELECT *, epoch_ms(ts) // $DAY AS b FROM events),
@@ -247,8 +268,9 @@ object SparkEntry {
     )
   }
 
-  private def lengthBatchOracle(latest: Boolean): String = {
+  private def lengthBatchOracle(latest: Boolean, expiredOnly: Boolean = false): String = {
     val ord = if (latest) "DESC" else "ASC"
+    val expFilter = if (expiredOnly) " AND bid < (SELECT max(bid) FROM bnd)" else ""
     s"""WITH RECURSIVE bnd(bid, s) AS (
        |  SELECT 0::BIGINT AS bid, t.nb AS s FROM (
        |    SELECT CASE WHEN count(*) = 40 THEN max(fs) END AS nb FROM (
@@ -264,6 +286,6 @@ object SparkEntry {
        |t AS (SELECT e.*, iv.bid FROM events e JOIN iv ON e.event_id > iv.lo AND e.event_id <= iv.hi)
        |SELECT $EVSQL, bid AS batch_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY bid, user_id ORDER BY event_id $ord) AS rn
-       |  FROM t) WHERE rn = 1""".stripMargin
+       |  FROM t) WHERE rn = 1$expFilter""".stripMargin
   }
 }

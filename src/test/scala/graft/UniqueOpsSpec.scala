@@ -303,6 +303,13 @@ class UniqueOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(cur.count() === 4)
   }
 
+  test("window-join picks a broadcast join for the dimension side") {
+    val df = SparkEntry.queries("join_windows")(spark, "/root/testdata/sf0.001")
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("column pruning reaches the parquet scan") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = docs.select("doc_id").queryExecution.executedPlan.toString
