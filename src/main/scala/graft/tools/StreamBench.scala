@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.UniqueStreams
+
+/** Streaming micro-bench: sustained events/s through the stateful
+  * operators via MemoryStream → memory sink (BASELINE.md §2 streaming
+  * rows). Prints one JSON line.
+  */
+object StreamBench {
+  case class Ev(ts: Timestamp, key: String, seq: Long)
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toInt).getOrElse(200000)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc = Encoders.product[Ev]
+
+    def events(n: Int): Seq[Ev] =
+      (0 until n).map(i => Ev(new Timestamp(100000L + i * 10L), s"k${i % 1000}", i.toLong))
+
+    def run(name: String, mk: MemoryStream[Ev] => org.apache.spark.sql.DataFrame,
+            mode: OutputMode): (String, Double) = {
+      val ms = MemoryStream[Ev]
+      val q = mk(ms).writeStream.format("memory").queryName(s"sb_$name")
+        .outputMode(mode)
+        .option("checkpointLocation", Files.createTempDirectory(s"sb_$name").toString)
+        .start()
+      val batches = 10
+      val per = nEvents / batches
+      val all = events(nEvents)
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        ms.addData(all.slice(b * per, (b + 1) * per))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      name -> (nEvents / secs)
+    }
+
+    val results = Seq(
+      run("first", ms => UniqueStreams.firstStream(ms.toDF(), Seq("key")), OutputMode.Append()),
+      run("deduplicate", ms => UniqueStreams.deduplicateStream(ms.toDF(), Seq("key"), "ts", 5000L), OutputMode.Append()),
+      run("ever", ms => UniqueStreams.everStream(ms.toDF(), Seq("key")), OutputMode.Update()),
+      run("timeBatch", ms => UniqueStreams.timeBatchStream(ms.toDF(), Seq("key"), "seq", "ts", 60000L), OutputMode.Append()),
+      run("time", ms => UniqueStreams.timeStream(ms.toDF(), Seq("key"), "ts", 120000L), OutputMode.Update()),
+    )
+    val qs = results.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs}""")
+    spark.stop()
+  }
+}
