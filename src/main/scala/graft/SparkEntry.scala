@@ -97,6 +97,16 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), min("value").as("min_value"),
           max("value").as("max_value"), sum("event_id").as("sum_seq"))),
+    // Composite: unique window + snowflake joins + aggregation (the full
+    // query surface a reference user composes; FP-safe aggs)
+    "window_star_agg" -> ((s, d) =>
+      UniqueOps.everCurrent(Tables.orders(s, d), Seq("o_custkey"), "o_orderkey")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.table(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.table(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))),
     // ---- LLM-data-pipeline tier (graft.llm) ----
     "doc_exact_dedup" -> ((s, d) =>
       llm.TextDedup.exactDedup(Tables.documents(s, d), Seq("text"), "doc_id")),
@@ -256,6 +266,16 @@ object SparkEntry {
         s"""SELECT event_type, count(*) AS cnt, min(value) AS min_value,
            |  max(value) AS max_value, CAST(sum(event_id) AS BIGINT) AS sum_seq
            |FROM ($everCurrentSql) GROUP BY event_type""".stripMargin,
+      "window_star_agg" ->
+        """SELECT r_name, count(*) AS cnt, min(o_totalprice) AS min_price,
+          |  max(o_totalprice) AS max_price
+          |FROM (SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+          |    FROM orders) WHERE rn = 1) o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r_name""".stripMargin,
       "doc_exact_dedup" ->
         """SELECT doc_id, text, lang, source, n_chars FROM (
           |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -265,7 +285,40 @@ object SparkEntry {
           |  CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS INTEGER) AS ws_tokens,
           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpeish_tokens
           |FROM documents""".stripMargin,
+      "doc_quality" -> docQualityOracle,
     )
+  }
+
+  /** DuckDB mirror of llm.TextAnalysis.qualityColumns: same stopword list
+    * (embedded as a SQL array literal), same left-associated arithmetic so
+    * IEEE doubles match bit-for-bit; DuckDB regexp_replace needs the 'g'
+    * flag for replace-all (Spark's default).
+    */
+  private def docQualityOracle: String = {
+    val stops = llm.TextAnalysis.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, text, toks,
+       |    CAST(len(toks) AS INTEGER) AS n_tokens,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE CAST(len(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / len(text) END AS alpha_ratio,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE CAST(len(regexp_replace(text, '[\\p{L}\\p{Nd}\\s]', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(len(list_filter(toks, t -> list_contains($stops, t))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END AS mean_token_len
+       |  FROM t)
+       |SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, stopword_ratio, mean_token_len,
+       |  least(1.0, least(CAST(n_tokens AS DOUBLE) / 20, 1.0) * 0.3
+       |    + alpha_ratio * 0.3
+       |    + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
+       |    + least(stopword_ratio * 3, 1.0) * 0.2) AS quality_score
+       |FROM f""".stripMargin
   }
 
   private def lengthBatchOracle(latest: Boolean, expiredOnly: Boolean = false): String = {

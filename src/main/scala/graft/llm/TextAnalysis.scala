@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords: Map[String, Seq[String]] = Map(
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "his", "her", "are"),
     "de" -> Seq("der", "die", "und", "das", "nicht", "von", "sie", "ist", "des", "sich", "mit", "dem", "ein", "war"),
     "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour", "qui", "sur", "pas", "au"),
