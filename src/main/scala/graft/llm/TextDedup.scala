@@ -48,6 +48,21 @@ object TextDedup {
     array((0 until k).map(i =>
       array_min(transform(baseHashes, h => xxhash64(h, lit(i))))): _*)
 
+  /** 64-bit shingle hashes computed WITHOUT building shingle strings:
+    * hash each token once, then fold n shifted hash arrays with
+    * zip_with(xxhash64) — native array ops, no per-position string
+    * concatenation (string building measured ~2× the whole pipeline's
+    * hashing cost). LSH and set-Jaccard are hash-oblivious, so the
+    * pair pipelines use these instead of `shingles`.
+    */
+  def shingleHashes(toks: Column, n: Int): Column = {
+    val th = transform(toks, t => xxhash64(t))
+    val m = greatest(size(th) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(th, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(th, lit(j + 1), m), (x, y) => xxhash64(x, y))
+    }
+  }
+
   /** Exact duplicates: keep the lowest-id row per identical value of
     * `exactCols` (a hash-groupBy — one shuffle, partial-aggregable).
     */
@@ -79,10 +94,9 @@ object TextDedup {
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokenize(col("text")))
-      .withColumn("sh", array_distinct(shingles(col("toks"), shingleN)))
+      .withColumn("sh", array_distinct(shingleHashes(col("toks"), shingleN)))
       .filter(size(col("sh")) > 0)
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig", minhashFromBaseHashes(col("hs"), k))
+      .withColumn("sig", minhashFromBaseHashes(col("sh"), k))
       .select("id", "sh", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bands carry IDS ONLY — the shingle arrays would otherwise be
@@ -179,9 +193,9 @@ object TextDedup {
                         shingleN: Int = 3, threshold: Double = 0.3,
                         maxBucket: Int = 200): DataFrame = {
     val withSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", array_distinct(shingles(tokenize(col("text")), shingleN)))
+      .withColumn("sh", array_distinct(shingleHashes(tokenize(col("text")), shingleN)))
       .filter(size(col("sh")) > 0)
-      .withColumn("block", array_min(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("block", array_min(col("sh")))
       .select("id", "sh", "block")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // 3 consumers below
     // min-hash blocks concentrate on the globally smallest shingle hashes,

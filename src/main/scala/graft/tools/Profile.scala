@@ -20,11 +20,22 @@ object Profile {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val withSh = docs.select(col("doc_id").as("id"), col("text"))
+    val shOnly = docs.select(col("doc_id").as("id"), col("text"))
       .withColumn("sh", array_distinct(TextDedup.shingles(TextDedup.tokenize(col("text")), 3)))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", TextDedup.minhashSignature(col("sh"), 32))
-      .cache()
+      .select("id", "sh")
+    timeIt("shingles only")(shOnly.count())
+    val hsOnly = shOnly.withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+    timeIt("shingles+basehash")(hsOnly.select("id", "hs").count())
+    // A: HOF rehash (current op implementation)
+    val withShA = hsOnly.withColumn("sig", TextDedup.minhashFromBaseHashes(col("hs"), 32))
+    timeIt("A: HOF 32-rehash")(withShA.select("id", "sig").count())
+    // B: explode + 32 codegen'd min aggregates
+    val exploded = hsOnly.select(col("id"), explode(col("hs")).as("h"))
+    val withShB = exploded.groupBy("id")
+      .agg(array((0 until 32).map(i => min(xxhash64(col("h"), lit(i)))): _*).as("sig"))
+    timeIt("B: explode+agg")(withShB.count())
+    val withSh = withShA.select("id", "sh", "sig").cache()
     timeIt("shingle+sig materialize")(withSh.count())
     println("[profile] avg shingles/doc: " + withSh.agg(avg(size(col("sh")))).head().getDouble(0))
     val banded = withSh.select(col("id"),
