@@ -135,7 +135,10 @@ object SparkEntry {
         threshold = 0.1)),
     "emb_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // sim column excluded: engines agree on double-precision RANKS, but
+      // the sim doubles themselves are representation-sensitive
       llm.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .select("query_id", "corpus_id", "rank")
     }),
     "emb_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -286,6 +289,16 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpeish_tokens
           |FROM documents""".stripMargin,
       "doc_quality" -> docQualityOracle,
+      "emb_knn_brute" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+          |s AS (SELECT query_id, vec_id AS corpus_id,
+          |        list_sum(list_transform(list_zip(qv, embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          |        / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
+          |           * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))) AS sim
+          |      FROM embeddings CROSS JOIN q WHERE vec_id <> query_id)
+          |SELECT query_id, corpus_id,
+          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+          |FROM s QUALIFY rank <= 10""".stripMargin,
     )
   }
 

@@ -303,6 +303,19 @@ class UniqueOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(cur.count() === 4)
   }
 
+  test("all operators are well-defined on empty input") {
+    val empty = logins((1L, "a")).limit(0)
+    assert(UniqueOps.ever(empty, Seq("ip"), "seq").all.count() === 0)
+    assert(UniqueOps.first(empty, Seq("ip"), "seq").current.count() === 0)
+    assert(UniqueOps.time(empty, Seq("ip"), "seq", "ts", 1000L).current.count() === 0)
+    assert(UniqueOps.timeBatch(empty, Seq("ip"), "seq", "ts", 1000L).current.count() === 0)
+    assert(UniqueOps.externalTimeBatch(empty, Seq("ip"), "seq", "ts", 1000L).current.count() === 0)
+    assert(UniqueOps.length(empty, Seq("ip"), "seq", 3).current.count() === 0)
+    assert(UniqueOps.lengthBatch(empty, Seq("ip"), "seq", 2).current.count() === 0)
+    assert(UniqueOps.timeLengthBatch(empty, Seq("ip"), "seq", "ts", 1000L, 2).current.count() === 0)
+    assert(UniqueOps.deduplicate(empty, Seq("ip"), "seq", "ts", 1000L).current.count() === 0)
+  }
+
   test("window-join picks a broadcast join for the dimension side") {
     val df = SparkEntry.queries("join_windows")(spark, "/root/testdata/sf0.001")
     df.collect() // let AQE finalize
