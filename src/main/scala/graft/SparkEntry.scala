@@ -124,6 +124,9 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram", "fp_full")),
+    "doc_fingerprint_md5" -> ((s, d) =>
+      llm.TextAnalysis.fingerprintMd5(Tables.documents(s, d), "text")
+        .select("doc_id", "fp_min_gram_md5", "fp_full_md5")),
     "doc_minhash_pairs" -> ((s, d) =>
       llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
         threshold = 0.2)),
@@ -289,6 +292,14 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpeish_tokens
           |FROM documents""".stripMargin,
       "doc_quality" -> docQualityOracle,
+      "doc_fingerprint_md5" ->
+        """WITH t AS (SELECT doc_id,
+          |  trim(regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm FROM documents)
+          |SELECT doc_id,
+          |  list_min(list_transform(generate_series(1, greatest(len(norm)-7, 1)),
+          |    i -> md5(substr(norm, i, 8)))) AS fp_min_gram_md5,
+          |  md5(norm) AS fp_full_md5
+          |FROM t""".stripMargin,
       "emb_knn_brute" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
           |s AS (SELECT query_id, vec_id AS corpus_id,

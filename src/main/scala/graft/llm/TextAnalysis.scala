@@ -78,6 +78,21 @@ object TextAnalysis {
     * the normalized text (winnowing-lite) plus a full-text hash. Two docs
     * sharing the min-gram fingerprint are near-identical candidates.
     */
+  /** Cross-engine-checkable fingerprint variant: md5 instead of xxhash64
+    * (slower; exists so the fingerprint semantics are oracle-verifiable —
+    * the xxhash64 `fingerprint` is the production path).
+    */
+  def fingerprintMd5(df: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{Nd}]+", " "))
+    df.withColumn("__norm", norm)
+      .withColumn("fp_min_gram_md5",
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("__norm")) - 7, lit(1))),
+          i => md5(col("__norm").substr(i, lit(8))))))
+      .withColumn("fp_full_md5", md5(col("__norm")))
+      .drop("__norm")
+  }
+
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{Nd}]+", " "))
     df.withColumn("__norm", norm)
