@@ -131,8 +131,8 @@ object SparkEntry {
       llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
         threshold = 0.2)),
     "doc_simhash" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        llm.TextDedup.simhash(llm.TextDedup.tokenize(col("text"))).as("simhash"))),
+      llm.TextDedup.simhashDf(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
     "doc_ngram_pairs" -> ((s, d) =>
       llm.TextDedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
         threshold = 0.1)),

@@ -54,6 +54,17 @@ object Profile {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct().cache()
     timeIt("candidate pairs")(println("[profile] n_cand=" + cand.count()))
+    // simhash strategies
+    val toksDf = docs.select(col("doc_id").as("id"), TextDedup.tokenize(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    timeIt("simhash A: 64 HOF aggregates")(
+      toksDf.select(col("id"), TextDedup.simhash(col("toks")).as("s")).count())
+    val expl = toksDf.select(col("id"), explode(transform(col("toks"), t => xxhash64(t))).as("h"))
+    val simB = expl.groupBy("id").agg(
+      sum(shiftright(col("h"), 0).bitwiseAND(1)).as("c0"),
+      (1 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")): _*)
+    timeIt("simhash B: explode + 64 codegen sums")(simB.count())
+
     val sets = withSh.select(col("id"), col("sh"))
     val verified = cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -61,6 +61,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(h(1L) !== h(3L))
   }
 
+  test("simhashDf (explode+agg) equals the expression-form simhash") {
+    val viaDf = TextDedup.simhashDf(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = docs.select(col("doc_id"),
+        TextDedup.simhash(TextDedup.tokenize(col("text"))))
+      .as[(Long, Long)].collect().toMap
+    assert(viaDf === viaExpr.filter { case (k, _) => viaDf.contains(k) })
+    assert(viaDf.size === docs.count()) // every doc has tokens in this corpus
+  }
+
   test("simhashPairs finds near-identical docs via chunk buckets") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
