@@ -292,6 +292,7 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpeish_tokens
           |FROM documents""".stripMargin,
       "doc_quality" -> docQualityOracle,
+      "doc_langid" -> docLangIdOracle,
       "doc_fingerprint_md5" ->
         """WITH t AS (SELECT doc_id,
           |  trim(regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm FROM documents)
@@ -342,6 +343,38 @@ object SparkEntry {
        |    + alpha_ratio * 0.3
        |    + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
        |    + least(stopword_ratio * 3, 1.0) * 0.2) AS quality_score
+       |FROM f""".stripMargin
+  }
+
+  /** DuckDB mirror of llm.TextAnalysis.langId: per-language stopword hit
+    * counts (same lists, multiset semantics) and the same fold order —
+    * languages scanned alphabetically, later language wins only on a
+    * STRICTLY greater score; cjk ratio > 0.25 short-circuits to zh.
+    */
+  private def docLangIdOracle: String = {
+    val langs = llm.TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($arr, t))) AS INTEGER) AS h_$l"
+    }.mkString(",\n    ")
+    // fold: best = first lang; each later lang wins iff strictly greater
+    val fold = langs.tail.foldLeft((s"'${langs.head._1}'", s"h_${langs.head._1}")) {
+      case ((bestExpr, scoreExpr), (l, _)) =>
+        (s"CASE WHEN h_$l > $scoreExpr THEN '$l' ELSE $bestExpr END",
+          s"greatest(h_$l, $scoreExpr)")
+    }._1
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, text,
+       |    $hitCols,
+       |    CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE CAST(len(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS DOUBLE) / len(text) END AS cjk
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN cjk > 0.25 THEN 'zh' ELSE $fold END AS pred_lang
        |FROM f""".stripMargin
   }
 
