@@ -303,6 +303,10 @@ class UniqueOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(cur.count() === 4)
   }
 
+  test("the driver flagship entry returns rows on the smoke scale") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("all operators are well-defined on empty input") {
     val empty = logins((1L, "a")).limit(0)
     assert(UniqueOps.ever(empty, Seq("ip"), "seq").all.count() === 0)
