@@ -121,21 +121,20 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           llm.TextAnalysis.langId(col("text")).as("pred_lang"))),
-    "doc_fingerprint" -> ((s, d) =>
-      llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
-        .select("doc_id", "fp_min_gram", "fp_full")),
     "doc_fingerprint_md5" -> ((s, d) =>
       llm.TextAnalysis.fingerprintMd5(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram_md5", "fp_full_md5")),
-    "doc_minhash_pairs" -> ((s, d) =>
-      llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
-        threshold = 0.2)),
-    "doc_simhash" -> ((s, d) =>
-      llm.TextDedup.simhashDf(Tables.documents(s, d), "doc_id", "text")
+    // md5-family twins of the xxhash64 near-dup pipelines: identical LSH /
+    // banding / Jaccard semantics, DuckDB-computable hashes — these carry
+    // the hash-level verification; the xxhash64 production variants (in
+    // `benchQueries`) are the throughput path.
+    "doc_minhash_pairs_md5" -> ((s, d) =>
+      llm.TextDedup.minhashPairsMd5(Tables.documents(s, d), "text", "doc_id")),
+    "doc_simhash_md5" -> ((s, d) =>
+      llm.TextDedup.simhashDfMd5(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
-    "doc_ngram_pairs" -> ((s, d) =>
-      llm.TextDedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
-        threshold = 0.1)),
+    "doc_ngram_pairs_md5" -> ((s, d) =>
+      llm.TextDedup.ngramJaccardPairsMd5(Tables.documents(s, d), "text", "doc_id")),
     "emb_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // sim column excluded: engines agree on double-precision RANKS, but
@@ -146,11 +145,54 @@ object SparkEntry {
     "emb_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       llm.Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .select("query_id", "corpus_id", "rank")
     }),
     "mm_features" -> ((s, d) =>
-      llm.Multimodal.extractFeatures(
-        llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text"),
+      llm.Multimodal.extractFeaturesChecked(
+        llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
+          mirrorableDims = true),
         "doc_id")),
+    // ---- streaming-vs-batch replay (graft.streaming) ----
+    // Each feeds the events table through the Structured Streaming
+    // operator via MemoryStream in arrival order and returns the sink —
+    // the streaming tier's hash-level verification against the SAME
+    // DuckDB oracles as the batch twins (the reference's test suite is
+    // all streaming, UniqueTimeWindowTestCase.java:65-206).
+    "ever_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.everStream(sdf, Seq("user_id"), Some("event_id")))),
+    "lengthbatch_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40))
+        .filter(col("change") === "insert").drop("change")),
+    // fed in ts order (the operator is an order-insensitive windowed agg;
+    // ts-ordered feeding keeps the watermark monotone so nothing is late)
+    "timebatch_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "ts", 2000, "append")(sdf =>
+        streaming.UniqueStreams.timeBatchStream(sdf, Seq("user_id"), "event_id", "ts", DAY))),
+  )
+
+  /** Production variants benchmarked but NOT oracle-checked: DuckDB cannot
+    * compute xxhash64, so their verification is carried by (a) the
+    * hash-checked md5-family twins above — same pipeline, same semantics,
+    * different base hash — and (b) the sbt recall/ground-truth suites
+    * (LlmOpsSpec). Kept out of `queries` so CORRECTNESS reports contain no
+    * unverifiable rows; Bench runs `queries ++ benchQueries` minus the
+    * `_md5`/`_replay` verification mirrors.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_minhash_pairs" -> ((s, d) =>
+      llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.2)),
+    "doc_simhash" -> ((s, d) =>
+      llm.TextDedup.simhashDf(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+    "doc_ngram_pairs" -> ((s, d) =>
+      llm.TextDedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.1)),
+    "doc_fingerprint" -> ((s, d) =>
+      llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
+        .select("doc_id", "fp_min_gram", "fp_full")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +212,17 @@ object SparkEntry {
       s"""SELECT $EVSQL FROM (
          |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
          |  FROM events) WHERE rn = 1 ORDER BY event_id DESC LIMIT 100""".stripMargin
+    val everAllSql =
+      s"""SELECT $EVSQL,
+         |  CASE WHEN rn = 1 THEN 'insert' ELSE 'expire' END AS change FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events)""".stripMargin
+    val timebatchExpiredSql =
+      s"""SELECT $EVSQL, batch_start_ms FROM (
+         |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
+         |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1
+         |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin
     Map(
       "ever_current" -> everCurrentSql,
       "ever_expired" ->
@@ -180,11 +233,7 @@ object SparkEntry {
         s"""SELECT $EVSQL FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn = 1""".stripMargin,
-      "ever_all" ->
-        s"""SELECT $EVSQL,
-           |  CASE WHEN rn = 1 THEN 'insert' ELSE 'expire' END AS change FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-           |  FROM events)""".stripMargin,
+      "ever_all" -> everAllSql,
       "first_current" ->
         s"""SELECT $EVSQL FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
@@ -198,12 +247,7 @@ object SparkEntry {
            |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
            |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn = 1""".stripMargin,
-      "timebatch_expired" ->
-        s"""SELECT $EVSQL, batch_start_ms FROM (
-           |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
-           |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id DESC) AS rn
-           |  FROM events) WHERE rn = 1
-           |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin,
+      "timebatch_expired" -> timebatchExpiredSql,
       "firsttimebatch_current" ->
         s"""SELECT $EVSQL, batch_start_ms FROM (
            |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
@@ -293,6 +337,25 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "doc_quality" -> docQualityOracle,
       "doc_langid" -> docLangIdOracle,
+      "doc_minhash_pairs_md5" -> docMinhashMd5Oracle,
+      "doc_simhash_md5" -> docSimhashMd5Oracle,
+      "doc_ngram_pairs_md5" -> docNgramMd5Oracle,
+      "emb_ann_lsh" -> embAnnOracle,
+      "mm_features" -> mmFeaturesOracle,
+      // streaming replays verify against the batch twins' semantics:
+      // everStream's accumulated CHANGE LOG holds every event once as
+      // 'insert' plus every replaced event again as 'expire' (the batch
+      // ever_current/ever_expired split, log-shaped); lengthBatchStream's
+      // inserts are exactly the flushed batches; timeBatchStream's append
+      // output is every CLOSED window, i.e. timebatch_expired's row set.
+      "ever_stream_replay" ->
+        s"""SELECT $EVSQL, 'insert' AS change FROM events
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn > 1""".stripMargin,
+      "lengthbatch_stream_replay" -> lengthBatchOracle(latest = true),
+      "timebatch_stream_replay" -> timebatchExpiredSql,
       "doc_fingerprint_md5" ->
         """WITH t AS (SELECT doc_id,
           |  trim(regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm FROM documents)
@@ -376,6 +439,143 @@ object SparkEntry {
        |SELECT doc_id, lang,
        |  CASE WHEN cjk > 0.25 THEN 'zh' ELSE $fold END AS pred_lang
        |FROM f""".stripMargin
+  }
+
+  // Shared DuckDB fragments for the md5-family near-dup mirrors: tokenize
+  // exactly like TextDedup.tokenize, hash tokens with md5, build 3-gram
+  // shingle hashes with the same left fold (combine(x,y) = md5(x || y)),
+  // distinct, drop empty docs. Mirrors TextDedup.shingleHashes(_, 3, Md5Hash).
+  private val md5ShingleCtes =
+    """tk AS (SELECT doc_id,
+      |  list_transform(list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> ''),
+      |    t -> md5(t)) AS th FROM documents),
+      |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+      |  generate_series(1, greatest(len(th) - 2, 0)),
+      |  i -> md5(md5(th[i] || th[i+1]) || th[i+2]))) AS sh FROM tk),
+      |s2 AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0)""".stripMargin
+
+  // set-Jaccard over the (already distinct) shingle arrays; single double
+  // division so the value is bit-exact across engines
+  private def md5JaccardExpr(a: String, b: String): String =
+    s"len(list_filter($a, x -> list_contains($b, x)))::DOUBLE" +
+      s" / (len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x))))"
+
+  /** DuckDB mirror of TextDedup.minhashPairsMd5 (shingleN=3, bands=4,
+    * rowsPerBand=2, threshold=0.2, maxBucket=1000): signature = per-seed
+    * min of md5(h || '#i'); band hash = md5(sig_slice joined by '|' plus
+    * '#band'); bucket-capped band self-join; distinct pairs; one exact
+    * Jaccard verify.
+    */
+  private def docMinhashMd5Oracle: String = {
+    val bands = 4; val r = 2; val k = bands * r
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""WITH $md5ShingleCtes,
+       |sig AS (SELECT doc_id, [$sigItems] AS sig FROM s2),
+       |banded AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |ok AS (SELECT band, bh FROM banded GROUP BY band, bh
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |ib AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ib a JOIN ib b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b, ${md5JaccardExpr("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN s2 sa ON sa.doc_id = cand.id_a
+       |            JOIN s2 sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2""".stripMargin
+  }
+
+  /** DuckDB mirror of TextDedup.ngramJaccardPairsMd5 (shingleN=3,
+    * threshold=0.1, maxBucket=200): block on the min shingle hash, cap
+    * blocks, verify with exact Jaccard.
+    */
+  private def docNgramMd5Oracle: String =
+    s"""WITH $md5ShingleCtes,
+       |blk AS (SELECT doc_id, sh, list_min(sh) AS block FROM s2),
+       |ok AS (SELECT block FROM blk GROUP BY block
+       |  HAVING count(*) <= 200 AND count(*) > 1),
+       |ib AS (SELECT blk.* FROM blk JOIN ok USING (block)),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${md5JaccardExpr("a.sh", "b.sh")} AS jaccard
+       |  FROM ib a JOIN ib b ON a.block = b.block AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin
+
+  /** DuckDB mirror of TextDedup.simhashDfMd5: per-token 60-bit hash =
+    * first 15 hex chars of md5 (hex digits decoded via strpos, exactly
+    * Spark's conv(_,16,10)); bit b of the simhash is set iff more than
+    * half the token hashes have bit b set.
+    */
+  private def docSimhashMd5Oracle: String = {
+    val sums = (0 until 60).map(b => s"sum((hv >> $b) & 1)::BIGINT AS c$b").mkString(", ")
+    val terms = (0 until 60).map(b =>
+      s"CASE WHEN 2*c$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |m AS (SELECT doc_id, md5(tok) AS mh FROM u),
+       |h AS (SELECT doc_id, list_sum(list_transform(generate_series(1, 15),
+       |    i -> (strpos('0123456789abcdef', substr(mh, i, 1)) - 1)::BIGINT * (1::BIGINT << (4*(15-i)))))::BIGINT AS hv
+       |  FROM m),
+       |c AS (SELECT doc_id, count(*)::BIGINT AS n, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, $terms AS simhash_md5 FROM c""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.annTopK (nPlanes=8, dim=64, seed=42,
+    * probeHamming=1, k=10): the deterministic hyperplane constants are
+    * embedded verbatim (Double.toString round-trips exactly), bucket sign
+    * uses the same left-fold double accumulation (list_reduce), and the
+    * scoring/rank stage is the emb_knn_brute mirror restricted to
+    * same-bucket candidates.
+    */
+  private def embAnnOracle: String = {
+    val ps = llm.Similarity.planes(8, 64)
+    def bucketExpr(v: String): String = ps.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(list_zip($v, $arr::DOUBLE[]),
+         |    p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0
+         |  THEN (1::BIGINT << $i) ELSE 0::BIGINT END""".stripMargin
+    }.mkString("\n + ")
+    val probes = "b0" +: (0 until 8).map(i => s"xor(b0, ${1L << i}::BIGINT)")
+    s"""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+       |    ${bucketExpr("embedding")} AS bucket FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |    ${bucketExpr("embedding")} AS b0 FROM embeddings WHERE vec_id < 20),
+       |pr AS (SELECT query_id, qv, unnest([${probes.mkString(", ")}]) AS bucket FROM q0),
+       |s AS (SELECT query_id, corpus_id,
+       |    list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
+       |       * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)))) AS sim
+       |  FROM c JOIN pr USING (bucket) WHERE corpus_id <> query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** DuckDB mirror of Multimodal.extractFeaturesChecked over media built
+    * with mirrorableDims: payload = UTF-8 bytes of text, so n_bytes =
+    * strlen(text); lane j sums the code points at 1-based char positions
+    * j+1, j+9, ... (unicode(ch)); width = len %% 512 + 32 folds into f0,
+    * height = (len*7) %% 512 + 32 into f1.
+    */
+  private def mmFeaturesOracle: String = {
+    val lanes = (0 until 8).map { j =>
+      val extra = j match {
+        case 0 => " + (n % 512) + 32"
+        case 1 => " + ((n * 7) % 512) + 32"
+        case _ => ""
+      }
+      s"(COALESCE(list_sum(list_transform(generate_series(${j + 1}, n, 8)," +
+        s" i -> unicode(text[i]))), 0)$extra)::BIGINT AS f$j"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents)
+       |SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+       |  $lanes
+       |FROM t""".stripMargin
   }
 
   private def lengthBatchOracle(latest: Boolean, expiredOnly: Boolean = false): String = {

@@ -32,15 +32,28 @@ object Multimodal {
   /** Attach a synthetic binary payload + metadata to a text table — a
     * stand-in for reading real media files; gives the pipeline real
     * binary-typed columns to exercise.
+    *
+    * `mirrorableDims = true` derives width/height from the text's
+    * character count instead of xxhash64 so a cross-engine oracle can
+    * reproduce them (DuckDB has no xxhash64); the plumbing is identical.
     */
-  def withSyntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def withSyntheticMedia(df: DataFrame, idCol: String, textCol: String,
+                         mirrorableDims: Boolean = false): DataFrame = {
+    val (w, h) =
+      if (mirrorableDims)
+        (pmod(length(col(textCol)), lit(512)) + 32,
+          pmod(length(col(textCol)) * 7, lit(512)) + 32)
+      else
+        (pmod(xxhash64(col(idCol)), lit(512)) + 32,
+          pmod(xxhash64(col(idCol), lit(1)), lit(512)) + 32)
     df.withColumn("media", col(textCol).cast("binary"))
       .withColumn("media_meta", struct(
         lit("image").as("kind"),
-        (pmod(xxhash64(col(idCol)), lit(512)) + 32).cast("int").as("width"),
-        (pmod(xxhash64(col(idCol), lit(1)), lit(512)) + 32).cast("int").as("height"),
+        w.cast("int").as("width"),
+        h.cast("int").as("height"),
         lit(null).cast("int").as("sample_rate_hz"),
         lit(null).cast("int").as("n_frames")))
+  }
 
   /** STUB decoder: a real implementation would decode the image bytes and
     * run a feature extractor. Here: a deterministic 8-float signature from
@@ -78,6 +91,38 @@ object Multimodal {
         val feats = stubDecodeFeatures(r.getAs[Array[Byte]]("media"),
           r.getAs[Int]("w"), r.getAs[Int]("h"))
         Row(r.getLong(0), feats.toSeq)
+      }
+    }
+  }
+
+  /** Hash-checkable twin of `extractFeatures`: the same pruned-scan →
+    * mapPartitions → decode plumbing, but the stub feature math is pure
+    * integer arithmetic (per-lane code-point sums of the decoded payload,
+    * dims folded into lanes 0/1) so the output is bit-exact across engines
+    * — this is the variant the DuckDB oracle verifies; `extractFeatures`
+    * (float features) is the production shape.
+    *
+    * Output: (doc_id, n_bytes, f0..f7 all BIGINT). Lane j sums the code
+    * points at 0-based positions ≡ j (mod 8) of the UTF-8-decoded payload.
+    */
+  def extractFeaturesChecked(df: DataFrame, idCol: String): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("doc_id"),
+      col("media"), col("media_meta.width").as("w"), col("media_meta.height").as("h"))
+    val outSchema = StructType(
+      StructField("doc_id", LongType) +: StructField("n_bytes", LongType) +:
+        (0 until 8).map(j => StructField(s"f$j", LongType)))
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("media")
+        val lanes = new Array[Long](8)
+        val cps = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().toArray
+        var i = 0
+        while (i < cps.length) { lanes(i % 8) += cps(i); i += 1 }
+        lanes(0) += r.getAs[Int]("w")
+        lanes(1) += r.getAs[Int]("h")
+        Row.fromSeq(r.getLong(0) +: payload.length.toLong +: lanes.toSeq)
       }
     }
   }

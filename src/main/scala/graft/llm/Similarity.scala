@@ -38,17 +38,25 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded; no RNG state). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (seeded; no RNG state).
+    * Exposed (private[graft]) so the DuckDB oracle can embed the exact
+    * same constants into generated SQL.
+    */
+  private[graft] def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** LSH bucket id: sign bits of the vector against nPlanes hyperplanes. */
+  /** LSH bucket id: sign bits of the vector against nPlanes hyperplanes.
+    * The float embedding is cast to array<double> first so each product
+    * is a single double rounding — bit-identical to any engine computing
+    * double(x)*double(y), which keeps bucket signs cross-engine stable.
+    */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val ps = planes(nPlanes, dim, seed)
+    val v = vec.cast("array<double>")
     val bits = ps.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(vec, typedLit(p.toSeq), (x, y) => x * y),
+      val dot = aggregate(zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }

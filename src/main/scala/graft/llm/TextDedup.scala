@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Hash family abstraction: every near-dup pipeline runs over either
+    * the production family (xxhash64 — 8-byte longs, codegen'd) or the
+    * md5 family (hex strings — slower, but computable by DuckDB, so the
+    * whole LSH/Jaccard pipeline becomes cross-engine hash-checkable).
+    * LSH banding and set-Jaccard are hash-oblivious, so both families
+    * exercise identical pipeline semantics.
+    */
+  private[llm] sealed trait HashFamily {
+    def token(t: Column): Column               // base hash of one token
+    def combine(x: Column, y: Column): Column  // order-sensitive pair combine
+    def rehash(h: Column, i: Int): Column      // i-th seeded rehash
+    def band(sigSlice: Column, b: Int): Column // hash of a signature band (array col)
+  }
+  private[llm] case object XxHash extends HashFamily {
+    def token(t: Column): Column = xxhash64(t)
+    def combine(x: Column, y: Column): Column = xxhash64(x, y)
+    def rehash(h: Column, i: Int): Column = xxhash64(h, lit(i))
+    def band(s: Column, b: Int): Column = xxhash64(s, lit(b))
+  }
+  private[llm] case object Md5Hash extends HashFamily {
+    def token(t: Column): Column = md5(t)
+    def combine(x: Column, y: Column): Column = md5(concat(x, y))
+    def rehash(h: Column, i: Int): Column = md5(concat(h, lit("#" + i)))
+    def band(s: Column, b: Int): Column = md5(concat(concat_ws("|", s), lit("#" + b)))
+  }
+
   /** Lowercased word tokens, punctuation stripped. */
   def tokenize(text: Column): Column =
     array_remove(split(regexp_replace(lower(text), "[^\\p{L}\\p{Nd}]+", " "), " "), "")
@@ -45,8 +71,12 @@ object TextDedup {
     * long arithmetic and try_multiply nulls out exactly the bits we need).
     */
   def minhashFromBaseHashes(baseHashes: Column, k: Int): Column =
+    minhashFromBaseHashes(baseHashes, k, XxHash)
+
+  private[llm] def minhashFromBaseHashes(baseHashes: Column, k: Int,
+                                         fam: HashFamily): Column =
     array((0 until k).map(i =>
-      array_min(transform(baseHashes, h => xxhash64(h, lit(i))))): _*)
+      array_min(transform(baseHashes, h => fam.rehash(h, i)))): _*)
 
   /** 64-bit shingle hashes computed WITHOUT building shingle strings:
     * hash each token once, then fold n shifted hash arrays with
@@ -55,11 +85,13 @@ object TextDedup {
     * hashing cost). LSH and set-Jaccard are hash-oblivious, so the
     * pair pipelines use these instead of `shingles`.
     */
-  def shingleHashes(toks: Column, n: Int): Column = {
-    val th = transform(toks, t => xxhash64(t))
+  def shingleHashes(toks: Column, n: Int): Column = shingleHashes(toks, n, XxHash)
+
+  private[llm] def shingleHashes(toks: Column, n: Int, fam: HashFamily): Column = {
+    val th = transform(toks, t => fam.token(t))
     val m = greatest(size(th) - (n - 1), lit(0))
     (1 until n).foldLeft(slice(th, lit(1), m)) { (acc, j) =>
-      zip_with(acc, slice(th, lit(j + 1), m), (x, y) => xxhash64(x, y))
+      zip_with(acc, slice(th, lit(j + 1), m), (x, y) => fam.combine(x, y))
     }
   }
 
@@ -86,7 +118,23 @@ object TextDedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    minhashPairs(df, textCol, idCol, shingleN, bands, rowsPerBand, threshold,
+      maxBucket, XxHash)
+
+  /** md5-family twin of `minhashPairs` — identical pipeline, DuckDB-
+    * checkable hashes (see HashFamily).
+    */
+  def minhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                      threshold: Double = 0.2, maxBucket: Int = 1000): DataFrame =
+    minhashPairs(df, textCol, idCol, shingleN, bands, rowsPerBand, threshold,
+      maxBucket, Md5Hash)
+
+  private[llm] def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                                shingleN: Int, bands: Int, rowsPerBand: Int,
+                                threshold: Double, maxBucket: Int,
+                                fam: HashFamily): DataFrame = {
     val k = bands * rowsPerBand
     // persist: the prepared projection feeds the band explode AND the
     // verify join — without it the whole shingle+hash subtree recomputes
@@ -94,9 +142,9 @@ object TextDedup {
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", tokenize(col("text")))
-      .withColumn("sh", array_distinct(shingleHashes(col("toks"), shingleN)))
+      .withColumn("sh", array_distinct(shingleHashes(col("toks"), shingleN, fam)))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashFromBaseHashes(col("sh"), k))
+      .withColumn("sig", minhashFromBaseHashes(col("sh"), k, fam))
       .select("id", "sh", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bands carry IDS ONLY — the shingle arrays would otherwise be
@@ -105,7 +153,7 @@ object TextDedup {
       col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b)).as("bh"))): _*))
+          fam.band(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b).as("bh"))): _*))
         .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
     val okBuckets = banded.groupBy("band", "bh").count()
@@ -160,16 +208,30 @@ object TextDedup {
     * identical to the ±1 bitsum sign, so both forms produce the same hash.
     * Output: (id, simhash); docs with no tokens are absent.
     */
-  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashDf(df, idCol, textCol, t => xxhash64(t), 64, "simhash")
+
+  /** DuckDB-checkable simhash twin: the per-token 64-bit hash is replaced
+    * by the first 15 hex chars of md5 parsed as a 60-bit integer (both
+    * engines can compute it exactly); the bit-count construction is
+    * identical. Output column `simhash_md5` (60 meaningful bits).
+    */
+  def simhashDfMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashDf(df, idCol, textCol,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), 60, "simhash_md5")
+
+  private[llm] def simhashDf(df: DataFrame, idCol: String, textCol: String,
+                             tokenHash: Column => Column, nBits: Int,
+                             outCol: String): DataFrame = {
     val expl = df.select(col(idCol).as("id"),
-      explode(transform(tokenize(col(textCol)), t => xxhash64(t))).as("h"))
+      explode(transform(tokenize(col(textCol)), tokenHash)).as("h"))
     val counts = expl.groupBy("id").agg(
       count(lit(1)).as("__n"),
-      (0 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"__c$b")): _*)
+      (0 until nBits).map(b => sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"__c$b")): _*)
     counts.select(col("id"),
-      (0 until 64).map(b =>
+      (0 until nBits).map(b =>
         when(col(s"__c$b") * 2 > col("__n"), lit(1L << b)).otherwise(0L))
-        .reduce(_ + _).as("simhash"))
+        .reduce(_ + _).as(outCol))
   }
 
   /** SimHash near-duplicate pairs with hamming distance ≤ maxHamming.
@@ -206,9 +268,20 @@ object TextDedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, threshold: Double = 0.3,
-                        maxBucket: Int = 200): DataFrame = {
+                        maxBucket: Int = 200): DataFrame =
+    ngramJaccardPairs(df, textCol, idCol, shingleN, threshold, maxBucket, XxHash)
+
+  /** md5-family twin of `ngramJaccardPairs` (DuckDB-checkable). */
+  def ngramJaccardPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.1,
+                           maxBucket: Int = 200): DataFrame =
+    ngramJaccardPairs(df, textCol, idCol, shingleN, threshold, maxBucket, Md5Hash)
+
+  private[llm] def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                                     shingleN: Int, threshold: Double,
+                                     maxBucket: Int, fam: HashFamily): DataFrame = {
     val withSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", array_distinct(shingleHashes(tokenize(col("text")), shingleN)))
+      .withColumn("sh", array_distinct(shingleHashes(tokenize(col("text")), shingleN, fam)))
       .filter(size(col("sh")) > 0)
       .withColumn("block", array_min(col("sh")))
       .select("id", "sh", "block")

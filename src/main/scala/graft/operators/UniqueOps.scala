@@ -243,8 +243,12 @@ object UniqueOps {
     }(enc).toDF("__s", "__batch_id")
     val tagged = df.join(assigned, col(seqCol).cast("long") === col("__s"))
       .drop("__s")
+    // persist: `expired` derives from cur TWICE (the max-batch agg and the
+    // filtered main branch) — without this the single-partition boundary
+    // fold above re-runs per consumer (measured 1.54 s vs 0.55 s at sf0.1)
     val cur = rowPerGroup(tagged, col("__batch_id") +: keys.map(col), seqCol, !keepFirst)
       .withColumnRenamed("__batch_id", "batch_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lastBatch = cur.agg(max(col("batch_id")).as("__last"))
     val expired = cur.crossJoin(broadcast(lastBatch))
       .filter(col("batch_id") < col("__last")).drop("__last")

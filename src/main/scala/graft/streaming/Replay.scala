@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** Streaming-vs-batch replay harness: feed a batch table through a
+  * Structured Streaming operator via MemoryStream in arrival (seq) order,
+  * run the query to completion, and return the accumulated sink — giving
+  * the streaming tier the same DuckDB hash-level verification as the
+  * batch operators (the reference's whole test suite is event-by-event
+  * streaming, e.g. UniqueTimeWindowTestCase.java:65-206).
+  *
+  * VERIFICATION HARNESS ONLY: the ordered feed collects the input to the
+  * driver to reproduce the reference's single ordered input thread — the
+  * operators under test collect nothing; production streams read from a
+  * real source. Inputs are the sf0.01/sf0.1 events tables (≤100k rows).
+  */
+object Replay {
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `build(stream)` over `input` fed in `seqCol` order in chunks of
+    * `chunkSize` (each chunk = one micro-batch), wait for completion, and
+    * return the memory sink's contents as a batch DataFrame.
+    */
+  def replay(spark: SparkSession, input: DataFrame, seqCol: String,
+             chunkSize: Int, outputMode: String)
+            (build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val enc = Encoders.row(input.schema)
+    val stream = MemoryStream[Row]
+    val out = build(stream.toDF())
+    val sink = s"__graft_replay_${counter.incrementAndGet()}"
+    val rows = input.orderBy(col(seqCol)).collect()
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode(outputMode).start()
+    try
+      rows.grouped(chunkSize).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+    spark.table(sink)
+  }
+}

@@ -98,11 +98,22 @@ object UniqueStreams {
     * (UniqueEverWindowProcessor.java:143-169). Update output mode.
     * Output schema = input + `change` string column.
     */
-  def everStream(sdf: DataFrame, keys: Seq[String]): DataFrame = {
+  def everStream(sdf: DataFrame, keys: Seq[String]): DataFrame =
+    everStream(sdf, keys, seqCol = None)
+
+  /** `seqCol = Some(c)` sorts each group's rows by `c` WITHIN a
+    * micro-batch before folding — arrival order inside a micro-batch is
+    * otherwise unspecified post-shuffle, and replay verification feeds
+    * thousands of events per micro-batch (the reference's single input
+    * thread makes this ordering implicit; a real deployment feeding one
+    * event per trigger never needs it).
+    */
+  def everStream(sdf: DataFrame, keys: Seq[String], seqCol: Option[String]): DataFrame = {
     val inSchema = sdf.schema
     val outSchema = inSchema.add("change", "string")
     val keyed = sdf.withColumn("__k", jsonKey(keys))
     val kIdx = keyed.schema.fieldIndex("__k")
+    val sIdx = seqCol.map(keyed.schema.fieldIndex)
     val rowEnc = Encoders.row(keyed.schema)
     val outEnc = Encoders.row(outSchema)
     val stateEnc = Encoders.kryo[Row]
@@ -113,7 +124,11 @@ object UniqueStreams {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var latest = state.getOption.orNull
-          rows.foreach { r =>
+          val ordered = sIdx match {
+            case Some(i) => rows.toSeq.sortBy(_.getLong(i)).iterator
+            case None => rows
+          }
+          ordered.foreach { r =>
             if (latest != null)
               out += Row.fromSeq(latest.toSeq.take(n) :+ "expire")
             latest = r
