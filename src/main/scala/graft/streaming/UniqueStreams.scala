@@ -47,6 +47,18 @@ object UniqueStreams {
   private def jsonKey(keys: Seq[String]): Column =
     to_json(struct(keys.map(col): _*))
 
+  /** Switch Structured Streaming state to the RocksDB backend: state
+    * lives off-heap / on local disk instead of the executor heap — the
+    * deployment knob for high-cardinality `ever` state. The reference
+    * documents exactly this OOM risk on its ever window and offers no
+    * fix (UniqueEverWindowProcessor.java:66-69, "events... will not be
+    * removed"); Spark's pluggable state store is the engine-level answer
+    * (SURVEY.md §7.4.4). Call before starting queries.
+    */
+  def useRocksDBStateStore(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   // ------------------------------------------------------------------
   // Tier 1 — Spark built-ins
   // ------------------------------------------------------------------
@@ -135,6 +147,60 @@ object UniqueStreams {
             out += Row.fromSeq(r.toSeq.take(n) :+ "insert")
           }
           if (latest != null) state.update(latest)
+          out.iterator
+      }(stateEnc, outEnc)
+  }
+
+  /** unique:ever with BOUNDED state: keys idle (no event) for longer than
+    * `ttlMs` of event time are evicted silently — a later event for an
+    * evicted key is treated as brand new ('insert' with no preceding
+    * 'expire'), every other key behaves exactly like `everStream`. This
+    * is the state-size knob the reference lacks for its ever window
+    * (UniqueEverWindowProcessor.java:66-69 documents the unbounded-map
+    * OOM risk and offers no mitigation); combined with
+    * `useRocksDBStateStore` it makes billion-key `ever` deployable.
+    * Requires delayMs >= 0 (watermark on tsCol drives the eviction).
+    */
+  def everStreamTtl(sdf: DataFrame, keys: Seq[String], tsCol: String,
+                    ttlMs: Long, delayMs: Long = 0L,
+                    seqCol: Option[String] = None): DataFrame = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val withWm = sdf.withWatermark(tsCol, s"$delayMs milliseconds")
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("change", "string")
+    val keyed = withWm.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val sIdx = seqCol.map(keyed.schema.fieldIndex)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(outSchema)
+    val stateEnc = Encoders.kryo[Row]
+    val n = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(kIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Row, Row](OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          if (state.hasTimedOut) {
+            state.remove() // silent eviction — the key is simply forgotten
+          } else {
+            var latest = state.getOption.orNull
+            val ordered = sIdx match {
+              case Some(i) => rows.toSeq.sortBy(_.getLong(i)).iterator
+              case None => rows
+            }
+            ordered.foreach { r =>
+              if (latest != null)
+                out += Row.fromSeq(latest.toSeq.take(n) :+ "expire")
+              latest = r
+              out += Row.fromSeq(r.toSeq.take(n) :+ "insert")
+            }
+            if (latest != null) {
+              state.update(latest)
+              state.setTimeoutTimestamp(
+                latest.getAs[java.sql.Timestamp](tsIdx).getTime + ttlMs)
+            }
+          }
           out.iterator
       }(stateEnc, outEnc)
   }

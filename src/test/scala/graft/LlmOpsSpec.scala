@@ -89,6 +89,50 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.filter(col("jaccard") < 0.1 || col("jaccard") > 1.0).count() === 0)
   }
 
+  test("minhashPairsMd5: identical docs pair at jaccard 1.0, unrelated docs don't") {
+    val three = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated words about astronomy and telescopes tonight"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.minhashPairsMd5(three, "text", "doc_id", threshold = 0.99)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1.0)))
+  }
+
+  test("ngramJaccardPairsMd5 jaccard equals the xxhash pipeline's on shared pairs") {
+    // set-Jaccard over distinct shingle hashes is hash-invariant (absent
+    // collisions), so any pair both pipelines surface must agree exactly
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val md5 = toMap(TextDedup.ngramJaccardPairsMd5(docs, "text", "doc_id", threshold = 0.1))
+    val xx = toMap(TextDedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.1))
+    val shared = md5.keySet intersect xx.keySet
+    assert(shared.nonEmpty, "pipelines should surface overlapping candidate pairs")
+    assert(shared.forall(k => md5(k) === xx(k)))
+  }
+
+  test("simhashDfMd5 of a single-token doc equals the 60-bit md5-prefix parse") {
+    // single token: every bit count is 1 of 1 → simhash == the token hash,
+    // pinning Spark's conv(md5[1..15], 16, 10) against an independent parse
+    val got = TextDedup.simhashDfMd5(Seq((1L, "tok")).toDF("doc_id", "text"),
+      "doc_id", "text").select("simhash_md5").as[Long].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("tok".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === java.lang.Long.parseLong(hex.substring(0, 15), 16))
+  }
+
+  test("extractFeaturesChecked: integer lane sums + mirrorable dims, multi-byte safe") {
+    val df = Seq((7L, "abé")).toDF("doc_id", "text") // 3 code points, 4 UTF-8 bytes
+    val media = Multimodal.withSyntheticMedia(df, "doc_id", "text", mirrorableDims = true)
+    val r = Multimodal.extractFeaturesChecked(media, "doc_id").head()
+    assert(r.getAs[Long]("n_bytes") === 4L)
+    assert(r.getAs[Long]("f0") === 97L + (3 % 512) + 32)      // 'a' + width
+    assert(r.getAs[Long]("f1") === 98L + ((3 * 7) % 512) + 32) // 'b' + height
+    assert(r.getAs[Long]("f2") === 233L)                       // 'é'
+    assert((3 to 7).forall(j => r.getAs[Long](s"f$j") === 0L))
+  }
+
   test("langId identifies real-language sentences") {
     // the driver corpus's `lang` labels are synthetic (text is identical
     // keyword soup for every label), so accuracy is asserted on real

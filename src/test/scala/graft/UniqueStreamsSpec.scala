@@ -223,6 +223,64 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("everStreamTtl evicts idle keys silently; a returning key is brand new") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.everStreamTtl(ms.toDF(), Seq("ip"), "ts", ttlMs = 1000L),
+      "ever_ttl_s", OutputMode.Update())
+    val t0 = 100000L // initial watermark is 0; keep timeouts above it
+    ms.addData(login(t0, "a", 1))
+    q.processAllAvailable()
+    ms.addData(login(t0 + 5000, "b", 2)) // watermark → t0+5000 > a's t0+1000 TTL
+    q.processAllAvailable()
+    ms.addData(login(t0 + 6000, "b", 3)) // a's timeout fires this batch; b replaced
+    q.processAllAvailable()
+    ms.addData(login(t0 + 7000, "a", 4)) // a returns AFTER eviction
+    q.processAllAvailable()
+    val out = spark.table("ever_ttl_s").select("change", "seq").as[(String, Int)].collect().toSeq
+    q.stop()
+    assert(out.filter(_._1 == "insert").map(_._2).toSet === Set(1, 2, 3, 4))
+    assert(out.count(_ == ("expire", 2)) === 1) // live replacement still expires
+    // the evicted key was forgotten: its return emits NO expire for seq 1
+    assert(!out.contains(("expire", 1)), s"evicted key must not expire, got $out")
+  }
+
+  test("everStream runs on the RocksDB state store backend") {
+    import scala.jdk.CollectionConverters._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val ms = MemoryStream[Login]
+      val q = startQuery(UniqueStreams.everStream(ms.toDF(), Seq("ip")),
+        "ever_rocks_s", OutputMode.Update())
+      ms.addData(login(1, "a", 1), login(2, "a", 2))
+      q.processAllAvailable()
+      val out = spark.table("ever_rocks_s").select("change", "seq")
+        .as[(String, Int)].collect().toSet
+      val usedRocks = q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.customMetrics.keySet().asScala.exists(_.toLowerCase.contains("rocksdb")))
+      q.stop()
+      assert(out === Set(("insert", 1), ("insert", 2), ("expire", 1)))
+      assert(usedRocks, "expected RocksDB state store metrics in query progress")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("Replay reproduces the batch change log regardless of chunking") {
+    val rows = Seq(login(1, "a", 1), login(2, "b", 2), login(3, "a", 3),
+      login(4, "a", 4), login(5, "c", 5), login(6, "b", 6))
+      .toDF().withColumn("seq", col("seq").cast("long"))
+    val log = graft.streaming.Replay.replay(spark, rows, "seq", 2, "update")(sdf =>
+      UniqueStreams.everStream(sdf, Seq("ip"), Some("seq")))
+      .select("change", "seq").as[(String, Long)].collect().toSeq
+    assert(log.filter(_._1 == "insert").map(_._2).toSet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // replaced: a@1, a@3 (by a@4), b@2 (by b@6) — chunk-size independent
+    assert(log.filter(_._1 == "expire").map(_._2).toSet === Set(1L, 2L, 3L))
+  }
+
   test("everStream restores keyed state from the checkpoint after a restart") {
     val ckpt = Files.createTempDirectory("ckpt_restart").toString
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
