@@ -45,7 +45,13 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // isolate queries: operators that persist intermediates (lengthBatch
+      // expired, minhash/simhash/ngram pipelines) would otherwise accumulate
+      // cache entries across the whole bench session, stealing memory from
+      // later queries. Cleared AFTER timing, so intra-query reuse still counts.
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")

@@ -193,6 +193,13 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram", "fp_full")),
+    // production float-feature path (the `queries` entry is the
+    // integer-lane checked twin); same key so the bench metric keeps
+    // measuring the production shape across rounds
+    "mm_features" -> ((s, d) =>
+      llm.Multimodal.extractFeatures(
+        llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -47,6 +47,19 @@ object UniqueStreams {
   private def jsonKey(keys: Seq[String]): Column =
     to_json(struct(keys.map(col): _*))
 
+  /** Numeric-widening read of the seq column: accepts any integral/numeric
+    * type (int, long, short, …) instead of crashing with ClassCastException
+    * on non-long columns. Non-numeric types fail with a clear message.
+    */
+  private def seqLong(r: Row, i: Int): Long = r.get(i) match {
+    case n: java.lang.Number => n.longValue
+    case other => throw new IllegalArgumentException(
+      s"seq column must be numeric, got ${if (other == null) "null" else other.getClass.getName}")
+  }
+
+  private def sortedBySeq(rows: Iterator[Row], i: Int): Iterator[Row] =
+    rows.toSeq.sortBy(seqLong(_, i)).iterator
+
   /** Switch Structured Streaming state to the RocksDB backend: state
     * lives off-heap / on local disk instead of the executor heap — the
     * deployment knob for high-cardinality `ever` state. The reference
@@ -137,7 +150,7 @@ object UniqueStreams {
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var latest = state.getOption.orNull
           val ordered = sIdx match {
-            case Some(i) => rows.toSeq.sortBy(_.getLong(i)).iterator
+            case Some(i) => sortedBySeq(rows, i)
             case None => rows
           }
           ordered.foreach { r =>
@@ -186,7 +199,7 @@ object UniqueStreams {
           } else {
             var latest = state.getOption.orNull
             val ordered = sIdx match {
-              case Some(i) => rows.toSeq.sortBy(_.getLong(i)).iterator
+              case Some(i) => sortedBySeq(rows, i)
               case None => rows
             }
             ordered.foreach { r =>
@@ -197,8 +210,14 @@ object UniqueStreams {
             }
             if (latest != null) {
               state.update(latest)
-              state.setTimeoutTimestamp(
-                latest.getAs[java.sql.Timestamp](tsIdx).getTime + ttlMs)
+              // Clamp to just past the watermark: Spark feeds allowed-late
+              // rows into flatMapGroupsWithState, so a key whose latest
+              // event has ts + ttl <= watermark would otherwise make
+              // setTimeoutTimestamp throw ("timeout timestamp cannot be
+              // earlier than watermark") and fail the whole query. Such a
+              // key is already due — clamping evicts it at the next trigger.
+              val due = latest.getAs[java.sql.Timestamp](tsIdx).getTime + ttlMs
+              state.setTimeoutTimestamp(math.max(due, state.getCurrentWatermarkMs() + 1))
             }
           }
           out.iterator
@@ -285,7 +304,7 @@ object UniqueStreams {
         (_: Int, rows: Iterator[Row], state: GroupState[GlobalState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var st = state.getOption.getOrElse(emptyGlobal)
-          rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+          sortedBySeq(rows, sIdx).foreach { r =>
             val k = r.getString(kIdx)
             val existing = st.order.find(_._1 == k)
             existing.foreach { case (_, old) =>
@@ -328,7 +347,7 @@ object UniqueStreams {
         (_: Int, rows: Iterator[Row], state: GroupState[GlobalState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var st = state.getOption.getOrElse(emptyGlobal)
-          rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+          sortedBySeq(rows, sIdx).foreach { r =>
             val k = r.getString(kIdx)
             // within-batch keep latest (or first) per key
             val dup = st.pending.exists(_.getString(kIdx) == k)
@@ -394,7 +413,7 @@ object UniqueStreams {
           } else {
             var st = state.getOption.getOrElse(
               EtbState(Long.MinValue, Nil, sentIdle = false, dirty = false))
-            rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+            sortedBySeq(rows, sIdx).foreach { r =>
               val ts = r.getAs[java.sql.Timestamp](tsIdx).getTime
               if (st.endTimeMs == Long.MinValue)
                 st = st.copy(endTimeMs = ts + windowMs) // anchor at first event
@@ -443,7 +462,7 @@ object UniqueStreams {
               out += Row.fromSeq(p.toSeq.take(nCols) ++ Seq("insert", startMs)))
             st = st.copy(batchKeys = Set.empty, pending = Nil, latched = true)
           }
-          rows.toSeq.sortBy(_.getLong(sIdx)).foreach { r =>
+          sortedBySeq(rows, sIdx).foreach { r =>
             val eventBatch = r.getAs[java.sql.Timestamp](tsIdx).getTime / windowMs
             if (eventBatch > st.batchId) { // time boundary crossed
               if (st.pending.nonEmpty) flush(st.batchId * windowMs)

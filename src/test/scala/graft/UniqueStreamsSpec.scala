@@ -281,6 +281,41 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(log.filter(_._1 == "expire").map(_._2).toSet === Set(1L, 2L, 3L))
   }
 
+  test("everStreamTtl never crashes on late events (dropped pre-operator; timeout clamped)") {
+    // Spark 4.1 filters late rows BEFORE flatMapGroupsWithState (watermark
+    // predicate on the input), so a key whose ts + ttl <= watermark cannot
+    // normally reach setTimeoutTimestamp — the operator additionally clamps
+    // the timeout to watermark+1 as defense-in-depth against engines/configs
+    // that do feed allowed-late rows. This pins both behaviors: the late row
+    // is silently dropped and the query never fails.
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.everStreamTtl(ms.toDF(), Seq("ip"), "ts", ttlMs = 1000L),
+      "ever_ttl_late_s", OutputMode.Update())
+    val t0 = 100000L
+    ms.addData(login(t0 + 10000, "b", 1)) // watermark → t0+10000
+    q.processAllAvailable()
+    ms.addData(login(t0 + 2000, "a", 2)) // late: ts+ttl = t0+3000 << watermark
+    q.processAllAvailable()
+    ms.addData(login(t0 + 11000, "b", 3))
+    q.processAllAvailable()
+    val out = spark.table("ever_ttl_late_s").select("change", "seq")
+      .as[(String, Int)].collect().toSeq
+    q.stop()
+    assert(q.exception.isEmpty, s"query must not fail on the late event: ${q.exception}")
+    assert(out.filter(_._1 == "insert").map(_._2).toSet === Set(1, 3)) // late row dropped
+  }
+
+  test("seq column may be any numeric type (int seq, no ClassCastException)") {
+    // Login.seq is Int; operators sorting by seq must widen, not getLong-cast
+    val rows = Seq(login(1, "a", 1), login(2, "a", 2), login(3, "b", 3)).toDF()
+    val log = graft.streaming.Replay.replay(spark, rows, "seq", 2, "update")(sdf =>
+      UniqueStreams.everStream(sdf, Seq("ip"), Some("seq")))
+      .select("change", "seq").as[(String, Int)].collect().toSeq
+    assert(log.filter(_._1 == "insert").map(_._2).toSet === Set(1, 2, 3))
+    assert(log.filter(_._1 == "expire").map(_._2).toSet === Set(1))
+  }
+
   test("everStream restores keyed state from the checkpoint after a restart") {
     val ckpt = Files.createTempDirectory("ckpt_restart").toString
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
