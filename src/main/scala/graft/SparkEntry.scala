@@ -170,6 +170,34 @@ object SparkEntry {
     "timebatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "ts", 2000, "append")(sdf =>
         streaming.UniqueStreams.timeBatchStream(sdf, Seq("user_id"), "event_id", "ts", DAY))),
+    // The events table's ts is monotone in event_id (checked per-sf), so
+    // event_id-ordered feeding keeps the watermark monotone for the
+    // event-time operators below — nothing is dropped as late.
+    "first_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.firstStream(sdf, Seq("user_id"), "event_id"))),
+    "length_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.lengthStream(sdf, Seq("user_id"), "event_id", 100))),
+    "time_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.timeStream(sdf, Seq("user_id"), "ts", WEEK,
+          seqCol = Some("event_id")))),
+    "deduplicate_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.deduplicateStreamExact(sdf, Seq("user_id"), "event_id",
+          "ts", DAY))),
+    "timelengthbatch_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.timeLengthBatchStream(sdf, Seq("user_id"), "event_id",
+          "ts", DAY, 50)).drop("change")),
+    // the no-time.out form (timeOutMs=0): batches close only when a later
+    // event crosses the boundary — the idle-flush/append-merge path is
+    // processing-time-driven and stays sbt-tested (UniqueStreamsSpec)
+    "externaltimebatch_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.externalTimeBatchStream(sdf, Seq("user_id"), "event_id",
+          "ts", H6, timeOutMs = 0L)).drop("flush_kind")),
   )
 
   /** Production variants benchmarked but NOT oracle-checked: DuckDB cannot
@@ -230,6 +258,22 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id DESC) AS rn
          |  FROM events) WHERE rn = 1
          |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin
+    val firstCurrentSql =
+      s"""SELECT $EVSQL FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin
+    val deduplicateSql =
+      s"""WITH RECURSIVE e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+         |kept AS (
+         |  SELECT user_id, min(ms) AS ms FROM e GROUP BY user_id
+         |  UNION ALL
+         |  SELECT e.user_id, min(e.ms) AS ms FROM e JOIN kept k
+         |    ON e.user_id = k.user_id AND e.ms > k.ms + $DAY GROUP BY e.user_id
+         |)
+         |SELECT $EVSQL FROM (
+         |  SELECT ev.*, row_number() OVER (PARTITION BY ev.user_id, epoch_ms(ev.ts) ORDER BY ev.event_id) AS rn
+         |  FROM events ev JOIN kept kp ON ev.user_id = kp.user_id AND epoch_ms(ev.ts) = kp.ms
+         |) WHERE rn = 1""".stripMargin
     Map(
       "ever_current" -> everCurrentSql,
       "ever_expired" ->
@@ -241,10 +285,7 @@ object SparkEntry {
            |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn = 1""".stripMargin,
       "ever_all" -> everAllSql,
-      "first_current" ->
-        s"""SELECT $EVSQL FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn
-           |  FROM events) WHERE rn = 1""".stripMargin,
+      "first_current" -> firstCurrentSql,
       "time_current" -> timeCurrentSql,
       "time_expired" ->
         s"""SELECT $EVSQL FROM events WHERE event_id NOT IN (
@@ -301,18 +342,7 @@ object SparkEntry {
            |  SELECT *, b * $DAY AS batch_start_ms,
            |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id DESC) AS rn
            |  FROM r WHERE bef < 50) WHERE rn = 1""".stripMargin,
-      "deduplicate" ->
-        s"""WITH RECURSIVE e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
-           |kept AS (
-           |  SELECT user_id, min(ms) AS ms FROM e GROUP BY user_id
-           |  UNION ALL
-           |  SELECT e.user_id, min(e.ms) AS ms FROM e JOIN kept k
-           |    ON e.user_id = k.user_id AND e.ms > k.ms + $DAY GROUP BY e.user_id
-           |)
-           |SELECT $EVSQL FROM (
-           |  SELECT ev.*, row_number() OVER (PARTITION BY ev.user_id, epoch_ms(ev.ts) ORDER BY ev.event_id) AS rn
-           |  FROM events ev JOIN kept kp ON ev.user_id = kp.user_id AND epoch_ms(ev.ts) = kp.ms
-           |) WHERE rn = 1""".stripMargin,
+      "deduplicate" -> deduplicateSql,
       "join_windows" ->
         """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, o.o_orderdate FROM (
           |  SELECT * FROM (
@@ -363,6 +393,62 @@ object SparkEntry {
            |  FROM events) WHERE rn > 1""".stripMargin,
       "lengthbatch_stream_replay" -> lengthBatchOracle(latest = true),
       "timebatch_stream_replay" -> timebatchExpiredSql,
+      // firstStream emits exactly the first-per-key rows (state = seen flag)
+      "first_stream_replay" -> firstCurrentSql,
+      // lengthStream's accumulated log: every event 'insert' once; every
+      // event that left the window (replaced or LRU-evicted) 'expire' once
+      // — i.e. everything outside the final window (= length_current).
+      "length_stream_replay" ->
+        s"""SELECT $EVSQL, 'insert' AS change FROM events
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM events WHERE event_id NOT IN (
+           |  SELECT event_id FROM ($lengthCurrentSql))""".stripMargin,
+      // timeStream's log: every event 'insert'; every replaced event
+      // 'expire' (exactly once — replacement or prior eviction); plus the
+      // latest-per-key rows whose event-time timeout (ts + window) fired,
+      // i.e. STRICTLY before the final watermark = max event-time ms
+      // (FlatMapGroupsWithStateExec fires timeouts with
+      // timeoutTimestamp < eviction watermark; the post-data no-data
+      // micro-batch applies the last watermark).
+      "time_stream_replay" ->
+        s"""SELECT $EVSQL, 'insert' AS change FROM events
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn > 1
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1
+           |  AND epoch_ms(ts) + $WEEK < (SELECT max(epoch_ms(ts)) FROM events)""".stripMargin,
+      // deduplicateStreamExact matches the batch fold bit-for-bit
+      "deduplicate_stream_replay" -> deduplicateSql,
+      // timeLengthBatchStream emits a batch when a later event crosses its
+      // time boundary (any batch before the last) or when the 50th distinct
+      // key length-flushes it — the final batch appears iff length-flushed.
+      "timelengthbatch_stream_replay" ->
+        s"""WITH t AS (SELECT *, epoch_ms(ts) // $DAY AS b FROM events),
+           |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, user_id) THEN 1 ELSE 0 END AS isf FROM t),
+           |r AS (SELECT *, coalesce(sum(isf) OVER (PARTITION BY b ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f),
+           |k AS (SELECT * FROM r WHERE bef < 50),
+           |fl AS (SELECT b FROM k GROUP BY b
+           |  HAVING count(DISTINCT user_id) = 50 OR b < (SELECT max(b) FROM t))
+           |SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, b * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id DESC) AS rn
+           |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1""".stripMargin,
+      // externalTimeBatchStream (no time.out): every non-final non-empty
+      // batch closes when a later event crosses its end — exactly the
+      // batch operator's expired set, tagged with the batch END time.
+      "externaltimebatch_stream_replay" ->
+        s"""SELECT $EVSQL, batch_start_ms + $H6 AS batch_end_ms FROM (
+           |  SELECT e.*, ((epoch_ms(ts) - s.m) // $H6) * $H6 + s.m AS batch_start_ms,
+           |    (epoch_ms(ts) - s.m) // $H6 AS bid,
+           |    row_number() OVER (PARTITION BY (epoch_ms(ts) - s.m) // $H6, user_id ORDER BY event_id DESC) AS rn
+           |  FROM events e CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s
+           |) WHERE rn = 1 AND bid < (
+           |  SELECT max((epoch_ms(ts) - s2.m) // $H6)
+           |  FROM events CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s2)""".stripMargin,
       "doc_fingerprint_md5" ->
         """WITH t AS (SELECT doc_id,
           |  trim(regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm FROM documents)

@@ -84,6 +84,37 @@ object UniqueStreams {
   def firstStream(sdf: DataFrame, keys: Seq[String]): DataFrame =
     sdf.dropDuplicates(keys)
 
+  /** `firstStream` with a deterministic within-micro-batch winner: when a
+    * key occurs several times in ONE micro-batch, the built-in
+    * dropDuplicates keeps an arbitrary post-shuffle arrival, while the
+    * reference's single input thread always keeps the seq-least
+    * (UniqueFirstWindowProcessor.java:122-134). Used by the replay
+    * verification (thousands of events per micro-batch); a deployment
+    * feeding events in arrival order never observes the difference.
+    * Append-shaped output (first row per key, input schema); state per
+    * key = one boolean.
+    */
+  def firstStream(sdf: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
+    val inSchema = sdf.schema
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val sIdx = keyed.schema.fieldIndex(seqCol)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(inSchema)
+    val n = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(kIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val winner = rows.minBy(seqLong(_, sIdx))
+            Iterator.single(Row.fromSeq(winner.toSeq.take(n)))
+          }
+      }(Encoders.scalaBoolean, outEnc)
+  }
+
   /** unique:deduplicate — drop re-occurrences within intervalMs of the
     * kept event (DeduplicateStreamProcessor.java:155-178). Watermarked
     * dedup bounds the state exactly like the reference's insertion-order
@@ -229,16 +260,19 @@ object UniqueStreams {
     * it on watermark passage (UniqueTimeWindowProcessor.java:177-212,
     * scheduler-driven expiry ≈ event-time timeout). Requires an
     * event-time watermark on tsCol upstream. Update output mode; output
-    * schema = input + `change`.
+    * schema = input + `change`. `seqCol` orders rows within a micro-batch
+    * (same rationale as everStream's seqCol).
     */
   def timeStream(sdf: DataFrame, keys: Seq[String], tsCol: String,
-                 windowMs: Long, delayMs: Long = 0L): DataFrame = {
+                 windowMs: Long, delayMs: Long = 0L,
+                 seqCol: Option[String] = None): DataFrame = {
     val withWm = sdf.withWatermark(tsCol, s"$delayMs milliseconds")
     val inSchema = sdf.schema
     val outSchema = inSchema.add("change", "string")
     val keyed = withWm.withColumn("__k", jsonKey(keys))
     val kIdx = keyed.schema.fieldIndex("__k")
     val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val sIdx = seqCol.map(keyed.schema.fieldIndex)
     val rowEnc = Encoders.row(keyed.schema)
     val outEnc = Encoders.row(outSchema)
     val stateEnc = Encoders.kryo[Row]
@@ -254,7 +288,11 @@ object UniqueStreams {
             state.remove()
           } else {
             var latest = state.getOption.orNull
-            rows.foreach { r =>
+            val ordered = sIdx match {
+              case Some(i) => sortedBySeq(rows, i)
+              case None => rows
+            }
+            ordered.foreach { r =>
               if (latest != null)
                 out += Row.fromSeq(latest.toSeq.take(n) :+ "expire")
               latest = r
@@ -268,6 +306,64 @@ object UniqueStreams {
           }
           out.iterator
       }(stateEnc, outEnc)
+  }
+
+  /** unique:deduplicate with the reference's EXACT re-admission timing:
+    * first-wins per key, a duplicate is dropped iff its ts is within
+    * intervalMs of the last KEPT event, dropped duplicates do not refresh
+    * the interval (DeduplicateStreamProcessor.java:158-176, strict
+    * eviction ms - lastKept > intervalMs). The built-in
+    * `deduplicateStream` (dropDuplicatesWithinWatermark) is the
+    * Spark-idiomatic path but re-admits on WATERMARK passage, which lags
+    * the reference's event-time condition by up to intervalMs; this twin
+    * matches the batch `UniqueOps.deduplicate` fold bit-for-bit.
+    *
+    * State per key = one long (last kept ms), evicted by event-time
+    * timeout once the watermark passes lastKept + intervalMs + delayMs
+    * (after which the state can no longer affect any non-late event) —
+    * bounded state, no manual TTL needed. Rows are processed in (ts, seq)
+    * order within each micro-batch, the batch operator's secondary-sort
+    * order. Append-shaped output (kept rows only, input schema).
+    */
+  def deduplicateStreamExact(sdf: DataFrame, keys: Seq[String], seqCol: String,
+                             tsCol: String, intervalMs: Long,
+                             delayMs: Long = 0L): DataFrame = {
+    val withWm = sdf.withWatermark(tsCol, s"$delayMs milliseconds")
+    val inSchema = sdf.schema
+    val keyed = withWm.withColumn("__k", jsonKey(keys))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val sIdx = keyed.schema.fieldIndex(seqCol)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(inSchema)
+    val n = inSchema.length
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(kIdx))(Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // interval elapsed for every possible event — forget the key
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var lastKept = state.getOption.getOrElse(Long.MinValue)
+            rows.toSeq
+              .sortBy(r => (r.getAs[java.sql.Timestamp](tsIdx).getTime, seqLong(r, sIdx)))
+              .foreach { r =>
+                val ms = r.getAs[java.sql.Timestamp](tsIdx).getTime
+                if (lastKept == Long.MinValue || ms - lastKept > intervalMs) {
+                  lastKept = ms
+                  out += Row.fromSeq(r.toSeq.take(n))
+                }
+              }
+            if (lastKept != Long.MinValue) {
+              state.update(lastKept)
+              state.setTimeoutTimestamp(math.max(lastKept + intervalMs + delayMs + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }(Encoders.scalaLong, outEnc)
   }
 
   // ------------------------------------------------------------------
@@ -378,6 +474,14 @@ object UniqueStreams {
     * Emitted rows carry `flush_kind` ("close" | "timeout" | "append") and
     * `batch_end_ms`. Update mode. Processing-time timeouts need a
     * periodic trigger (e.g. Trigger.ProcessingTime) to fire on idle.
+    *
+    * `timeOutMs <= 0` disables the idle flush entirely (the reference's
+    * no-`time.out` form, UniqueExternalTimeBatchWindowProcessor.java:200-208):
+    * batches close only when a later event crosses the boundary. This form
+    * uses NoTimeout, so `processAllAvailable()` works (with
+    * ProcessingTimeTimeout the engine always claims another batch is due
+    * and processAllAvailable never returns — replay/verification must use
+    * the no-timeout form).
     */
   def externalTimeBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
                               tsCol: String, windowMs: Long,
@@ -392,9 +496,12 @@ object UniqueStreams {
     val outEnc = Encoders.row(outSchema)
     val stateEnc = Encoders.kryo[EtbState]
     val nCols = inSchema.length
+    val timeout =
+      if (timeOutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed.as(rowEnc)
       .groupByKey((_: Row) => 0)(Encoders.scalaInt)
-      .flatMapGroupsWithState[EtbState, Row](OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      .flatMapGroupsWithState[EtbState, Row](OutputMode.Update(), timeout) {
         (_: Int, rows: Iterator[Row], state: GroupState[EtbState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           def emit(st: EtbState, kind: String): Unit =
@@ -425,7 +532,7 @@ object UniqueStreams {
               st = st.copy(batch = st.batch.filterNot(_._1 == k) :+ (k -> r), dirty = true)
             }
             state.update(st)
-            state.setTimeoutDuration(timeOutMs)
+            if (timeOutMs > 0) state.setTimeoutDuration(timeOutMs)
           }
           out.iterator
       }(stateEnc, outEnc)

@@ -316,6 +316,71 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(log.filter(_._1 == "expire").map(_._2).toSet === Set(1))
   }
 
+  test("firstStream(seqCol) keeps the seq-least row even within one micro-batch") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.firstStream(ms.toDF(), Seq("ip"), "seq"),
+      "first_seq_s", OutputMode.Update())
+    // a@2 and a@1 in ONE batch, "wrong" insertion order: seq-least must win
+    ms.addData(login(2, "a", 2), login(1, "a", 1), login(3, "b", 3))
+    q.processAllAvailable()
+    ms.addData(login(4, "a", 4), login(5, "c", 5)) // a already seen → dropped
+    q.processAllAvailable()
+    val got = spark.table("first_seq_s").select("ip", "seq").as[(String, Int)].collect().toSet
+    q.stop()
+    assert(got === Set(("a", 1), ("b", 3), ("c", 5)))
+  }
+
+  test("deduplicateStreamExact re-admits on the event-time interval, not the watermark") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.deduplicateStreamExact(
+        ms.toDF().withColumn("seq", col("seq").cast("long")),
+        Seq("ip"), "seq", "ts", intervalMs = 1000L),
+      "dedup_x_s", OutputMode.Update())
+    val t0 = 100000L
+    // one micro-batch, interleaved: kept a@t0; a@t0+500 inside interval →
+    // dropped and does NOT refresh; a@t0+1001 is > interval after the KEPT
+    // event → re-admitted (DeduplicateStreamProcessor.java:158-176) — the
+    // built-in dropDuplicatesWithinWatermark would still drop it here
+    ms.addData(login(t0, "a", 1), login(t0 + 500, "a", 2), login(t0 + 1001, "a", 3),
+      login(t0 + 800, "b", 4))
+    q.processAllAvailable()
+    // later batch: a@t0+1500 inside the NEW interval (anchor t0+1001) → dropped
+    ms.addData(login(t0 + 1500, "a", 5), login(t0 + 2500, "b", 6))
+    q.processAllAvailable()
+    val got = spark.table("dedup_x_s").select("ip", "seq").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(("a", 1L), ("a", 3L), ("b", 4L), ("b", 6L)))
+    // batch twin on the same rows must agree row-for-row
+    val batchDf = Seq((t0, "a", 1L), (t0 + 500, "a", 2L), (t0 + 1001, "a", 3L),
+      (t0 + 800, "b", 4L), (t0 + 1500, "a", 5L), (t0 + 2500, "b", 6L))
+      .toDF("ms", "ip", "seq").withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val batch = operators.UniqueOps.deduplicate(batchDf, Seq("ip"), "seq", "ts", 1000L)
+      .current.select("ip", "seq").as[(String, Long)].collect().toSet
+    assert(got === batch)
+  }
+
+  test("externalTimeBatchStream without time.out closes batches on boundary crossing only") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.externalTimeBatchStream(
+        ms.toDF().withColumn("seq", col("seq").cast("long")),
+        Seq("ip"), "seq", "ts", windowMs = 1000L, timeOutMs = 0L),
+      "etb_nt_s", OutputMode.Update())
+    // anchor at 100 → batch [100, 1100); a replaced by a@600
+    ms.addData(login(100, "a", 1), login(600, "a", 2), login(700, "b", 3))
+    q.processAllAvailable() // nothing emitted: batch still open, no timeout
+    assert(spark.table("etb_nt_s").count() === 0)
+    ms.addData(login(1200, "c", 4)) // crosses 1100 → closes the first batch
+    q.processAllAvailable()
+    val got = spark.table("etb_nt_s")
+      .select("ip", "seq", "flush_kind", "batch_end_ms")
+      .as[(String, Long, String, Long)].collect().toSet
+    q.stop()
+    assert(got === Set(("a", 2L, "close", 1100L), ("b", 3L, "close", 1100L)))
+  }
+
   test("everStream restores keyed state from the checkpoint after a restart") {
     val ckpt = Files.createTempDirectory("ckpt_restart").toString
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
