@@ -84,6 +84,10 @@ object SparkEntry {
     // 11. unique:deduplicate (1-day interval)
     "deduplicate" -> ((s, d) =>
       UniqueOps.deduplicate(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
+    // hot-key-safe twin: same semantics, chunked stitch instead of a
+    // per-key fold — verified against the same oracle
+    "deduplicate_salted" -> ((s, d) =>
+      UniqueOps.deduplicateSalted(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
     // Join of a unique window with a dimension table
     // (UniqueEverWindowTestCase.java:221-263 analog on orders ⨝ customer)
     "join_windows" -> ((s, d) =>
@@ -343,6 +347,7 @@ object SparkEntry {
            |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id DESC) AS rn
            |  FROM r WHERE bef < 50) WHERE rn = 1""".stripMargin,
       "deduplicate" -> deduplicateSql,
+      "deduplicate_salted" -> deduplicateSql,
       "join_windows" ->
         """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, o.o_orderdate FROM (
           |  SELECT * FROM (

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * run as batched per-partition functions (the JVM analog of arrow-batched
   * Python UDFs — same batch shape, same schema contract).
   *
-  * The decode step itself is a clearly-marked DETERMINISTIC STUB (this
-  * environment ships no image/audio codecs); everything around it — the
-  * schema, the binary transport, the partition-batched execution, the
-  * output feature shape — is the real production plumbing and is tested.
+  * Image decode is REAL: payloads whose magic bytes identify a JDK-decodable
+  * format (PNG/BMP/GIF/JPEG) go through `javax.imageio` and yield pixel-stat
+  * features; any other payload falls back to a deterministic byte-signature
+  * (the plumbing-test path — audio/video codecs don't ship with the JDK, so
+  * those kinds stay signature-only).
   *
   * Scale notes: payload bytes never pass through a shuffle — media
   * operators are projection-shaped (mapPartitions after pruning to the
@@ -55,13 +56,56 @@ object Multimodal {
         lit(null).cast("int").as("n_frames")))
   }
 
-  /** STUB decoder: a real implementation would decode the image bytes and
-    * run a feature extractor. Here: a deterministic 8-float signature from
-    * the payload bytes so the plumbing is testable end-to-end. Marked ???
-    * semantics; replace with a codec-backed version in production.
+  /** Magic-byte sniff: true iff the payload starts like a format the JDK's
+    * ImageIO can decode (PNG / BMP / GIF / JPEG). Sniffing first keeps the
+    * non-image fast path free of ImageIO reader-registry scans.
     */
-  private def stubDecodeFeatures(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
-    // ??? — real codec goes here; deterministic fake below
+  private[llm] def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte))
+
+  /** Real decode via `javax.imageio` (zero extra dependencies): 8 pixel-stat
+    * features `[width, height, meanR, meanG, meanB, meanLuma, minLuma,
+    * maxLuma]` (means over all pixels, luma = (r+g+b)/3, channels 0-255).
+    * None when ImageIO cannot decode the bytes despite the image-like magic.
+    */
+  private[llm] def decodeImageFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var minL = Float.MaxValue; var maxL = Float.MinValue
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          val l = (r + g + b) / 3.0f
+          if (l < minL) minL = l
+          if (l > maxL) maxL = l
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      Some(Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n,
+        (sr + sg + sb) / (3.0f * n), minL, maxL))
+    }
+  }
+
+  /** Deterministic byte-signature features for payloads with no JDK codec
+    * (synthetic fixtures, audio/video): folded byte sums per lane, dims in
+    * lanes 0/1 — keeps non-image media testable end-to-end with the same
+    * 8-float output shape as the decoded path.
+    */
+  private def byteSignatureFeatures(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
     val n = 8
     val out = new Array[Float](n)
     var i = 0
@@ -74,6 +118,14 @@ object Multimodal {
     out(0) += width * 0.001f; out(1) += height * 0.001f
     out
   }
+
+  /** Feature dispatch: real ImageIO decode when the bytes are a decodable
+    * image, byte-signature otherwise.
+    */
+  private def decodeFeatures(payload: Array[Byte], width: Int, height: Int): Array[Float] =
+    if (looksLikeImage(payload)) decodeImageFeatures(payload)
+      .getOrElse(byteSignatureFeatures(payload, width, height))
+    else byteSignatureFeatures(payload, width, height)
 
   /** Batched feature extraction over the media column: prunes to
     * (id, media, meta), streams each partition through the decoder, and
@@ -88,7 +140,7 @@ object Multimodal {
     implicit val enc = Encoders.row(outSchema)
     pruned.mapPartitions { it =>
       it.map { r =>
-        val feats = stubDecodeFeatures(r.getAs[Array[Byte]]("media"),
+        val feats = decodeFeatures(r.getAs[Array[Byte]]("media"),
           r.getAs[Int]("w"), r.getAs[Int]("h"))
         Row(r.getLong(0), feats.toSeq)
       }

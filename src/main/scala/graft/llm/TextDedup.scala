@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   * and similarity are pure Catalyst expressions (higher-order functions,
   * xxhash64) — whole-stage codegen, no UDFs.
   */
+/** Near-dup pairs plus the pipeline's completeness telemetry: every
+  * candidate-generation stage that CAPS a bucket reports what it dropped
+  * ("no silent caps") — `droppedBuckets` has one row per over-cap bucket
+  * with its size; empty when the cap never bit. At 100 TB a dropped
+  * bucket usually means degenerate boilerplate content: aggregate with
+  * `agg(count(*), max("size"))` and alert before trusting recall.
+  */
+final case class PairsWithStats(pairs: DataFrame, droppedBuckets: DataFrame)
+
 object TextDedup {
 
   /** Hash family abstraction: every near-dup pipeline runs over either
@@ -131,10 +140,24 @@ object TextDedup {
     minhashPairs(df, textCol, idCol, shingleN, bands, rowsPerBand, threshold,
       maxBucket, Md5Hash)
 
+  /** `minhashPairs` with dropped-bucket telemetry (see PairsWithStats). */
+  def minhashPairsWithStats(df: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                            threshold: Double = 0.5, maxBucket: Int = 1000): PairsWithStats =
+    minhashPairsStats(df, textCol, idCol, shingleN, bands, rowsPerBand, threshold,
+      maxBucket, XxHash)
+
   private[llm] def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                                 shingleN: Int, bands: Int, rowsPerBand: Int,
                                 threshold: Double, maxBucket: Int,
-                                fam: HashFamily): DataFrame = {
+                                fam: HashFamily): DataFrame =
+    minhashPairsStats(df, textCol, idCol, shingleN, bands, rowsPerBand, threshold,
+      maxBucket, fam).pairs
+
+  private[llm] def minhashPairsStats(df: DataFrame, textCol: String, idCol: String,
+                                     shingleN: Int, bands: Int, rowsPerBand: Int,
+                                     threshold: Double, maxBucket: Int,
+                                     fam: HashFamily): PairsWithStats = {
     val k = bands * rowsPerBand
     // persist: the prepared projection feeds the band explode AND the
     // verify join — without it the whole shingle+hash subtree recomputes
@@ -156,9 +179,12 @@ object TextDedup {
           fam.band(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b).as("bh"))): _*))
         .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
-    val okBuckets = banded.groupBy("band", "bh").count()
+    val bucketStats = banded.groupBy("band", "bh").count()
+    val okBuckets = bucketStats
       .filter(col("count") <= maxBucket && col("count") > 1)
       .select("band", "bh")
+    val dropped = bucketStats.filter(col("count") > maxBucket)
+      .select(col("band"), col("bh").cast("string").as("bucket"), col("count").as("size"))
     val inBucket = banded.join(okBuckets, Seq("band", "bh"))
     // distinct candidate pairs FIRST (a pair hitting m bands would verify
     // m× otherwise), then join the shingle sets back and verify ONCE
@@ -167,11 +193,12 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sets = withSig.select(col("id"), col("sh"))
-    cand
+    val pairs = cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    PairsWithStats(pairs, dropped)
   }
 
   /** Jaccard similarity of two string arrays (set semantics). */
@@ -240,7 +267,12 @@ object TextDedup {
     * exact chunk → join per (chunk index, chunk value) bucket only.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashPairsWithStats(df, textCol, idCol, maxHamming, maxBucket).pairs
+
+  /** `simhashPairs` with dropped-bucket telemetry (see PairsWithStats). */
+  def simhashPairsWithStats(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3, maxBucket: Int = 1000): PairsWithStats = {
     val withSim = simhashDf(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bucket stats + join branches
     val chunked = withSim.select(col("id"), col("simhash"),
@@ -248,17 +280,22 @@ object TextDedup {
         struct(lit(c).as("chunk"),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
-    val okBuckets = chunked.groupBy("chunk", "cv").count()
+    val bucketStats = chunked.groupBy("chunk", "cv").count()
+    val okBuckets = bucketStats
       .filter(col("count") <= maxBucket && col("count") > 1).select("chunk", "cv")
+    val dropped = bucketStats.filter(col("count") > maxBucket)
+      .select(col("chunk").as("band"), col("cv").cast("string").as("bucket"),
+        col("count").as("size"))
     val inBucket = chunked.join(okBuckets, Seq("chunk", "cv"))
     val a = inBucket.select(col("chunk"), col("cv"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = inBucket.select(col("chunk"), col("cv"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk", "cv"))
+    val pairs = a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+    PairsWithStats(pairs, dropped)
   }
 
   /** n-gram Jaccard near-dup with single-min-hash blocking: candidates
@@ -277,9 +314,20 @@ object TextDedup {
                            maxBucket: Int = 200): DataFrame =
     ngramJaccardPairs(df, textCol, idCol, shingleN, threshold, maxBucket, Md5Hash)
 
+  /** `ngramJaccardPairs` with dropped-bucket telemetry (see PairsWithStats). */
+  def ngramJaccardPairsWithStats(df: DataFrame, textCol: String, idCol: String,
+                                 shingleN: Int = 3, threshold: Double = 0.3,
+                                 maxBucket: Int = 200): PairsWithStats =
+    ngramJaccardPairsStats(df, textCol, idCol, shingleN, threshold, maxBucket, XxHash)
+
   private[llm] def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                                      shingleN: Int, threshold: Double,
-                                     maxBucket: Int, fam: HashFamily): DataFrame = {
+                                     maxBucket: Int, fam: HashFamily): DataFrame =
+    ngramJaccardPairsStats(df, textCol, idCol, shingleN, threshold, maxBucket, fam).pairs
+
+  private[llm] def ngramJaccardPairsStats(df: DataFrame, textCol: String, idCol: String,
+                                          shingleN: Int, threshold: Double,
+                                          maxBucket: Int, fam: HashFamily): PairsWithStats = {
     val withSh = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", array_distinct(shingleHashes(tokenize(col("text")), shingleN, fam)))
       .filter(size(col("sh")) > 0)
@@ -289,14 +337,19 @@ object TextDedup {
     // min-hash blocks concentrate on the globally smallest shingle hashes,
     // so the bucket cap matters: oversized blocks (common boilerplate
     // shingles) are dropped, keeping the join candidate-bounded
-    val okBuckets = withSh.groupBy("block").count()
+    val bucketStats = withSh.groupBy("block").count()
+    val okBuckets = bucketStats
       .filter(col("count") <= maxBucket && col("count") > 1).select("block")
+    val dropped = bucketStats.filter(col("count") > maxBucket)
+      .select(lit(0).as("band"), col("block").cast("string").as("bucket"),
+        col("count").as("size"))
     val inB = withSh.join(okBuckets, Seq("block"))
     val a = inB.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = inB.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+    val pairs = a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    PairsWithStats(pairs, dropped)
   }
 }

@@ -316,8 +316,9 @@ object UniqueOps {
   //    (DeduplicateTestCase.java:84-86).
   //    Implementation: secondary sort — repartition by key struct, sort
   //    partitions by (key, ts_ms, seq), one streaming fold per partition.
-  //    O(1) memory per row, fully parallel across keys; survives 100 TB
-  //    (hot-key mitigation at that scale: pre-salt + second pass).
+  //    O(1) memory per row, fully parallel across keys; survives 100 TB.
+  //    When one key dominates the corpus, use `deduplicateSalted` below —
+  //    identical output, straggler-free.
   // ------------------------------------------------------------------
   def deduplicate(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
                   intervalMs: Long): UniqueResult = {
@@ -341,5 +342,69 @@ object UniqueOps {
       }
     }(enc)
     UniqueResult(kept.drop("__k", "__ms"), df.limit(0))
+  }
+
+  /** Hot-key-safe twin of `deduplicate` — IDENTICAL output, no straggler
+    * partition when one key dominates (the plain variant hashes by key, so
+    * a key holding 50% of 100 TB serializes 50% of the scan).
+    *
+    * Exactness rests on a structural fact: kept events of one key are
+    * strictly more than intervalMs apart, so each intervalMs-aligned time
+    * chunk contains AT MOST ONE kept event. Three phases, all bounded:
+    *   0. min-seq representative per (key, ms) — only the first arrival at
+    *      a timestamp can ever be kept (later same-ms rows are always
+    *      within the interval). Partial-aggregable hash agg: map-side
+    *      combine absorbs duplicate-timestamp floods before the shuffle.
+    *   1. per (key, chunk = ms div intervalMs) sorted distinct-ms arrays —
+    *      the hot key spreads over its chunks (time), not one partition.
+    *   2. per-key sequential stitch over the COMPACT chunk summaries (one
+    *      row per non-empty chunk): scan each sorted array for the first
+    *      ms > lastKept + intervalMs; at most one hit per chunk by the
+    *      spacing argument. Sequential work per key = O(distinct ms), but
+    *      over summary rows ~1000× smaller than raw events.
+    *   3. winners join back to their representative rows — plain equi-join,
+    *      parallel.
+    * The reference has no such path (single JVM); this is the Spark-scale
+    * reformulation of DeduplicateStreamProcessor.java:158-176.
+    */
+  def deduplicateSalted(df: DataFrame, keys: Seq[String], seqCol: String, tsCol: String,
+                        intervalMs: Long): UniqueResult = {
+    validate(df, keys, seqCol, Some(tsCol), Some(intervalMs))
+    val keyStruct = struct(keys.map(col): _*)
+    val prepped = df.withColumn("__k", keyStruct).withColumn("__ms", msOf(tsCol))
+    val allCols = struct(df.columns.map(col): _*)
+    // phase 0
+    val reps = prepped.groupBy(col("__k"), col("__ms"))
+      .agg(min_by(allCols, col(seqCol)).as("__row"))
+    // phase 1
+    val chunks = reps.select(col("__k"), col("__ms"))
+      .withColumn("__c", floor(col("__ms") / lit(intervalMs)).cast("long"))
+      .groupBy(col("__k"), col("__c"))
+      .agg(array_sort(collect_set(col("__ms"))).as("__msa"))
+    // phase 2
+    val sortedChunks = chunks.repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__c"))
+    val chSchema = sortedChunks.schema
+    val kIdx = chSchema.fieldIndex("__k")
+    val aIdx = chSchema.fieldIndex("__msa")
+    implicit val keptEnc = Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      chSchema("__k").copy(name = "__kk"),
+      org.apache.spark.sql.types.StructField("__mm", org.apache.spark.sql.types.LongType))))
+    val winners = sortedChunks.mapPartitions { it =>
+      var curKey: Row = null
+      var lastKept = Long.MinValue
+      it.flatMap { r =>
+        val k = r.getStruct(kIdx)
+        if (curKey == null || k != curKey) { curKey = k; lastKept = Long.MinValue }
+        // first ms beyond the interval of the last kept event; ≤ 1 per chunk
+        val hit = r.getSeq[Long](aIdx)
+          .find(m => lastKept == Long.MinValue || m - lastKept > intervalMs)
+        hit.iterator.map { m => lastKept = m; Row(k, m) }
+      }
+    }(keptEnc)
+    // phase 3
+    val cur = reps.join(winners, col("__k") === col("__kk") && col("__ms") === col("__mm"))
+      .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
+    UniqueResult(cur, df.limit(0))
   }
 }

@@ -212,6 +212,66 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       f2.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
   }
 
+  test("near-dup pipelines report dropped buckets instead of silently capping") {
+    // degenerate corpus: 30 identical docs + 2 genuine near-dups. With
+    // maxBucket = 10 every bucket the identical docs share is over-cap —
+    // dropped (and REPORTED), so the identical family yields no pairs
+    // while the small bucket still verifies.
+    val boiler = (1L to 30L).map(i => (i, "the same boilerplate footer text repeated everywhere"))
+    val dups = Seq((100L, "completely different unique alpha beta gamma delta content"),
+      (101L, "completely different unique alpha beta gamma delta content"))
+    val df = (boiler ++ dups).toDF("doc_id", "text")
+    val r = TextDedup.minhashPairsWithStats(df, "text", "doc_id",
+      threshold = 0.9, maxBucket = 10)
+    val dropped = r.droppedBuckets.collect()
+    assert(dropped.nonEmpty, "over-cap buckets must be reported")
+    assert(dropped.map(_.getAs[Long]("size")).max === 30L)
+    assert(r.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((100L, 101L)))
+    val rn = TextDedup.ngramJaccardPairsWithStats(df, "text", "doc_id",
+      threshold = 0.9, maxBucket = 10)
+    assert(rn.droppedBuckets.count() > 0)
+    assert(rn.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((100L, 101L)))
+    val rs = TextDedup.simhashPairsWithStats(df, "text", "doc_id",
+      maxHamming = 3, maxBucket = 10)
+    assert(rs.droppedBuckets.count() > 0)
+    assert(rs.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((100L, 101L)))
+    // an uncapped run reports nothing dropped
+    assert(TextDedup.minhashPairsWithStats(df, "text", "doc_id",
+      threshold = 0.9, maxBucket = 1000).droppedBuckets.count() === 0)
+  }
+
+  test("extractFeatures decodes real PNG/BMP payloads via javax.imageio (exact pixel stats)") {
+    // 2×2 PNG: red, green, blue, white — means are exact in float
+    def imageBytes(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+      img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val df = Seq((1L, imageBytes(fmt))).toDF("doc_id", "media")
+        .withColumn("media_meta", struct(lit("image").as("kind"),
+          lit(2).as("width"), lit(2).as("height"),
+          lit(null).cast("int").as("sample_rate_hz"), lit(null).cast("int").as("n_frames")))
+      val f = Multimodal.extractFeatures(df, "doc_id").head().getSeq[Float](1)
+      // [w, h, meanR, meanG, meanB, meanLuma, minLuma, maxLuma]
+      assert(f(0) === 2.0f && f(1) === 2.0f, fmt)
+      assert(f(2) === 127.5f && f(3) === 127.5f && f(4) === 127.5f, s"$fmt channel means")
+      assert(f(5) === 127.5f, s"$fmt mean luma")
+      assert(f(6) === 85.0f, s"$fmt min luma (pure channels: 255/3)")
+      assert(f(7) === 255.0f, s"$fmt max luma (white)")
+    }
+    // non-image payloads still go through the deterministic signature path
+    val raw = Seq((2L, "plain text payload".getBytes("UTF-8"))).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(lit("image").as("kind"),
+        lit(5).as("width"), lit(7).as("height"),
+        lit(null).cast("int").as("sample_rate_hz"), lit(null).cast("int").as("n_frames")))
+    val g = Multimodal.extractFeatures(raw, "doc_id").head().getSeq[Float](1)
+    assert(g.length === 8 && g.forall(v => !v.isNaN))
+  }
+
   test("sampleFrames fans a video row out to every k-th frame") {
     val vid = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
       .withColumn("media_meta", struct(lit("video").as("kind"),

@@ -254,6 +254,43 @@ class UniqueOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.current.select("seq").as[Int].collect().toSet === Set(1, 3))
   }
 
+  test("deduplicateSalted matches deduplicate on the reference fixtures") {
+    for (rows <- Seq(
+      Seq((0L, "192.10.1.3"), (0L, "192.10.1.3"), (1001L, "192.10.1.4"),
+        (1001L, "192.10.1.3"), (1001L, "192.10.1.4"), (2002L, "192.10.1.5")),
+      Seq((0L, "a"), (600L, "a"), (1100L, "a")),
+      Seq((0L, "a"), (1000L, "a"), (2001L, "a")))) {
+      val df = logins(rows: _*)
+      val plain = UniqueOps.deduplicate(df, Seq("ip"), "seq", "ts", 1000L)
+        .current.select("seq").as[Int].collect().toSet
+      val salted = UniqueOps.deduplicateSalted(df, Seq("ip"), "seq", "ts", 1000L)
+        .current.select("seq").as[Int].collect().toSet
+      assert(salted === plain, s"fixture $rows")
+    }
+  }
+
+  test("deduplicateSalted under 50% hot-key skew: same result, distributed work") {
+    // 1 key holds half the rows (dense: many events per interval, duplicate
+    // timestamps) — the scenario where plain deduplicate's per-key fold
+    // serializes on one partition
+    val interval = 1000L
+    val hot = (0 until 2000).map(i => ((i / 2) * 7L, "hot")) // 2 events/ts, 7ms apart
+    val cold = (0 until 2000).map(i => (i * 31L, s"cold${i % 97}"))
+    val df = logins(scala.util.Random.shuffle(hot ++ cold): _*)
+    val plain = UniqueOps.deduplicate(df, Seq("ip"), "seq", "ts", interval)
+      .current.select("ip", "seq").as[(String, Int)].collect().toSet
+    val salted = UniqueOps.deduplicateSalted(df, Seq("ip"), "seq", "ts", interval)
+      .current.select("ip", "seq").as[(String, Int)].collect().toSet
+    assert(salted === plain)
+    // the hot key's phase-1 work is spread over its time chunks: with a
+    // 7-second span and 1-second chunks, the (key, chunk) grouping gives
+    // the hot key ≥ 2 distinct shuffle groups (vs exactly 1 partition for
+    // a plain hash-by-key layout)
+    val hotChunks = df.filter(col("ip") === "hot")
+      .select((unix_millis(col("ts")) / interval).cast("long")).distinct().count()
+    assert(hotChunks >= 2, s"skew fixture must span multiple chunks, got $hotChunks")
+  }
+
   // ---- validation layer: eager failures mirroring the reference's
   // SiddhiAppValidationException cases (UniqueTimeWindowTestCase.java:232-263) ----
   test("operators validate arguments eagerly") {
