@@ -1,7 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, FunctionTableSubqueryArgumentExpression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL surface: registers the engine's scalar capabilities in the session
   * function registry so `spark.sql("SELECT graft_lang_id(text) ...")`
@@ -39,5 +42,65 @@ object GraftSql {
       es => x(llm.TextDedup.shingles(c(es(0)), litInt(es(1), "shingle size"))), "internal")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => x(llm.TextDedup.minhashSignature(c(es(0)), litInt(es(1), "signature size"))), "internal")
+    registerTableFunctions(spark)
+  }
+
+  // ---- table-valued surface: the window operators as first-class FROM
+  // clauses, the SparkSQL analog of the reference's @Extension windows
+  // (UniqueEverWindowProcessor.java:63-65; SURVEY.md §4.2). The builders
+  // compose the SAME DataFrame operators as the Scala API and return the
+  // resulting logical plan, so the optimizer sees an ordinary plan. The
+  // table argument is either TABLE(name) or a table-name string literal.
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal string, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal integer, got $other")
+  }
+
+  private def tableArg(spark: SparkSession, e: Expression): DataFrame = e match {
+    case t: FunctionTableSubqueryArgumentExpression => GraftColumnBridge.dataset(spark, t.plan)
+    case other => spark.table(litStr(other, "table argument"))
+  }
+
+  /** Registers `unique_ever(t, seq, key...)`, `unique_first(t, seq,
+    * key...)`, `unique_length(t, seq, n, key...)`, `unique_time(t, seq,
+    * ts, window_ms, key...)`, `unique_deduplicate(t, seq, ts, interval_ms,
+    * key...)` — each returns the operator's CURRENT stream, e.g.
+    * `SELECT * FROM unique_ever('events', 'event_id', 'user_id')`.
+    */
+  def registerTableFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+    def plan(df: DataFrame): LogicalPlan = GraftColumnBridge.plan(df)
+    def keysFrom(es: Seq[Expression]): Seq[String] =
+      es.map(litStr(_, "key column")) match {
+        case Nil => throw new IllegalArgumentException("at least one key column required")
+        case ks => ks
+      }
+    reg.createOrReplaceTempFunction("unique_ever", es =>
+      plan(operators.UniqueOps.everCurrent(tableArg(spark, es.head),
+        keysFrom(es.drop(2)), litStr(es(1), "seq column"))), "internal")
+    reg.createOrReplaceTempFunction("unique_first", es =>
+      plan(operators.UniqueOps.first(tableArg(spark, es.head),
+        keysFrom(es.drop(2)), litStr(es(1), "seq column")).current), "internal")
+    reg.createOrReplaceTempFunction("unique_length", es =>
+      plan(operators.UniqueOps.length(tableArg(spark, es.head),
+        keysFrom(es.drop(3)), litStr(es(1), "seq column"),
+        litLong(es(2), "window length").toInt).current), "internal")
+    reg.createOrReplaceTempFunction("unique_time", es =>
+      plan(operators.UniqueOps.time(tableArg(spark, es.head),
+        keysFrom(es.drop(4)), litStr(es(1), "seq column"),
+        litStr(es(2), "ts column"), litLong(es(3), "window ms")).current), "internal")
+    reg.createOrReplaceTempFunction("unique_deduplicate", es =>
+      plan(operators.UniqueOps.deduplicate(tableArg(spark, es.head),
+        keysFrom(es.drop(4)), litStr(es(1), "seq column"),
+        litStr(es(2), "ts column"), litLong(es(3), "interval ms")).current), "internal")
   }
 }

@@ -16,4 +16,16 @@ object GraftColumnBridge {
     */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame over a logical plan (`Dataset.ofRows` is private[sql]) —
+    * lets table-function builders hand a TABLE(...) argument's plan to the
+    * DataFrame-level operators and return the composed plan.
+    */
+  def dataset(spark: SparkSession,
+              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (classic-only API). */
+  def plan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }

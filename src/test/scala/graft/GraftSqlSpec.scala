@@ -43,6 +43,50 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(e != null) // parse/analysis failure either way — never silent
   }
 
+  test("unique window operators run as table-valued functions in FROM") {
+    Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 3L), (4L, "a", 4L), (5L, "c", 5L))
+      .toDF("ms", "ip", "seq")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("ms")))
+      .createOrReplaceTempView("logins_tvf")
+    val ever = spark.sql(
+      "SELECT ip, seq FROM unique_ever('logins_tvf', 'seq', 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(ever === Set(("a", 4L), ("b", 3L), ("c", 5L)))
+    val first = spark.sql(
+      "SELECT ip, seq FROM unique_first('logins_tvf', 'seq', 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(first === Set(("a", 1L), ("b", 3L), ("c", 5L)))
+    val len = spark.sql(
+      "SELECT ip, seq FROM unique_length('logins_tvf', 'seq', 2, 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(len === Set(("a", 4L), ("c", 5L))) // 2 most recent distinct keys
+    val dedup = spark.sql(
+      "SELECT ip, seq FROM unique_deduplicate('logins_tvf', 'seq', 'ts', 2, 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(dedup === Set(("a", 1L), ("b", 3L), ("a", 4L), ("c", 5L))) // a@2 within 2ms of a@1
+    // TVFs compose with ordinary SQL: joins, filters, aggregation
+    val agg = spark.sql(
+      """SELECT count(*) AS n FROM unique_ever('logins_tvf', 'seq', 'ip') w
+        |JOIN logins_tvf l ON w.seq = l.seq WHERE l.ms > 2""".stripMargin)
+      .as[Long].head()
+    assert(agg === 3L)
+  }
+
+  test("TVFs accept the ANSI TABLE(...) argument form") {
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("seq", "ip")
+      .createOrReplaceTempView("t_table_arg")
+    val r = spark.sql("SELECT ip, seq FROM unique_ever(TABLE(t_table_arg), 'seq', 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(r === Set(("a", 2L), ("b", 3L)))
+  }
+
+  test("TVF validation fails eagerly on bad arguments") {
+    intercept[Exception](spark.sql("SELECT * FROM unique_ever('logins_tvf', 'seq')").collect())
+    intercept[Exception](
+      spark.sql("SELECT * FROM unique_ever('no_such_table', 'seq', 'ip')").collect())
+  }
+
   test("simhash from SQL equals simhash from the Scala API") {
     val viaSql = spark.sql("SELECT graft_simhash(graft_tokenize('alpha beta gamma'))")
       .as[Long].head()
