@@ -37,9 +37,10 @@ final case class UniqueResult(current: DataFrame, expired: DataFrame) {
   * The two operators whose reference semantics are inherently global-order
   * sequential (`lengthBatch`/`firstLengthBatch` count-trigger; SURVEY.md
   * §7.4.3) isolate the sequential part to a single-partition pass over a
-  * tiny two-column (seq, key) projection — no driver-side collect, no
-  * broadcast of data-proportional state — and keep the per-key
-  * replace/keep-first step fully parallel.
+  * tiny two-column (seq, key) projection that emits only batch BOUNDARY
+  * intervals (data/n-proportional); events pick up their batch id via a
+  * broadcast range join and the per-key replace/keep-first step stays
+  * fully parallel. No driver-side collect anywhere.
   */
 object UniqueOps {
   private val RN = "__graft_rn"
@@ -208,68 +209,83 @@ object UniqueOps {
   //    (UniqueLengthBatchWindowProcessor.java:165-197). The count trigger
   //    depends on global arrival order + per-batch distinct count — an
   //    inherently sequential decision (SURVEY.md §7.4.3). We fold over the
-  //    (seq, key) projection on a single partition (tiny: two columns) and
-  //    emit (seq, batch_id) assignments directly from the fold — then join
-  //    them back onto the full rows with a shuffled EQUI-join: nothing
-  //    data-proportional ever visits the driver or a broadcast. Events
-  //    after the last flush are pending (never emitted), matching the
-  //    reference's observable output; the fold drops them (batch_id = -1).
+  //    (seq, key) projection on a single partition (tiny: two columns),
+  //    emit one (batch_id, lo, hi] interval per flush, and range-join the
+  //    intervals back onto the full rows via broadcast: nothing
+  //    data-proportional ever visits the driver, and the single partition
+  //    ships ~data/n rows. Events after the last flush are pending (never
+  //    emitted), matching the reference's observable output; they match no
+  //    interval and drop out of the inner join.
   // ------------------------------------------------------------------
   def lengthBatch(df: DataFrame, keys: Seq[String], seqCol: String, n: Int,
                   keepFirst: Boolean = false): UniqueResult = {
     validate(df, keys, seqCol, n = Some(n))
     val kWidth = keys.length
     // fold: running distinct-key set over the tiny (seq, key) projection on
-    // one partition; flush (assign next batch id) at size n. Each call
-    // builds a FRESH plan (distinct closure identity), so persisting one
-    // copy never pollutes the other's execution.
-    def assignments(): DataFrame = {
+    // one partition; flush at size n. The fold emits only BOUNDARY
+    // INTERVALS (batch_id, lo, hi] — one row per flushed batch, ~n× fewer
+    // rows than per-event assignments — so the single partition's shuffle
+    // output is boundary-sized, and events get their batch id from a
+    // BROADCAST range join (map-side, no shuffle) instead of an equi-join
+    // against a single-partition-produced table. The sequential distinct
+    // count itself is inherent to the reference's global-order trigger
+    // (UniqueLengthBatchWindowProcessor.java:165, SURVEY.md §7.4.3);
+    // intervals are data/n-proportional, so the broadcast regime holds to
+    // millions of batches (~tens of MB) — beyond that the trigger chain
+    // itself is the ceiling, not this join.
+    val intervals: DataFrame = {
       val seqKey = df.select((col(seqCol).cast("long").as("__s") +: keys.map(col)): _*)
         .repartition(1).sortWithinPartitions("__s")
-      implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
       seqKey.mapPartitions { it =>
         val cur = scala.collection.mutable.HashSet.empty[Seq[Any]]
         var batch = 0L
-        val pending = scala.collection.mutable.ArrayBuffer.empty[Long]
-        // lazy flat-map: memory bounded by one batch's events, emits per flush;
-        // the pending tail (unflushed at end of input) is never emitted
+        var lo = Long.MinValue // exclusive lower bound of the filling batch
+        // memory: O(n) key set — pending events are never buffered; the
+        // unflushed tail (no n-th distinct key) emits no interval
         it.flatMap { r =>
           val s = r.getLong(0)
-          val k: Seq[Any] = (1 to kWidth).map(r.get)
-          cur += k
-          pending += s
+          if (lo == Long.MinValue) lo = s - 1 // anchor batch 0 at the first event
+          cur += ((1 to kWidth).map(r.get))
           if (cur.size == n) {
-            val chunk = pending.map(p => (p, batch)).toList
-            pending.clear(); cur.clear(); batch += 1
-            chunk
-          } else Nil
+            val iv = (batch, lo, s)
+            cur.clear(); batch += 1; lo = s
+            Iterator.single(iv)
+          } else Iterator.empty
         }
-      }(enc).toDF("__s", "__batch_id")
+      }(enc).toDF("__batch_id", "__lo", "__hi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    def curFrom(assigned: DataFrame): DataFrame = {
-      val tagged = df.join(assigned, col(seqCol).cast("long") === col("__s"))
-        .drop("__s")
+    def cur(): DataFrame = {
+      val s = col(seqCol).cast("long")
+      // bucketed range join: W ≈ mean interval width (computed in-plan, no
+      // driver action); each interval explodes into its covered W-buckets
+      // (~2 rows each), events hash-join on their bucket and the exact
+      // (lo, hi] predicate filters the 1-3 candidates. Broadcast HASH join
+      // — codegen'd, O(events), unlike a nested-loop scan of all intervals
+      // per event (O(events × batches), quadratic at scale).
+      val wRow = intervals.agg(
+        greatest(lit(1L), ((max(col("__hi")) - min(col("__lo"))) / count(lit(1)))
+          .cast("long")).as("__w"))
+      val ivBuckets = intervals.crossJoin(wRow)
+        .select(col("__batch_id"), col("__lo"), col("__hi"),
+          explode(sequence(floor(col("__lo") / col("__w")),
+            floor(col("__hi") / col("__w")))).as("__b"))
+      val tagged = df.crossJoin(broadcast(wRow))
+        .withColumn("__b", floor(s / col("__w")))
+        .join(broadcast(ivBuckets), Seq("__b"))
+        .filter(s > col("__lo") && s <= col("__hi"))
+        .drop("__b", "__w", "__lo", "__hi")
       rowPerGroup(tagged, col("__batch_id") +: keys.map(col), seqCol, !keepFirst)
         .withColumnRenamed("__batch_id", "batch_id")
     }
-    // current-only path: NO persist — the fold runs exactly once, and the
-    // plan pays no cache-write tax (measured 0.55 s vs 0.79 s at sf0.1).
-    val cur = curFrom(assignments())
-    // expired path: its plan consumes the assignments TWICE (the main
-    // branch and the last-batch agg), so it gets its own persisted copy —
-    // unpersisted, the single-partition fold re-ran per consumer (measured
-    // 1.54 s vs 1.22 s at sf0.1). The cache entry lives until the session
-    // evicts it (MEMORY_AND_DISK is LRU-evictable); callers running many
-    // expired-consuming lengthBatch calls in one long session can reclaim
-    // eagerly with spark.catalog.clearCache().
-    val assignedP = assignments()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // max over the assignments == max over cur (every flushed batch id
-    // appears in both), and it avoids re-running cur's groupBy
-    val lastBatch = assignedP.agg(max(col("__batch_id")).as("__last"))
-    val expired = curFrom(assignedP).crossJoin(broadcast(lastBatch))
+    // both outputs consume the SAME persisted interval frame (it is tiny —
+    // one row per batch); long-lived sessions reclaim with
+    // spark.catalog.clearCache()
+    val lastBatch = intervals.agg(max(col("__batch_id")).as("__last"))
+    val expired = cur().crossJoin(broadcast(lastBatch))
       .filter(col("batch_id") < col("__last")).drop("__last")
-    UniqueResult(cur, expired)
+    UniqueResult(cur(), expired)
   }
 
   def firstLengthBatch(df: DataFrame, keys: Seq[String], seqCol: String, n: Int): UniqueResult =

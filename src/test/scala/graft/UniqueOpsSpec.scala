@@ -328,15 +328,19 @@ class UniqueOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("SinglePartition"))
   }
 
-  test("lengthBatch single-partition stage sees only the (seq, keys) projection") {
+  test("lengthBatch single partition emits boundary intervals; full rows join via broadcast") {
     // the sequential fold is inherent (reference trigger is global); the
-    // guard is that ONLY the 2-column projection passes through the
-    // single partition, and the full rows are assigned via an equi-join
+    // guards are (a) only the 2-column projection passes through the
+    // single partition, (b) the fold's output is the boundary-interval
+    // table, broadcast into a range join — the full rows never shuffle
+    // into or out of the sequential stage
     val df = logins((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
     val cur = UniqueOps.lengthBatch(df, Seq("ip"), "seq", 2).current
     val plan = cur.queryExecution.executedPlan.toString
     assert(plan.contains("SinglePartition"))
-    assert(!plan.toLowerCase.contains("broadcastnestedloop"))
+    // bucketed interval assignment: a broadcast HASH join on the bucket id
+    // (linear in events), never a per-event scan of all intervals
+    assert(plan.contains("BroadcastHashJoin"))
     assert(cur.count() === 4)
   }
 
