@@ -174,6 +174,15 @@ object SparkEntry {
     "timebatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "ts", 2000, "append")(sdf =>
         streaming.UniqueStreams.timeBatchStream(sdf, Seq("user_id"), "event_id", "ts", DAY))),
+    "firsttimebatch_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "ts", 2000, "append")(sdf =>
+        streaming.UniqueStreams.timeBatchStream(sdf, Seq("user_id"), "event_id", "ts", DAY,
+          keepFirst = true))),
+    "firstlengthbatch_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40,
+          keepFirst = true))
+        .filter(col("change") === "insert").drop("change")),
     // The events table's ts is monotone in event_id (checked per-sf), so
     // event_id-ordered feeding keeps the watermark monotone for the
     // event-time operators below — nothing is dropped as late.
@@ -398,6 +407,14 @@ object SparkEntry {
            |  FROM events) WHERE rn > 1""".stripMargin,
       "lengthbatch_stream_replay" -> lengthBatchOracle(latest = true),
       "timebatch_stream_replay" -> timebatchExpiredSql,
+      "firstlengthbatch_stream_replay" -> lengthBatchOracle(latest = false),
+      // append output = closed windows only (the last window is still open)
+      "firsttimebatch_stream_replay" ->
+        s"""SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id ASC) AS rn
+           |  FROM events) WHERE rn = 1
+           |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin,
       // firstStream emits exactly the first-per-key rows (state = seen flag)
       "first_stream_replay" -> firstCurrentSql,
       // lengthStream's accumulated log: every event 'insert' once; every
