@@ -54,6 +54,10 @@ object StreamBench {
       run("ever", ms => UniqueStreams.everStream(ms.toDF(), Seq("key")), OutputMode.Update()),
       run("timeBatch", ms => UniqueStreams.timeBatchStream(ms.toDF(), Seq("key"), "seq", "ts", 60000L), OutputMode.Append()),
       run("time", ms => UniqueStreams.timeStream(ms.toDF(), Seq("key"), "ts", 120000L), OutputMode.Update()),
+      run("deduplicateExact", ms => UniqueStreams.deduplicateStreamExact(
+        ms.toDF(), Seq("key"), "seq", "ts", 5000L), OutputMode.Update()),
+      run("everTtl", ms => UniqueStreams.everStreamTtl(
+        ms.toDF(), Seq("key"), "ts", ttlMs = 300000L), OutputMode.Update()),
     )
     val qs = results.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs}""")
