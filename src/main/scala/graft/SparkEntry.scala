@@ -165,6 +165,11 @@ object SparkEntry {
     "ever_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.everStream(sdf, Seq("user_id"), Some("event_id")))),
+    // composite-key streaming state (the struct-key analog of ever_multikey)
+    "ever_multikey_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.everStream(sdf, Seq("user_id", "event_type"),
+          Some("event_id")))),
     "lengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40))
@@ -404,6 +409,12 @@ object SparkEntry {
            |UNION ALL
            |SELECT $EVSQL, 'expire' AS change FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn > 1""".stripMargin,
+      "ever_multikey_stream_replay" ->
+        s"""SELECT $EVSQL, 'insert' AS change FROM events
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn > 1""".stripMargin,
       "lengthbatch_stream_replay" -> lengthBatchOracle(latest = true),
       "timebatch_stream_replay" -> timebatchExpiredSql,

@@ -65,6 +65,11 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
       "SELECT ip, seq FROM unique_deduplicate('logins_tvf', 'seq', 'ts', 2, 'ip')")
       .as[(String, Long)].collect().toSet
     assert(dedup === Set(("a", 1L), ("b", 3L), ("a", 4L), ("c", 5L))) // a@2 within 2ms of a@1
+    val time = spark.sql(
+      "SELECT ip, seq FROM unique_time('logins_tvf', 'seq', 'ts', 3, 'ip')")
+      .as[(String, Long)].collect().toSet
+    // horizon = max ms (5) - 3 → latest-per-key with ms > 2
+    assert(time === Set(("a", 4L), ("b", 3L), ("c", 5L)))
     // TVFs compose with ordinary SQL: joins, filters, aggregation
     val agg = spark.sql(
       """SELECT count(*) AS n FROM unique_ever('logins_tvf', 'seq', 'ip') w

@@ -381,6 +381,38 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Set(("a", 2L, "close", 1100L), ("b", 3L, "close", 1100L)))
   }
 
+  test("lengthBatchStream restores the global fold state (kryo GlobalState) after a restart") {
+    val ckpt = Files.createTempDirectory("ckpt_lb_restart").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+    def run(ms: MemoryStream[Login]): StreamingQuery =
+      UniqueStreams.lengthBatchStream(
+          ms.toDF().withColumn("seq", col("seq").cast("long")), Seq("ip"), "seq", 2)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("change", "seq", "batch_id").collect()
+            .foreach(r => sink.add((r.getString(0), r.getLong(1), r.getLong(2))))
+        }
+        .start()
+    val ms1 = MemoryStream[Login]
+    val q1 = run(ms1)
+    ms1.addData(login(1, "a", 1)) // batch 0 half-filled: pending {a}
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: the half-filled batch (pending rows +
+    // distinct-key set + batch counter) must survive the restart — the
+    // engine-level equivalent of the reference's snapshot/restore
+    // (UniqueLengthBatchWindowProcessor.java state map, SURVEY.md §1.5)
+    ms1.addData(login(2, "b", 2)) // 2nd distinct key → flush batch 0
+    val q2 = run(ms1)
+    q2.processAllAvailable()
+    q2.stop()
+    val inserts = sink.toArray(Array.empty[(String, Long, Long)]).toSeq
+      .filter(_._1 == "insert")
+    assert(inserts.map(t => (t._2, t._3)).toSet === Set((1L, 0L), (2L, 0L)),
+      s"pre-restart pending row must flush in batch 0 after restart, got $inserts")
+  }
+
   test("everStream restores keyed state from the checkpoint after a restart") {
     val ckpt = Files.createTempDirectory("ckpt_restart").toString
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
