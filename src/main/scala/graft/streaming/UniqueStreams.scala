@@ -255,6 +255,64 @@ object UniqueStreams {
       }(stateEnc, outEnc)
   }
 
+  /** unique:ever on Spark 4's `transformWithState` — the modern arbitrary-
+    * state API (SPARK-46815): typed per-key `ValueState` with an optional
+    * BUILT-IN processing-time TTL (the engine evicts idle keys; no manual
+    * timeout bookkeeping like everStreamTtl's), schema-evolution-capable
+    * state, and first-class RocksDB backing. Semantics match `everStream`
+    * exactly (latest per key; replacement emits "expire"); with `ttl` set,
+    * a key idle longer than the TTL is forgotten silently, the
+    * wall-clock analog of `everStreamTtl`'s event-time eviction.
+    *
+    * Requires the RocksDB state store provider (`useRocksDBStateStore`) —
+    * transformWithState does not run on the HDFS-backed store. With `ttl`
+    * set the query runs in TimeMode.ProcessingTime, where the engine
+    * always schedules another micro-batch — `processAllAvailable()` never
+    * returns; poll the sink instead (same caveat as ProcessingTimeTimeout).
+    */
+  def everStreamTws(sdf: DataFrame, keys: Seq[String],
+                    seqCol: Option[String] = None,
+                    ttl: Option[java.time.Duration] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    val inSchema = sdf.schema
+    val outSchema = inSchema.add("change", "string")
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+    val keyedSchema = keyed.schema
+    val kIdx = keyedSchema.fieldIndex("__k")
+    val sIdx = seqCol.map(keyedSchema.fieldIndex)
+    val rowEnc = Encoders.row(keyedSchema)
+    val outEnc = Encoders.row(outSchema)
+    val n = inSchema.length
+    val ttlConfig = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val processor = new StatefulProcessor[String, Row, Row] {
+      @transient private var latest: org.apache.spark.sql.streaming.ValueState[Row] = _
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        latest = getHandle.getValueState[Row]("latest", rowEnc, ttlConfig)
+      override def handleInputRows(key: String, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var cur = if (latest.exists()) latest.get() else null
+        val ordered = sIdx match {
+          case Some(i) => sortedBySeq(rows, i)
+          case None => rows
+        }
+        ordered.foreach { r =>
+          if (cur != null)
+            out += Row.fromSeq(cur.toSeq.take(n) :+ "expire")
+          cur = r
+          out += Row.fromSeq(r.toSeq.take(n) :+ "insert")
+        }
+        if (cur != null) latest.update(cur)
+        out.iterator
+      }
+    }
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(kIdx))(Encoders.STRING)
+      .transformWithState[Row](processor, timeMode, OutputMode.Update())
+  }
+
   /** unique:time — sliding window of windowMs holding latest-unique per
     * key; replacement expires the old row immediately, aging-out expires
     * it on watermark passage (UniqueTimeWindowProcessor.java:177-212,

@@ -245,6 +245,44 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(!out.contains(("expire", 1)), s"evicted key must not expire, got $out")
   }
 
+  test("everStreamTws (transformWithState) matches everStream; TTL state path runs") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark) // transformWithState requires RocksDB
+    try {
+      for ((ttl, name) <- Seq((None, "tws_plain"),
+        (Some(java.time.Duration.ofMinutes(10)), "tws_ttl"))) {
+        val ms = MemoryStream[Login]
+        val q = startQuery(
+          UniqueStreams.everStreamTws(ms.toDF(), Seq("ip"), Some("seq"), ttl),
+          name, OutputMode.Update())
+        // NOTE: with TimeMode.ProcessingTime (the TTL case) the engine
+        // always claims another batch is due, so processAllAvailable never
+        // returns — poll the sink instead (same engine behavior as
+        // ProcessingTimeTimeout, see the externalTimeBatch time.out test)
+        def rows(): Seq[(String, Int)] =
+          spark.table(name).select("change", "seq").as[(String, Int)].collect().toSeq
+        def await(cond: => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 30000
+          while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+          assert(cond, s"$name timed out waiting for sink rows; got ${rows()}")
+        }
+        ms.addData(login(1, "192.10.1.3", 1), login(2, "192.10.1.3", 2), login(3, "192.10.1.4", 3))
+        await(rows().count(_._1 == "insert") == 3)
+        ms.addData(login(4, "192.10.1.3", 4), login(5, "192.10.1.5", 5))
+        await(rows().count(_._1 == "insert") == 5)
+        val out = rows()
+        q.stop()
+        // same fixture + assertions as the everStream test above
+        assert(out.filter(_._1 == "insert").map(_._2).toSet === Set(1, 2, 3, 4, 5), name)
+        assert(out.filter(_._1 == "expire").map(_._2).toSet === Set(1, 2), name)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("everStream runs on the RocksDB state store backend") {
     import scala.jdk.CollectionConverters._
     val key = "spark.sql.streaming.stateStore.providerClass"
