@@ -58,6 +58,11 @@ object StreamBench {
         ms.toDF(), Seq("key"), "seq", "ts", 5000L), OutputMode.Update()),
       run("everTtl", ms => UniqueStreams.everStreamTtl(
         ms.toDF(), Seq("key"), "ts", ttlMs = 300000L), OutputMode.Update()),
+      // transformWithState requires the RocksDB provider; run last so the
+      // provider switch doesn't touch the HDFS-backed runs above
+      { UniqueStreams.useRocksDBStateStore(spark)
+        run("everTws", ms => UniqueStreams.everStreamTws(
+          ms.toDF(), Seq("key")), OutputMode.Update()) },
     )
     val qs = results.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
     println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs}""")
