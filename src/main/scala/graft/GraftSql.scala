@@ -70,11 +70,16 @@ object GraftSql {
     case other => spark.table(litStr(other, "table argument"))
   }
 
-  /** Registers `unique_ever(t, seq, key...)`, `unique_first(t, seq,
-    * key...)`, `unique_length(t, seq, n, key...)`, `unique_time(t, seq,
-    * ts, window_ms, key...)`, `unique_deduplicate(t, seq, ts, interval_ms,
-    * key...)` — each returns the operator's CURRENT stream, e.g.
-    * `SELECT * FROM unique_ever('events', 'event_id', 'user_id')`.
+  /** Registers all 11 reference windows as TVFs, each returning the
+    * operator's CURRENT stream, e.g.
+    * `SELECT * FROM unique_ever('events', 'event_id', 'user_id')`:
+    * `unique_ever(t, seq, key...)`, `unique_first(t, seq, key...)`,
+    * `unique_length(t, seq, n, key...)`, `unique_length_batch` /
+    * `unique_first_length_batch(t, seq, n, key...)`,
+    * `unique_time` / `unique_time_batch` / `unique_first_time_batch` /
+    * `unique_external_time_batch(t, seq, ts, window_ms, key...)`,
+    * `unique_time_length_batch(t, seq, ts, window_ms, n, key...)`,
+    * `unique_deduplicate(t, seq, ts, interval_ms, key...)`.
     */
   def registerTableFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
@@ -102,5 +107,31 @@ object GraftSql {
       plan(operators.UniqueOps.deduplicate(tableArg(spark, es.head),
         keysFrom(es.drop(4)), litStr(es(1), "seq column"),
         litStr(es(2), "ts column"), litLong(es(3), "interval ms")).current), "internal")
+    // the remaining reference windows, completing all 11 as SQL TVFs
+    reg.createOrReplaceTempFunction("unique_time_batch", es =>
+      plan(operators.UniqueOps.timeBatch(tableArg(spark, es.head),
+        keysFrom(es.drop(4)), litStr(es(1), "seq column"),
+        litStr(es(2), "ts column"), litLong(es(3), "window ms")).current), "internal")
+    reg.createOrReplaceTempFunction("unique_first_time_batch", es =>
+      plan(operators.UniqueOps.firstTimeBatch(tableArg(spark, es.head),
+        keysFrom(es.drop(4)), litStr(es(1), "seq column"),
+        litStr(es(2), "ts column"), litLong(es(3), "window ms")).current), "internal")
+    reg.createOrReplaceTempFunction("unique_external_time_batch", es =>
+      plan(operators.UniqueOps.externalTimeBatch(tableArg(spark, es.head),
+        keysFrom(es.drop(4)), litStr(es(1), "seq column"),
+        litStr(es(2), "ts column"), litLong(es(3), "window ms")).current), "internal")
+    reg.createOrReplaceTempFunction("unique_length_batch", es =>
+      plan(operators.UniqueOps.lengthBatch(tableArg(spark, es.head),
+        keysFrom(es.drop(3)), litStr(es(1), "seq column"),
+        litLong(es(2), "window length").toInt).current), "internal")
+    reg.createOrReplaceTempFunction("unique_first_length_batch", es =>
+      plan(operators.UniqueOps.firstLengthBatch(tableArg(spark, es.head),
+        keysFrom(es.drop(3)), litStr(es(1), "seq column"),
+        litLong(es(2), "window length").toInt).current), "internal")
+    reg.createOrReplaceTempFunction("unique_time_length_batch", es =>
+      plan(operators.UniqueOps.timeLengthBatch(tableArg(spark, es.head),
+        keysFrom(es.drop(5)), litStr(es(1), "seq column"),
+        litStr(es(2), "ts column"), litLong(es(3), "window ms"),
+        litLong(es(4), "window length").toInt).current), "internal")
   }
 }

@@ -78,6 +78,27 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(agg === 3L)
   }
 
+  test("all 11 reference windows are callable as TVFs (batch-family spot checks)") {
+    // fixture from the TVF test above: (ms, ip, seq) = (1,a,1) (2,a,2)
+    // (3,b,3) (4,a,4) (5,c,5); counts hand-derived per operator semantics
+    def n(sql: String): Long = spark.sql(sql).count()
+    assert(n("SELECT * FROM unique_time_batch('logins_tvf', 'seq', 'ts', 2, 'ip')") === 5L)
+    assert(n("SELECT * FROM unique_first_time_batch('logins_tvf', 'seq', 'ts', 2, 'ip')") === 5L)
+    assert(n("SELECT * FROM unique_external_time_batch('logins_tvf', 'seq', 'ts', 2, 'ip')") === 4L)
+    val lb = spark.sql(
+      "SELECT ip, seq FROM unique_length_batch('logins_tvf', 'seq', 2, 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(lb === Set(("a", 2L), ("b", 3L), ("a", 4L), ("c", 5L)))
+    val flb = spark.sql(
+      "SELECT ip, seq FROM unique_first_length_batch('logins_tvf', 'seq', 2, 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(flb === Set(("a", 1L), ("b", 3L), ("a", 4L), ("c", 5L)))
+    val tlb = spark.sql(
+      "SELECT ip, seq FROM unique_time_length_batch('logins_tvf', 'seq', 'ts', 10, 2, 'ip')")
+      .as[(String, Long)].collect().toSet
+    assert(tlb === Set(("a", 2L), ("b", 3L))) // length flush at 2nd distinct key, then latch
+  }
+
   test("TVFs accept the ANSI TABLE(...) argument form") {
     Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("seq", "ip")
       .createOrReplaceTempView("t_table_arg")
