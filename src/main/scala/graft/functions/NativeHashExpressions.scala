@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native (whole-stage-codegen) Catalyst expressions for the near-dup hot
+  * path. The HOF forms (`transform`/`zip_with` lambdas) execute their
+  * lambda INTERPRETED per array element (measured: the dominant cost of
+  * the minhash/ngram pipelines); these expressions fuse the same math
+  * into one generated Java loop, bit-identical to the HOF results:
+  *
+  *  - `xxhash64(x)`            = XXH64.hashUTF8String(x, 42)
+  *  - `xxhash64(x, y)`         = hashLong(y, hashLong(x, 42))  (chained)
+  *  - `xxhash64(null, y)`      = hashLong(y, 42)               (null skipped)
+  *
+  * Fusing also removes algebraic redundancy the expression tree cannot
+  * see: the k seeded rehashes share one `hashLong(h, 42)` per element
+  * (the HOF form recomputes it k times).
+  *
+  * The md5-family twins (DuckDB-checkable) stay on the generic column
+  * forms — these expressions only accelerate the xxhash64 production
+  * paths, whose equality with the HOF construction is pinned by tests.
+  */
+object NativeHashExpressions {
+  private[functions] val XXH = classOf[XXH64].getName
+}
+
+/** MinHash signature over pre-hashed shingles: for i in 0..k-1,
+  * sig(i) = min over elements h of xxhash64(h, i) — one fused loop,
+  * base-hash `hashLong(h, 42)` computed once per element.
+  * Input array<long> (null elements hash like the HOF: skipped → seed),
+  * output array<long> of length k (never null elements).
+  */
+case class XxMinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, s"signature size must be positive, got $k")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xx_minhash_signature"
+  override protected def withNewChildInternal(newChild: Expression): XxMinhashSignature =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = Array.fill(k)(Long.MaxValue)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      val b = if (arr.isNullAt(j)) 42L else XXH64.hashLong(arr.getLong(j), 42L)
+      var i = 0
+      while (i < k) {
+        // the HOF form is xxhash64(h, lit(i)) with an INT literal — the
+        // expression hashes ints via hashInt, not hashLong
+        val h = XXH64.hashInt(i, b)
+        if (h < acc(i)) acc(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = NativeHashExpressions.XXH
+      val acc = ctx.freshName("acc")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $acc = new long[$k];
+         |java.util.Arrays.fill($acc, Long.MAX_VALUE);
+         |final int $m = $c.numElements();
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final long $b = $c.isNullAt($j) ? 42L : $xxh.hashLong($c.getLong($j), 42L);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    final long $h = $xxh.hashInt($i, $b);  // int literal seed, like xxhash64(h, lit(i))
+         |    if ($h < $acc[$i]) $acc[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($acc);
+         |""".stripMargin
+    })
+}
+
+/** n-gram shingle hashes straight from the token array: th(j) =
+  * xxhash64(tok(j)); shingle(p) = left fold of th(p..p+n-1) with
+  * xxhash64(x, y). Output length max(|toks| - n + 1, 0); n = 1 gives the
+  * plain per-token hash array. Null tokens hash to the seed (42), exactly
+  * like `xxhash64(null)`.
+  */
+case class XxShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"shingle size must be positive, got $n")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xx_shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): XxShingleHashes =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val th = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      th(j) = if (arr.isNullAt(j)) 42L else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      j += 1
+    }
+    val out = new Array[Long](math.max(m - n + 1, 0))
+    var p = 0
+    while (p < out.length) {
+      var acc = th(p)
+      var q = 1
+      while (q < n) {
+        acc = XXH64.hashLong(th(p + q), XXH64.hashLong(acc, 42L))
+        q += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = NativeHashExpressions.XXH
+      val m = ctx.freshName("m")
+      val th = ctx.freshName("th")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $m = $c.numElements();
+         |final long[] $th = new long[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $th[$j] = $c.isNullAt($j) ? 42L : $xxh.hashUTF8String($c.getUTF8String($j), 42L);
+         |}
+         |final long[] $out = new long[java.lang.Math.max($m - $n + 1, 0)];
+         |for (int $p = 0; $p < $out.length; $p++) {
+         |  long $acc = $th[$p];
+         |  for (int $q = 1; $q < $n; $q++) {
+         |    $acc = $xxh.hashLong($th[$p + $q], $xxh.hashLong($acc, 42L));
+         |  }
+         |  $out[$p] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+}

@@ -71,21 +71,29 @@ object TextDedup {
     * k·|sh| long multiply-adds instead of k·|sh| string hashes.
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    minhashFromBaseHashes(transform(sh, s => xxhash64(s)), k)
+    minhashFromBaseHashes(shingleHashes(sh, 1), k) // n=1 = per-element xxhash64, native
 
-  /** Signature from pre-hashed shingles — materialize the base-hash array
-    * as its own column first so it isn't recomputed per hash function.
-    * Rehash = seeded xxhash64 over the 8-byte base value (an affine
-    * multiply would be cheaper still, but ANSI mode forbids wraparound
-    * long arithmetic and try_multiply nulls out exactly the bits we need).
+  /** Signature from pre-hashed shingles. The xxhash64 family runs as ONE
+    * native codegen'd expression (graft.functions.XxMinhashSignature):
+    * the HOF form (`k` × `array_min(transform(...))`) interprets its
+    * lambda per element AND recomputes the per-element base hash k times
+    * — the native loop does neither, with bit-identical output (pinned by
+    * LlmOpsSpec). The md5 family keeps the generic column form so the
+    * DuckDB twin stays expressible.
     */
   def minhashFromBaseHashes(baseHashes: Column, k: Int): Column =
     minhashFromBaseHashes(baseHashes, k, XxHash)
 
   private[llm] def minhashFromBaseHashes(baseHashes: Column, k: Int,
-                                         fam: HashFamily): Column =
-    array((0 until k).map(i =>
-      array_min(transform(baseHashes, h => fam.rehash(h, i)))): _*)
+                                         fam: HashFamily): Column = fam match {
+    case XxHash =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.XxMinhashSignature(
+          org.apache.spark.sql.GraftColumnBridge.expression(baseHashes), k))
+    case _ =>
+      array((0 until k).map(i =>
+        array_min(transform(baseHashes, h => fam.rehash(h, i)))): _*)
+  }
 
   /** 64-bit shingle hashes computed WITHOUT building shingle strings:
     * hash each token once, then fold n shifted hash arrays with
@@ -96,12 +104,20 @@ object TextDedup {
     */
   def shingleHashes(toks: Column, n: Int): Column = shingleHashes(toks, n, XxHash)
 
-  private[llm] def shingleHashes(toks: Column, n: Int, fam: HashFamily): Column = {
-    val th = transform(toks, t => fam.token(t))
-    val m = greatest(size(th) - (n - 1), lit(0))
-    (1 until n).foldLeft(slice(th, lit(1), m)) { (acc, j) =>
-      zip_with(acc, slice(th, lit(j + 1), m), (x, y) => fam.combine(x, y))
-    }
+  private[llm] def shingleHashes(toks: Column, n: Int, fam: HashFamily): Column = fam match {
+    // xxhash64: one native codegen'd loop (hash tokens once, fold n
+    // consecutive) — same values as the HOF fold below, no interpreted
+    // lambdas (graft.functions.XxShingleHashes; equality pinned in tests)
+    case XxHash =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.XxShingleHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(toks), n))
+    case _ =>
+      val th = transform(toks, t => fam.token(t))
+      val m = greatest(size(th) - (n - 1), lit(0))
+      (1 until n).foldLeft(slice(th, lit(1), m)) { (acc, j) =>
+        zip_with(acc, slice(th, lit(j + 1), m), (x, y) => fam.combine(x, y))
+      }
   }
 
   /** Exact duplicates: keep the lowest-id row per identical value of
@@ -236,7 +252,7 @@ object TextDedup {
     * Output: (id, simhash); docs with no tokens are absent.
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashDf(df, idCol, textCol, t => xxhash64(t), 64, "simhash")
+    simhashDf(df, idCol, textCol, toks => shingleHashes(toks, 1), 64, "simhash")
 
   /** DuckDB-checkable simhash twin: the per-token 64-bit hash is replaced
     * by the first 15 hex chars of md5 parsed as a 60-bit integer (both
@@ -245,13 +261,14 @@ object TextDedup {
     */
   def simhashDfMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashDf(df, idCol, textCol,
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), 60, "simhash_md5")
+      toks => transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
+      60, "simhash_md5")
 
   private[llm] def simhashDf(df: DataFrame, idCol: String, textCol: String,
-                             tokenHash: Column => Column, nBits: Int,
+                             tokenHashes: Column => Column, nBits: Int,
                              outCol: String): DataFrame = {
     val expl = df.select(col(idCol).as("id"),
-      explode(transform(tokenize(col(textCol)), tokenHash)).as("h"))
+      explode(tokenHashes(tokenize(col(textCol)))).as("h"))
     val counts = expl.groupBy("id").agg(
       count(lit(1)).as("__n"),
       (0 until nBits).map(b => sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"__c$b")): _*)

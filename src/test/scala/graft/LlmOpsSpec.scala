@@ -212,6 +212,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       f2.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
   }
 
+  test("native codegen hash expressions are bit-identical to the HOF construction") {
+    // the generic (lambda) forms the native expressions replaced, built
+    // inline: th = transform(xxhash64), shingle fold = zip_with(xxhash64),
+    // rehash_i = xxhash64(base, i)
+    val toks = TextDedup.tokenize(col("text"))
+    val thHof = transform(toks, t => xxhash64(t))
+    val m = greatest(size(thHof) - 2, lit(0))
+    val shHof = (1 until 3).foldLeft(slice(thHof, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(thHof, lit(j + 1), m), (x, y) => xxhash64(x, y))
+    }
+    val strSh = TextDedup.shingles(toks, 3)
+    val sigHof = array((0 until 8).map(i =>
+      array_min(transform(strSh, s => xxhash64(xxhash64(s), lit(i))))): _*)
+    val mism = docs.select(
+        TextDedup.shingleHashes(toks, 3).as("sh_native"), shHof.as("sh_hof"),
+        TextDedup.minhashSignature(strSh, 8).as("sig_native"), sigHof.as("sig_hof"))
+      .filter(col("sh_native") =!= col("sh_hof") || col("sig_native") =!= col("sig_hof"))
+      .count()
+    assert(mism === 0L, "native expressions must reproduce the HOF values exactly")
+    // and the plan is codegen'd — the native expression appears inside a
+    // WholeStageCodegen project, not a lambda evaluator
+    val plan = docs.select(TextDedup.shingleHashes(toks, 3)).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("xx_shingle_hashes"))
+  }
+
   test("near-dup pipelines report dropped buckets instead of silently capping") {
     // degenerate corpus: 30 identical docs + 2 genuine near-dups. With
     // maxBucket = 10 every bucket the identical docs share is over-cap —
