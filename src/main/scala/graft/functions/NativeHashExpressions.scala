@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native (whole-stage-codegen) Catalyst expressions for the near-dup hot
   * path. The HOF forms (`transform`/`zip_with` lambdas) execute their
@@ -151,6 +151,67 @@ case class XxShingleHashes(child: Expression, n: Int)
          |  $out[$p] = $acc;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+}
+
+/** Fused cosine similarity over two double arrays: dot product and both
+  * norms in ONE generated loop (the HOF form walks each array three
+  * times with interpreted lambdas, and recomputes the corpus-side norm
+  * for every query pair). Double accumulation matches the DuckDB oracle
+  * (CAST AS DOUBLE products) exactly. Null inputs or null elements →
+  * null; zero-norm side → 0.0; length mismatch → null.
+  */
+case class VecCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    if (m != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < m) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $m = $a.numElements();
+         |if ($m != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  boolean hasNull = false;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { hasNull = true; break; }
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (hasNull) { ${ev.isNull} = true; }
+         |  else if ($na == 0.0 || $nb == 0.0) { ${ev.value} = 0.0; }
+         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |}
          |""".stripMargin
     })
 }

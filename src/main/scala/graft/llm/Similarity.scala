@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (double accumulation). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    when(na === 0 || nb === 0, lit(0.0d)).otherwise(dot / (na * nb))
-  }
+  /** Cosine similarity of two float/double-array columns. One native
+    * codegen'd loop (graft.functions.VecCosine) computing dot + both
+    * norms with DOUBLE products — exactly the DuckDB oracle's
+    * `CAST(x AS DOUBLE) * CAST(y AS DOUBLE)` math; the previous HOF form
+    * multiplied in float and walked each array three times with
+    * interpreted lambdas.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.functions.VecCosine(
+      org.apache.spark.sql.GraftColumnBridge.expression(a.cast("array<double>")),
+      org.apache.spark.sql.GraftColumnBridge.expression(b.cast("array<double>"))))
 
   /** Exact brute-force cosine top-k: every query against every corpus row.
     * The query side is broadcast (must be small); the corpus streams
