@@ -25,10 +25,19 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       }
-    // JVM/codegen warm-up so the first timed query isn't charged ~5s of
-    // one-time Spark initialization
+    // JVM/codegen warm-up so the first timed query isn't charged one-time
+    // Spark initialization: a shuffling aggregate over a slice of the real
+    // table warms the janino compiler, exchange/shuffle stack, AQE, and
+    // parquet reader classes (measured: the alphabetically-first query was
+    // otherwise charged ~1.5-2 s of framework warm-up its plan doesn't own)
     spark.range(1000).selectExpr("sum(id)").collect()
-    Tables.events(spark, sfDir).limit(1).collect()
+    locally {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(spark, sfDir).limit(5000)
+      ev.groupBy("user_id")
+        .agg(max_by(struct(ev.columns.map(col): _*), col("event_id")).as("r"))
+        .groupBy("r.event_type").count().count()
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Benchmark = production paths: registered queries plus the xxhash64
     // production variants (benchQueries), MINUS the verification mirrors —
