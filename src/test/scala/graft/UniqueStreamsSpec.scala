@@ -451,6 +451,26 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
       s"pre-restart pending row must flush in batch 0 after restart, got $inserts")
   }
 
+  test("file source end-to-end: readStream parquet -> everStream -> sink equals batch") {
+    // the production ingest path (not MemoryStream): events land as
+    // parquet files, readStream picks them up per micro-batch
+    val dir = Files.createTempDirectory("fsrc").toString
+    val batch1 = Seq(login(1, "a", 1), login(2, "b", 2)).toDF()
+    val batch2 = Seq(login(3, "a", 3), login(4, "c", 4)).toDF()
+    batch1.write.parquet(s"$dir/f1")
+    val sdf = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+    val q = startQuery(UniqueStreams.everStream(sdf, Seq("ip"), Some("seq")),
+      "fsrc_s", OutputMode.Update())
+    q.processAllAvailable()
+    batch2.write.parquet(s"$dir/f2") // late-arriving file = next micro-batch
+    q.processAllAvailable()
+    val out = spark.table("fsrc_s").select("change", "seq").as[(String, Int)].collect().toSeq
+    q.stop()
+    assert(out.filter(_._1 == "insert").map(_._2).toSet === Set(1, 2, 3, 4))
+    assert(out.filter(_._1 == "expire").map(_._2).toSet === Set(1)) // a@1 replaced by a@3
+  }
+
   test("everStream restores keyed state from the checkpoint after a restart") {
     val ckpt = Files.createTempDirectory("ckpt_restart").toString
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
