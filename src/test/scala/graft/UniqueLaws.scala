@@ -112,6 +112,16 @@ object UniqueLaws extends Properties("UniqueOps") {
       cur == assignment.map { case ((k, b), s) => (k, b, s) }.toSet
     }
 
+  property("deduplicateSalted == deduplicate on random streams and intervals") =
+    forAll(streamGen, Gen.choose(1L, 2000L)) { (rows, interval) =>
+      val df = toDf(rows)
+      val plain = UniqueOps.deduplicate(df, Seq("key"), "seq", "ts", interval)
+        .current.select("key", "seq").as[(String, Int)].collect().toSet
+      val salted = UniqueOps.deduplicateSalted(df, Seq("key"), "seq", "ts", interval)
+        .current.select("key", "seq").as[(String, Int)].collect().toSet
+      salted == plain
+    }
+
   property("UniqueResult.all tags exactly current+expired") =
     forAll(streamGen) { rows =>
       val r = UniqueOps.ever(toDf(rows), Seq("key"), "seq")
