@@ -170,6 +170,19 @@ object SparkEntry {
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.everStream(sdf, Seq("user_id", "event_type"),
           Some("event_id")))),
+    // the transformWithState backend, same oracle as ever_stream_replay
+    // (requires the RocksDB provider — set for the run, then restored)
+    "ever_tws_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.everStreamTws(sdf, Seq("user_id"), Some("event_id")))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "lengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40))
@@ -415,6 +428,12 @@ object SparkEntry {
            |UNION ALL
            |SELECT $EVSQL, 'expire' AS change FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn > 1""".stripMargin,
+      "ever_tws_stream_replay" ->
+        s"""SELECT $EVSQL, 'insert' AS change FROM events
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn > 1""".stripMargin,
       "lengthbatch_stream_replay" -> lengthBatchOracle(latest = true),
       "timebatch_stream_replay" -> timebatchExpiredSql,
