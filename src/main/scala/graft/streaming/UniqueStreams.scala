@@ -135,11 +135,16 @@ object UniqueStreams {
     */
   def timeBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
                       tsCol: String, windowMs: Long, delayMs: Long = 0L,
-                      keepFirst: Boolean = false): DataFrame = {
+                      keepFirst: Boolean = false, startMs: Long = 0L): DataFrame = {
     val allCols = struct(sdf.columns.map(col): _*)
     val pick = if (keepFirst) min_by(allCols, col(seqCol)) else max_by(allCols, col(seqCol))
+    // startMs = the reference's optional start.time phase offset
+    // (UniqueTimeBatchWindowProcessor.java getNextEmitTime:302-305) —
+    // window()'s startTime shifts the tumbling grid by the same modulo
+    val w = window(col(tsCol), s"$windowMs milliseconds", s"$windowMs milliseconds",
+      s"${math.floorMod(startMs, windowMs)} milliseconds")
     sdf.withWatermark(tsCol, s"$delayMs milliseconds")
-      .groupBy((window(col(tsCol), s"$windowMs milliseconds") +: keys.map(col)): _*)
+      .groupBy((w +: keys.map(col)): _*)
       .agg(pick.as("__row"))
       .select((sdf.columns.map(c => col(s"__row.`$c`").as(c)) :+
         unix_millis(col("window.start")).as("batch_start_ms")): _*)
@@ -533,6 +538,8 @@ object UniqueStreams {
     * `batch_end_ms`. Update mode. Processing-time timeouts need a
     * periodic trigger (e.g. Trigger.ProcessingTime) to fire on idle.
     *
+    * `startMs` aligns batch boundaries to the reference's optional
+    * `start.time` grid instead of anchoring at the first event.
     * `timeOutMs <= 0` disables the idle flush entirely (the reference's
     * no-`time.out` form, UniqueExternalTimeBatchWindowProcessor.java:200-208):
     * batches close only when a later event crosses the boundary. This form
@@ -543,7 +550,8 @@ object UniqueStreams {
     */
   def externalTimeBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
                               tsCol: String, windowMs: Long,
-                              timeOutMs: Long): DataFrame = {
+                              timeOutMs: Long,
+                              startMs: Option[Long] = None): DataFrame = {
     val inSchema = sdf.schema
     val outSchema = inSchema.add("flush_kind", "string").add("batch_end_ms", "long")
     val keyed = sdf.withColumn("__k", jsonKey(keys))
@@ -580,8 +588,16 @@ object UniqueStreams {
               EtbState(Long.MinValue, Nil, sentIdle = false, dirty = false))
             sortedBySeq(rows, sIdx).foreach { r =>
               val ts = r.getAs[java.sql.Timestamp](tsIdx).getTime
-              if (st.endTimeMs == Long.MinValue)
-                st = st.copy(endTimeMs = ts + windowMs) // anchor at first event
+              if (st.endTimeMs == Long.MinValue) {
+                // anchor at the first event, or on the start.time grid when
+                // given (findEndTime modulo arithmetic,
+                // UniqueExternalTimeBatchWindowProcessor.java:454-458)
+                val end = startMs match {
+                  case Some(s0) => s0 + (Math.floorDiv(ts - s0, windowMs) + 1) * windowMs
+                  case None => ts + windowMs
+                }
+                st = st.copy(endTimeMs = end)
+              }
               while (ts >= st.endTimeMs) { // batch closes (monotonic input)
                 if (st.batch.nonEmpty) emit(st, if (st.sentIdle) "append" else "close")
                 st = EtbState(st.endTimeMs + windowMs, Nil, sentIdle = false, dirty = false)

@@ -399,6 +399,42 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === batch)
   }
 
+  test("start.time aligns the streaming batch grids (timeBatch + externalTimeBatch)") {
+    // timeBatchStream: startMs=500 shifts the tumbling grid to [500,1500)…
+    val ms1 = MemoryStream[Login]
+    val q1 = startQuery(
+      UniqueStreams.timeBatchStream(ms1.toDF(), Seq("ip"), "seq", "ts", 1000L,
+        startMs = 500L),
+      "tb_start_s", OutputMode.Append())
+    ms1.addData(login(600, "a", 1), login(700, "a", 2))
+    q1.processAllAvailable()
+    ms1.addData(login(2600, "b", 3)) // watermark 700: [500,1500) still open
+    q1.processAllAvailable()
+    ms1.addData(login(3600, "c", 4)) // watermark 2600 closes [500,1500)
+    q1.processAllAvailable()
+    val got1 = spark.table("tb_start_s").select("seq", "batch_start_ms")
+      .as[(Int, Long)].collect().toSet
+    q1.stop()
+    // a@2 latest in shifted [500,1500); b's [2500,3500) also closed once
+    // the final watermark (3600) passed its end
+    assert(got1 === Set((2, 500L), (3, 2500L)))
+    // externalTimeBatchStream: start.time grid instead of first-event anchor
+    val ms2 = MemoryStream[Login]
+    val q2 = startQuery(
+      UniqueStreams.externalTimeBatchStream(
+        ms2.toDF().withColumn("seq", col("seq").cast("long")),
+        Seq("ip"), "seq", "ts", 1000L, timeOutMs = 0L, startMs = Some(0L)),
+      "etb_start_s", OutputMode.Update())
+    ms2.addData(login(700, "a", 1)) // grid batch [0,1000), NOT [700,1700)
+    q2.processAllAvailable()
+    ms2.addData(login(1200, "b", 2)) // crosses 1000 → closes the grid batch
+    q2.processAllAvailable()
+    val got2 = spark.table("etb_start_s").select("seq", "batch_end_ms")
+      .as[(Long, Long)].collect().toSet
+    q2.stop()
+    assert(got2 === Set((1L, 1000L)))
+  }
+
   test("externalTimeBatchStream without time.out closes batches on boundary crossing only") {
     val ms = MemoryStream[Login]
     val q = startQuery(
