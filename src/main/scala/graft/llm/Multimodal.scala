@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * run as batched per-partition functions (the JVM analog of arrow-batched
   * Python UDFs — same batch shape, same schema contract).
   *
-  * Image decode is REAL: payloads whose magic bytes identify a JDK-decodable
-  * format (PNG/BMP/GIF/JPEG) go through `javax.imageio` and yield pixel-stat
-  * features; any other payload falls back to a deterministic byte-signature
-  * (the plumbing-test path — audio/video codecs don't ship with the JDK, so
-  * those kinds stay signature-only).
+  * Image and audio decode are REAL: payloads whose magic bytes identify a
+  * JDK-decodable format go through `javax.imageio` (PNG/BMP/GIF/JPEG →
+  * pixel stats) or `javax.sound.sampled` (RIFF/WAVE PCM → sample stats);
+  * any other payload falls back to a deterministic byte-signature (the
+  * plumbing-test path — video codecs don't ship with the JDK, so video
+  * stays signature + frame-sampling plumbing).
   *
   * Scale notes: payload bytes never pass through a shuffle — media
   * operators are projection-shaped (mapPartitions after pruning to the
@@ -100,10 +101,63 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE magic sniff for the audio decode path. */
+  private[llm] def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU ship with
+    * the JDK): 8 sample-stat features `[sample_rate, channels, n_samples,
+    * mean, mean_abs, rms, min, max]` over the signed PCM samples (raw
+    * sample units, all channels interleaved). None when the payload isn't
+    * decodable 8/16-bit signed PCM.
+    */
+  private[llm] def decodeAudioFeatures(payload: Array[Byte]): Option[Array[Float]] = {
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException |
+                   _: java.io.IOException => null }
+    if (in == null) None
+    else try {
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          (bits != 8 && bits != 16)) None
+      else {
+        val bytes = in.readAllBytes()
+        val big = fmt.isBigEndian
+        val n = if (bits == 8) bytes.length else bytes.length / 2
+        if (n == 0) None
+        else {
+          var sum = 0.0; var sumAbs = 0.0; var sumSq = 0.0
+          var minV = Int.MaxValue; var maxV = Int.MinValue
+          var i = 0
+          while (i < n) {
+            val s: Int =
+              if (bits == 8) bytes(i).toInt
+              else {
+                val b0 = bytes(2 * i) & 0xFF; val b1 = bytes(2 * i + 1) & 0xFF
+                val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                v.toShort.toInt
+              }
+            sum += s; sumAbs += math.abs(s); sumSq += s.toDouble * s
+            if (s < minV) minV = s
+            if (s > maxV) maxV = s
+            i += 1
+          }
+          Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat, n.toFloat,
+            (sum / n).toFloat, (sumAbs / n).toFloat, math.sqrt(sumSq / n).toFloat,
+            minV.toFloat, maxV.toFloat))
+        }
+      }
+    } finally in.close()
+  }
+
   /** Deterministic byte-signature features for payloads with no JDK codec
-    * (synthetic fixtures, audio/video): folded byte sums per lane, dims in
-    * lanes 0/1 — keeps non-image media testable end-to-end with the same
-    * 8-float output shape as the decoded path.
+    * (synthetic fixtures, video): folded byte sums per lane, dims in
+    * lanes 0/1 — keeps non-decodable media testable end-to-end with the
+    * same 8-float output shape as the decoded paths.
     */
   private def byteSignatureFeatures(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
     val n = 8
@@ -119,11 +173,13 @@ object Multimodal {
     out
   }
 
-  /** Feature dispatch: real ImageIO decode when the bytes are a decodable
-    * image, byte-signature otherwise.
+  /** Feature dispatch: real ImageIO decode for decodable images, real
+    * javax.sound decode for WAV payloads, byte-signature otherwise.
     */
   private def decodeFeatures(payload: Array[Byte], width: Int, height: Int): Array[Float] =
     if (looksLikeImage(payload)) decodeImageFeatures(payload)
+      .getOrElse(byteSignatureFeatures(payload, width, height))
+    else if (looksLikeWav(payload)) decodeAudioFeatures(payload)
       .getOrElse(byteSignatureFeatures(payload, width, height))
     else byteSignatureFeatures(payload, width, height)
 

@@ -298,6 +298,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(g.length === 8 && g.forall(v => !v.isNaN))
   }
 
+  test("extractFeatures decodes real WAV payloads via javax.sound (exact sample stats)") {
+    // 4-sample 16-bit mono PCM WAV at 8 kHz with known samples
+    val samples = Array[Short](0, 1000, -1000, 2000)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(lit("audio").as("kind"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(8000).as("sample_rate_hz"), lit(null).cast("int").as("n_frames")))
+    val f = Multimodal.extractFeatures(df, "doc_id").head().getSeq[Float](1)
+    // [sample_rate, channels, n_samples, mean, mean_abs, rms, min, max]
+    assert(f(0) === 8000f && f(1) === 1f && f(2) === 4f)
+    assert(f(3) === 500f, "mean")       // (0+1000-1000+2000)/4
+    assert(f(4) === 1000f, "mean abs")  // 4000/4
+    assert(math.abs(f(5) - 1224.7449f) < 0.01f, s"rms, got ${f(5)}") // sqrt(1.5e6)
+    assert(f(6) === -1000f && f(7) === 2000f)
+  }
+
   test("sampleFrames fans a video row out to every k-th frame") {
     val vid = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
       .withColumn("media_meta", struct(lit("video").as("kind"),
