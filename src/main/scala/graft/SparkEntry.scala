@@ -151,6 +151,20 @@ object SparkEntry {
       llm.Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
         .select("query_id", "corpus_id", "rank")
     }),
+    "emb_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .select("query_id", "corpus_id", "rank")
+    }),
+    // embedding-cosine near-dup: banded hyperplane LSH + exact cosine
+    // verify. The synthetic corpus peaks at cosine ~0.48, so the query
+    // runs the short-band (4-plane) low-similarity configuration; cosine
+    // itself is excluded from the compared columns (double-representation
+    // -sensitive, same policy as the knn/ann sim column).
+    "emb_neardup_pairs" -> ((s, d) =>
+      llm.Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, groups = 8, planesPerGroup = 4)
+        .select("id_a", "id_b")),
     "mm_features" -> ((s, d) =>
       llm.Multimodal.extractFeaturesChecked(
         llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
@@ -410,6 +424,8 @@ object SparkEntry {
       "doc_simhash_md5" -> docSimhashMd5Oracle,
       "doc_ngram_pairs_md5" -> docNgramMd5Oracle,
       "emb_ann_lsh" -> embAnnOracle,
+      "emb_ann_ivf" -> embIvfOracle,
+      "emb_neardup_pairs" -> embNearDupOracle,
       "mm_features" -> mmFeaturesOracle,
       // streaming replays verify against the batch twins' semantics:
       // everStream's accumulated CHANGE LOG holds every event once as
@@ -700,6 +716,72 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
        |FROM s QUALIFY rank <= 10""".stripMargin
   }
+
+  /** Shared DuckDB cosine fragment (the emb_knn_brute formulation): dot
+    * and norms via list_sum over double products — hash-matches the
+    * engine's native VecCosine double loop.
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)))
+       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x))))""".stripMargin
+
+  /** DuckDB mirror of Similarity.embeddingNearDupPairs (groups=8,
+    * planesPerGroup=4, threshold=0.4, maxBucket=1000, seed=42): the same
+    * 32 hyperplane constants embedded verbatim, sliced 4 per band; band
+    * codes via the left-fold sign test; bucket-capped band self-join;
+    * distinct pairs; one exact cosine verify. Output ids only (the cosine
+    * double is representation-sensitive, like knn's sim).
+    */
+  private def embNearDupOracle: String = {
+    val groups = 8; val ppg = 4
+    val ps = llm.Similarity.planes(groups * ppg, 64)
+    def codeExpr(g: Int): String = (0 until ppg).map { i =>
+      val arr = ps(g * ppg + i).map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(list_zip(v, $arr::DOUBLE[]),
+         |    z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y) >= 0
+         |  THEN ${1L << i}::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }.mkString("\n + ")
+    val codeCase = (0 until groups).map(g => s"WHEN $g THEN ${codeExpr(g)}").mkString("\n  ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |b AS (SELECT id, band, CASE band $codeCase END AS code
+       |  FROM e CROSS JOIN (SELECT unnest([${(0 until groups).mkString(", ")}]) AS band) g),
+       |ok AS (SELECT band, code FROM b GROUP BY band, code
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |ib AS (SELECT b.* FROM b JOIN ok USING (band, code)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM ib a JOIN ib b2 ON a.band = b2.band AND a.code = b2.code AND a.id < b2.id),
+       |s AS (SELECT id_a, id_b, ${duckCosine("pa.v", "pb.v")} AS cos
+       |  FROM cand JOIN e pa ON pa.id = cand.id_a JOIN e pb ON pb.id = cand.id_b)
+       |SELECT id_a, id_b FROM s WHERE cos >= 0.4""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.ivfTopK (nCells=16, nProbe=4, k=10):
+    * centroids = vec_id < 16; corpus assigned to the argmax-cosine cell
+    * (ties to the smallest cell, matching the engine's (csim, -cell)
+    * max_by); queries probe the 4 nearest cells; rank-compared like
+    * emb_knn_brute.
+    */
+  private def embIvfOracle: String =
+    s"""WITH cent AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings WHERE vec_id < 16),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg AS (SELECT corpus_id, cv, cell FROM (
+       |  SELECT corpus_id, cv, cell,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN cent)) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |pr AS (SELECT query_id, qv, cell FROM (
+       |  SELECT query_id, qv, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT query_id, qv, cell, ${duckCosine("qv", "centroid")} AS csim
+       |        FROM q CROSS JOIN cent)) WHERE rn <= 4),
+       |s AS (SELECT query_id, corpus_id, ${duckCosine("qv", "cv")} AS sim
+       |  FROM asg JOIN pr USING (cell) WHERE corpus_id <> query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
 
   /** DuckDB mirror of Multimodal.extractFeaturesChecked over media built
     * with mirrorableDims: payload = UTF-8 bytes of text, so n_bytes =

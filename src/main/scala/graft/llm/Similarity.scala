@@ -51,21 +51,26 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** Packed sign-bit code of a double-array column against an explicit
+    * plane set: bit i is set iff v · ps(i) >= 0. Left-fold double
+    * accumulation, so the sign is bit-identical to any engine computing
+    * double(x)*double(y) in the same order (the DuckDB oracles embed the
+    * same constants and fold with list_reduce).
+    */
+  private def signCode(v: Column, ps: Array[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+
   /** LSH bucket id: sign bits of the vector against nPlanes hyperplanes.
     * The float embedding is cast to array<double> first so each product
     * is a single double rounding — bit-identical to any engine computing
     * double(x)*double(y), which keeps bucket signs cross-engine stable.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val ps = planes(nPlanes, dim, seed)
-    val v = vec.cast("array<double>")
-    val bits = ps.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    signCode(vec.cast("array<double>"), planes(nPlanes, dim, seed))
 
   /** LSH-bucketed ANN top-k: corpus and queries bucketed by hyperplane
     * signs; candidates = same-bucket rows only; cosine + per-query top-k
@@ -93,6 +98,119 @@ object Similarity {
         .drop("bucket0")
     val q = probed
     val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("sim"))
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("corpus_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs — the vector-space member of
+    * the near-dup family (TextDedup.minhashPairs / simhashPairs for text).
+    * Banded hyperplane LSH: `groups` independent bands of
+    * `planesPerGroup` sign bits each; two rows are CANDIDATES iff they
+    * share a full code in ANY band (OR-amplification, exactly minhash
+    * banding), then one exact cosine verify keeps pairs >= `threshold`.
+    * Never all-pairs: the self-join is per (band, code) bucket, capped at
+    * `maxBucket` with dropped-bucket telemetry (PairsWithStats).
+    *
+    * Band-collision probability for a pair at cosine s is
+    * (1 - acos(s)/pi)^planesPerGroup per band; defaults (8 bands x 8
+    * planes) give ~75% recall at s=0.8 and ~94% at s=0.9 while a random
+    * pair collides with probability ~8/256 — the production regime. A
+    * low-similarity corpus (like the synthetic test embeddings, max
+    * cosine ~0.48) needs shorter bands (planesPerGroup=4) — selectivity
+    * drops accordingly; tune with the recall/selectivity formulas above.
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.8, groups: Int = 8,
+                            planesPerGroup: Int = 8, dim: Int = 64,
+                            seed: Long = 42L, maxBucket: Int = 1000): DataFrame =
+    embeddingNearDupPairsWithStats(df, idCol, vecCol, threshold, groups,
+      planesPerGroup, dim, seed, maxBucket).pairs
+
+  /** `embeddingNearDupPairs` with dropped-bucket telemetry (PairsWithStats). */
+  def embeddingNearDupPairsWithStats(df: DataFrame, idCol: String, vecCol: String,
+                                     threshold: Double = 0.8, groups: Int = 8,
+                                     planesPerGroup: Int = 8, dim: Int = 64,
+                                     seed: Long = 42L, maxBucket: Int = 1000): PairsWithStats = {
+    // one plane matrix, sliced per band — the oracle embeds the same rows
+    val allPlanes = planes(groups * planesPerGroup, dim, seed)
+    // persisted 2-consumer projection (band explode + verify join), the
+    // same pattern as minhashPairs' signature relation
+    val prepped = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bands carry ids + short codes only — vectors never ride the explode
+    val banded = prepped.select(col("id"),
+        explode(array((0 until groups).map { g =>
+          struct(lit(g).as("band"),
+            signCode(col("v"),
+              allPlanes.slice(g * planesPerGroup, (g + 1) * planesPerGroup)).as("code"))
+        }: _*)).as("bc"))
+      .select(col("id"), col("bc.band"), col("bc.code"))
+    val bucketStats = banded.groupBy("band", "code").count()
+    val okBuckets = bucketStats
+      .filter(col("count") <= maxBucket && col("count") > 1)
+      .select("band", "code")
+    val dropped = bucketStats.filter(col("count") > maxBucket)
+      .select(col("band"), col("code").cast("string").as("bucket"), col("count").as("size"))
+    val inBucket = banded.join(okBuckets, Seq("band", "code"))
+    // distinct candidates FIRST (a pair sharing m bands would verify m×)
+    val cand = inBucket.select(col("band"), col("code"), col("id").as("id_a"))
+      .join(inBucket.select(col("band"), col("code"), col("id").as("id_b")), Seq("band", "code"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cand
+      .join(prepped.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(prepped.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    PairsWithStats(pairs, dropped)
+  }
+
+  /** IVF (inverted-file) ANN top-k — the centroid-partitioned scale path
+    * beside the hyperplane `annTopK`. Cells are anchored at deterministic
+    * corpus rows (`idCol < nCells` — data-derived yet reproducible, and
+    * SQL-expressible for the oracle); every corpus row is assigned to its
+    * argmax-cosine centroid, queries probe the `nProbe` nearest cells.
+    *
+    * Scale shape: centroids are broadcast both times (nCells rows); the
+    * corpus assignment is one broadcast-join + partial-aggregable
+    * `max_by` per corpus row (map-side combine collapses the nCells
+    * expansion before the shuffle), and scoring shuffles the corpus ONCE
+    * on the cell id with the probe side broadcast — each query touches
+    * ~nProbe/nCells of the data. A production deployment would swap the
+    * anchor centroids for k-means iterates; the plumbing is identical.
+    *
+    * Returns (query_id, corpus_id, sim, rank), rank <= k per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    // argmax-cosine cell per corpus row: max_by over a (csim, -cell)
+    // struct — lexicographic, so ties go to the smallest cell id, matching
+    // the oracle's ORDER BY csim DESC, cell
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("corpus_id"), col("cv"), col("cell"),
+        cosine(col("cv"), col("centroid")).as("csim"))
+      .groupBy("corpus_id")
+      .agg(max_by(struct(col("cell"), col("cv")), struct(col("csim"), -col("cell"))).as("__a"))
+      .select(col("corpus_id"), col("__a.cell").as("cell"), col("__a.cv").as("cv"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+      .withColumn("crank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "qv", "cell")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("sim"))
     scored.withColumn("rank",

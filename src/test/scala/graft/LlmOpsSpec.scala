@@ -199,6 +199,61 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 > r0, s"multi-probe recall $r1 not above single-probe $r0")
   }
 
+  test("embeddingNearDupPairs: exact verify (subset of truth), banded recall, clone detection") {
+    // ground truth: all pairs with cosine >= 0.4 (brute force on 500 vecs)
+    val a = embs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = embs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("va"), col("vb")).as("c"))
+      .filter(col("c") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val found = Similarity.embeddingNearDupPairs(embs, "vec_id", "embedding",
+      threshold = 0.4, groups = 8, planesPerGroup = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the cosine verify makes precision exact: found pairs are true pairs
+    assert(found.subsetOf(truth), "verify stage must eliminate false positives")
+    // banded-LSH recall at s>=0.4 with 8 bands × 4 planes:
+    // 1-(1-(1-acos(s)/pi)^4)^8 >= 0.75 — assert well below, the planes are
+    // deterministic so the measured value is stable
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.5, s"banded recall $recall below expectation")
+    // clones (the production >=0.99 regime, default 8×8 config): a copied
+    // vector lands in every band's same bucket — always found
+    val cloned = embs.union(embs.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 1000))
+    val clonePairs = Similarity.embeddingNearDupPairs(cloned, "vec_id", "embedding",
+      threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((0L until 5L).forall(i => clonePairs.contains((i, i + 1000))))
+    // degenerate corpus telemetry: identical vectors over-cap their buckets
+    val many = embs.limit(1).crossJoin(spark.range(30).select(col("id").as("nid")))
+      .select(col("nid").as("vec_id"), col("embedding"))
+    val stats = Similarity.embeddingNearDupPairsWithStats(many, "vec_id", "embedding",
+      threshold = 0.99, maxBucket = 10)
+    assert(stats.droppedBuckets.count() > 0, "over-cap buckets must be reported")
+    assert(stats.pairs.count() === 0)
+  }
+
+  test("ivfTopK: probing all cells equals brute force; partial probes recall beats coverage") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // law: nProbe = nCells scores the whole corpus — identical to brute force
+    val full = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      nCells = 16, nProbe = 16)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(full === truth)
+    // partial probes: 4/16 cells ≈ 25% of the corpus per query; probing the
+    // NEAREST cells must beat that coverage baseline (signal, not luck)
+    val part = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      nCells = 16, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(part.subsetOf(truth.union(part)), "sanity") // part pairs rank within probed cells
+    val recall = (truth intersect part).size.toDouble / truth.size
+    assert(recall > 0.25, s"IVF recall@10 $recall at or below coverage baseline")
+  }
+
   test("multimodal plumbing: schema, determinism, batch shape") {
     val media = Multimodal.withSyntheticMedia(docs, "doc_id", "text")
     assert(media.schema("media").dataType.typeName === "binary")
