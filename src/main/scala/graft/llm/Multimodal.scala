@@ -235,6 +235,59 @@ object Multimodal {
     }
   }
 
+  /** Bilinear resize of one decodable image payload, re-encoded as PNG
+    * (lossless, always ImageIO-writable). None when the bytes don't
+    * decode.
+    */
+  private[llm] def resizeToPng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Real image resize (the decode → transform → re-encode stage of a
+    * media curation pipeline): JDK-decodable payloads are scaled to
+    * (targetW, targetH) with bilinear interpolation and re-encoded as
+    * PNG; anything else yields a null `media` with null dims (route or
+    * drop downstream). Projection-shaped like `extractFeatures` — pruned
+    * scan, per-partition streaming, payload bytes never cross a shuffle;
+    * output (id, media, width, height).
+    */
+  def resizeImages(df: DataFrame, idCol: String, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive, got ${targetW}x$targetH")
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("media", BinaryType)
+      .add("width", IntegerType).add("height", IntegerType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("media")
+        val resized =
+          if (payload != null && looksLikeImage(payload)) resizeToPng(payload, targetW, targetH)
+          else None
+        resized match {
+          case Some(bytes) => Row(r.getLong(0), bytes, targetW, targetH)
+          case None => Row(r.getLong(0), null, null, null)
+        }
+      }
+    }
+  }
+
   /** Frame-sampling plan for video payloads: yields (id, frame_idx) rows
     * for every k-th frame — the fan-out stage a real video pipeline feeds
     * into the decoder. Pure expressions; no payload copy per frame (the

@@ -367,19 +367,25 @@ object UniqueOps {
     * Exactness rests on a structural fact: kept events of one key are
     * strictly more than intervalMs apart, so each intervalMs-aligned time
     * chunk contains AT MOST ONE kept event. Three phases, all bounded:
-    *   0. min-seq representative per (key, ms) — only the first arrival at
-    *      a timestamp can ever be kept (later same-ms rows are always
-    *      within the interval). Partial-aggregable hash agg: map-side
-    *      combine absorbs duplicate-timestamp floods before the shuffle.
-    *   1. per (key, chunk = ms div intervalMs) sorted distinct-ms arrays —
-    *      the hot key spreads over its chunks (time), not one partition.
+    *   1. per (key, chunk = ms div intervalMs) sorted distinct-ms arrays
+    *      straight off the scan — the hot key spreads over its chunks
+    *      (time), not one partition, and collect_set's map-side partial
+    *      absorbs duplicate-timestamp floods before the shuffle (only
+    *      distinct ms per chunk survive; candidacy needs nothing else —
+    *      only the first arrival at a timestamp can ever be kept, later
+    *      same-ms rows are always within the interval).
     *   2. per-key sequential stitch over the COMPACT chunk summaries (one
     *      row per non-empty chunk): scan each sorted array for the first
     *      ms > lastKept + intervalMs; at most one hit per chunk by the
     *      spacing argument. Sequential work per key = O(distinct ms), but
     *      over summary rows ~1000× smaller than raw events.
-    *   3. winners join back to their representative rows — plain equi-join,
-    *      parallel.
+    *   3. winners equi-join back onto the events; the min-seq
+    *      representative per winning (key, ms) is aggregated AFTER the
+    *      join, so the full-width rows are shuffled and reduced exactly
+    *      once, over kept timestamps only (an earlier shape aggregated
+    *      representatives for every (key, ms) up front and, being
+    *      unpersisted with two consumers, recomputed that full-data
+    *      aggregation twice).
     * The reference has no such path (single JVM); this is the Spark-scale
     * reformulation of DeduplicateStreamProcessor.java:158-176.
     */
@@ -389,11 +395,8 @@ object UniqueOps {
     val keyStruct = struct(keys.map(col): _*)
     val prepped = df.withColumn("__k", keyStruct).withColumn("__ms", msOf(tsCol))
     val allCols = struct(df.columns.map(col): _*)
-    // phase 0
-    val reps = prepped.groupBy(col("__k"), col("__ms"))
-      .agg(min_by(allCols, col(seqCol)).as("__row"))
-    // phase 1
-    val chunks = reps.select(col("__k"), col("__ms"))
+    // phase 1 — 3-column projection, partial-aggregable
+    val chunks = prepped.select(col("__k"), col("__ms"))
       .withColumn("__c", floor(col("__ms") / lit(intervalMs)).cast("long"))
       .groupBy(col("__k"), col("__c"))
       .agg(array_sort(collect_set(col("__ms"))).as("__msa"))
@@ -418,8 +421,12 @@ object UniqueOps {
         hit.iterator.map { m => lastKept = m; Row(k, m) }
       }
     }(keptEnc)
-    // phase 3
-    val cur = reps.join(winners, col("__k") === col("__kk") && col("__ms") === col("__mm"))
+    // phase 3 — filter to winning (key, ms) first, aggregate min-seq
+    // representatives over the survivors only (join and groupBy share the
+    // (__k, __ms) keys, so the aggregation reuses the join's partitioning)
+    val cur = prepped.join(winners, col("__k") === col("__kk") && col("__ms") === col("__mm"))
+      .groupBy(col("__k"), col("__ms"))
+      .agg(min_by(allCols, col(seqCol)).as("__row"))
       .select(df.columns.map(c => col(s"__row.`$c`").as(c)): _*)
     UniqueResult(cur, df.limit(0))
   }

@@ -378,6 +378,36 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(f(6) === -1000f && f(7) === 2000f)
   }
 
+  test("resizeImages: real decode → bilinear scale → PNG re-encode; non-images pass null") {
+    // 64×48 PNG, left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 48; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val out = Multimodal.resizeImages(df, "doc_id", 16, 12)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(2), "non-image must pass through null")
+    assert(out(1L).getInt(2) === 16 && out(1L).getInt(3) === 12)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]](1)))
+    assert(resized.getWidth === 16 && resized.getHeight === 12)
+    // halves survive the scale: sample wholly inside each half
+    val left = resized.getRGB(3, 6); val right = resized.getRGB(12, 6)
+    assert(((left >> 16) & 0xFF) > 200 && (left & 0xFF) < 50, "left stays red")
+    assert((right & 0xFF) > 200 && ((right >> 16) & 0xFF) < 50, "right stays blue")
+    // and the resized payload feeds straight back into feature extraction
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resizeImages(df.limit(1), "doc_id", 16, 12)
+        .withColumn("media_meta", struct(lit("image").as("kind"),
+          col("width"), col("height"),
+          lit(null).cast("int").as("sample_rate_hz"), lit(null).cast("int").as("n_frames"))),
+      "id").head().getSeq[Float](1)
+    assert(feats(0) === 16.0f && feats(1) === 12.0f)
+  }
+
   test("sampleFrames fans a video row out to every k-th frame") {
     val vid = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
       .withColumn("media_meta", struct(lit("video").as("kind"),
