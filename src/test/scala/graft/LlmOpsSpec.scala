@@ -254,6 +254,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(recall > 0.25, s"IVF recall@10 $recall at or below coverage baseline")
   }
 
+  test("embeddingNearDupPairs plans bucket-local equi-joins, never a cartesian product") {
+    val plan = Similarity.embeddingNearDupPairs(embs, "vec_id", "embedding",
+      threshold = 0.4, groups = 8, planesPerGroup = 4)
+      .queryExecution.executedPlan.toString
+    // candidate generation must be the (band, code) equi-join — an
+    // all-pairs shape would surface as a cartesian / nested-loop join
+    assert(!plan.contains("CartesianProduct"), "near-dup candidates must be bucket-local")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "near-dup candidates must be bucket-local")
+  }
+
+  test("ivfTopK plan: centroid expansion is broadcast; scoring joins corpus cells to broadcast probes") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val plan = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop joins are the tiny-centroid broadcasts; the
+    // corpus-side scoring join must be a broadcast HASH join on the cell
+    assert(plan.contains("BroadcastHashJoin"), "cell join should broadcast the probe side")
+    assert(!plan.contains("CartesianProduct"), "no un-broadcast cartesian anywhere")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 2, s"only the two centroid broadcasts may nested-loop, saw $nlj")
+  }
+
   test("multimodal plumbing: schema, determinism, batch shape") {
     val media = Multimodal.withSyntheticMedia(docs, "doc_id", "text")
     assert(media.schema("media").dataType.typeName === "binary")
