@@ -123,6 +123,15 @@ object Similarity {
     * cosine ~0.48) needs shorter bands (planesPerGroup=4) — selectivity
     * drops accordingly; tune with the recall/selectivity formulas above.
     *
+    * Sizing at scale: random hyperplanes split a centered corpus roughly
+    * evenly, so expected bucket size is n / 2^planesPerGroup — pick
+    * planesPerGroup ≈ log2(n / targetBucketSize) (e.g. 30 bits for 10^9
+    * rows at ~1k/bucket; codes are a single long, up to 62 bits). The
+    * (band, code) pair is the only shuffle key and maxBucket bounds the
+    * worst per-bucket join, so skew is capped by construction; recall
+    * lost to shorter-than-ideal bands is recovered by adding bands (cost
+    * is linear in bands, and bands carry ids only).
+    *
     * Returns (id_a, id_b, cosine) with id_a < id_b.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
@@ -184,6 +193,13 @@ object Similarity {
     * on the cell id with the probe side broadcast — each query touches
     * ~nProbe/nCells of the data. A production deployment would swap the
     * anchor centroids for k-means iterates; the plumbing is identical.
+    *
+    * Sizing at scale: nCells grows with the corpus (≈ n / targetCellSize,
+    * classically ~sqrt(n)) so each cell stays partition-sized; the
+    * centroid table stays broadcastable far beyond that (10^6 cells of a
+    * 64-dim double vector ≈ 0.5 GB — switch the assignment join to a
+    * shuffle join first). Per-query cost stays nProbe cells regardless
+    * of corpus size.
     *
     * Returns (query_id, corpus_id, sim, rank), rank <= k per query.
     */
