@@ -139,6 +139,8 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")),
     "doc_ngram_pairs_md5" -> ((s, d) =>
       llm.TextDedup.ngramJaccardPairsMd5(Tables.documents(s, d), "text", "doc_id")),
+    "doc_simhash_pairs_md5" -> ((s, d) =>
+      llm.TextDedup.simhashPairsMd5(Tables.documents(s, d), "text", "doc_id")),
     "emb_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // sim column excluded: engines agree on double-precision RANKS, but
@@ -263,6 +265,8 @@ object SparkEntry {
     "doc_ngram_pairs" -> ((s, d) =>
       llm.TextDedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
         threshold = 0.1)),
+    "doc_simhash_pairs" -> ((s, d) =>
+      llm.TextDedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")),
     "doc_fingerprint" -> ((s, d) =>
       llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram", "fp_full")),
@@ -423,6 +427,7 @@ object SparkEntry {
       "doc_minhash_pairs_md5" -> docMinhashMd5Oracle,
       "doc_simhash_md5" -> docSimhashMd5Oracle,
       "doc_ngram_pairs_md5" -> docNgramMd5Oracle,
+      "doc_simhash_pairs_md5" -> docSimhashPairsMd5Oracle,
       "emb_ann_lsh" -> embAnnOracle,
       "emb_ann_ivf" -> embIvfOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
@@ -715,6 +720,37 @@ object SparkEntry {
        |SELECT query_id, corpus_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
        |FROM s QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** DuckDB mirror of TextDedup.simhashPairsMd5 (maxHamming=3,
+    * maxBucket=1000): the docSimhashMd5Oracle fingerprint, split into 4
+    * 15-bit chunks; candidates share a (chunk, value) bucket (pigeonhole-
+    * complete at hamming ≤ 3); bucket cap; min hamming per distinct pair.
+    */
+  private def docSimhashPairsMd5Oracle: String = {
+    val sums = (0 until 60).map(b => s"sum((hv >> $b) & 1)::BIGINT AS c$b").mkString(", ")
+    val terms = (0 until 60).map(b =>
+      s"CASE WHEN 2*c$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |m AS (SELECT doc_id, md5(tok) AS mh FROM u),
+       |h AS (SELECT doc_id, list_sum(list_transform(generate_series(1, 15),
+       |    i -> (strpos('0123456789abcdef', substr(mh, i, 1)) - 1)::BIGINT * (1::BIGINT << (4*(15-i)))))::BIGINT AS hv
+       |  FROM m),
+       |cc AS (SELECT doc_id, count(*)::BIGINT AS n, $sums FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $terms AS sim FROM cc),
+       |ch AS (SELECT doc_id, sim, c, (sim >> (c * 15)) & ${(1L << 15) - 1} AS cv
+       |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |ok AS (SELECT c, cv FROM ch GROUP BY c, cv
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |ib AS (SELECT ch.* FROM ch JOIN ok USING (c, cv)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hd
+       |  FROM ib a JOIN ib b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(min(hd) AS INTEGER) AS hamming
+       |FROM p WHERE hd <= 3 GROUP BY id_a, id_b""".stripMargin
   }
 
   /** Shared DuckDB cosine fragment (the emb_knn_brute formulation): dot

@@ -287,15 +287,30 @@ object TextDedup {
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
     simhashPairsWithStats(df, textCol, idCol, maxHamming, maxBucket).pairs
 
+  /** md5-family twin of `simhashPairs` (DuckDB-checkable): 60-bit md5
+    * simhash (simhashDfMd5), 4 chunks of 15 bits — the pigeonhole bound
+    * (hamming ≤ 3 over 4 chunks) and the whole bucket/verify pipeline are
+    * identical to the production form.
+    */
+  def simhashPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashPairsFrom(simhashDfMd5(df, idCol, textCol).withColumnRenamed("simhash_md5", "simhash"),
+      chunkBits = 15, maxHamming, maxBucket).pairs
+
   /** `simhashPairs` with dropped-bucket telemetry (see PairsWithStats). */
   def simhashPairsWithStats(df: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int = 3, maxBucket: Int = 1000): PairsWithStats = {
-    val withSim = simhashDf(df, idCol, textCol)
+                            maxHamming: Int = 3, maxBucket: Int = 1000): PairsWithStats =
+    simhashPairsFrom(simhashDf(df, idCol, textCol), chunkBits = 16, maxHamming, maxBucket)
+
+  private def simhashPairsFrom(simDf: DataFrame, chunkBits: Int,
+                               maxHamming: Int, maxBucket: Int): PairsWithStats = {
+    val withSim = simDf
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // bucket stats + join branches
     val chunked = withSim.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("cc"))
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND((1L << chunkBits) - 1).as("cv"))): _*)).as("cc"))
       .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.cv"))
     val bucketStats = chunked.groupBy("chunk", "cv").count()
     val okBuckets = bucketStats
