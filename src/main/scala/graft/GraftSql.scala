@@ -65,6 +65,16 @@ object GraftSql {
       s"$what must be a literal integer, got $other")
   }
 
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal number, got $other")
+  }
+
   private def tableArg(spark: SparkSession, e: Expression): DataFrame = e match {
     case t: FunctionTableSubqueryArgumentExpression => GraftColumnBridge.dataset(spark, t.plan)
     case other => spark.table(litStr(other, "table argument"))
@@ -133,5 +143,20 @@ object GraftSql {
         keysFrom(es.drop(5)), litStr(es(1), "seq column"),
         litStr(es(2), "ts column"), litLong(es(3), "window ms"),
         litLong(es(4), "window length").toInt).current), "internal")
+    // ---- LLM-pipeline TVFs: the curation operators as FROM clauses —
+    // `graft_exact_dedup(t, id, col...)`,
+    // `graft_minhash_pairs(t, text, id, threshold)`,
+    // `graft_knn(corpus, queries, id, vec, k)`
+    reg.createOrReplaceTempFunction("graft_exact_dedup", es =>
+      plan(llm.TextDedup.exactDedup(tableArg(spark, es.head),
+        keysFrom(es.drop(2)), litStr(es(1), "id column"))), "internal")
+    reg.createOrReplaceTempFunction("graft_minhash_pairs", es =>
+      plan(llm.TextDedup.minhashPairs(tableArg(spark, es.head),
+        litStr(es(1), "text column"), litStr(es(2), "id column"),
+        threshold = litDouble(es(3), "threshold"))), "internal")
+    reg.createOrReplaceTempFunction("graft_knn", es =>
+      plan(llm.Similarity.bruteForceTopK(tableArg(spark, es.head),
+        tableArg(spark, es(1)), litStr(es(2), "id column"),
+        litStr(es(3), "vector column"), litLong(es(4), "k").toInt)), "internal")
   }
 }

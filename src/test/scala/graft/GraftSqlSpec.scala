@@ -113,6 +113,28 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
       spark.sql("SELECT * FROM unique_ever('no_such_table', 'seq', 'ip')").collect())
   }
 
+  test("LLM-pipeline TVFs: exact dedup, minhash pairs, knn from SQL") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "unrelated words about telescopes and astronomy tonight"))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_tvf")
+    val dedup = spark.sql(
+      "SELECT doc_id FROM graft_exact_dedup('docs_tvf', 'doc_id', 'text')")
+      .as[Long].collect().toSet
+    assert(dedup === Set(1L, 3L)) // lowest id wins the identical pair
+    val pairs = spark.sql(
+      "SELECT id_a, id_b FROM graft_minhash_pairs('docs_tvf', 'text', 'doc_id', 0.9)")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("vecs_tvf")
+    val nn = spark.sql(
+      """SELECT corpus_id FROM graft_knn(TABLE(vecs_tvf),
+        |  TABLE(SELECT * FROM vecs_tvf WHERE vec_id = 0), 'vec_id', 'embedding', 1)
+        |""".stripMargin).as[Long].collect().toSeq
+    assert(nn === Seq(1L)) // nearest non-self neighbor
+  }
+
   test("simhash from SQL equals simhash from the Scala API") {
     val viaSql = spark.sql("SELECT graft_simhash(graft_tokenize('alpha beta gamma'))")
       .as[Long].head()
