@@ -46,26 +46,39 @@ object Bench {
     // engine (streaming throughput is tools/StreamBench's job).
     val benchable = (SparkEntry.queries ++ SparkEntry.benchQueries)
       .filterNot { case (n, _) => n.endsWith("_md5") || n.endsWith("_replay") }
+    // Noise-proofing: a single-shot measurement on a shared/contended box has
+    // twice produced a false-alarm official record (r3, r5 — the code was
+    // exonerated by idle re-runs both times). Each query therefore runs REPS
+    // times and the reported duration is the per-query MIN — the best
+    // observation is the one least polluted by external CPU contention, and
+    // for a deterministic query it is the closest estimator of the plan's
+    // true cost. All repetitions are kept in `queries_all` for transparency.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = benchable.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // isolate queries: operators that persist intermediates (lengthBatch
-      // expired, minhash/simhash/ngram pipelines) would otherwise accumulate
-      // cache entries across the whole bench session, stealing memory from
-      // later queries. Cleared AFTER timing, so intra-query reuse still counts.
-      spark.catalog.clearCache()
-      name -> (if (ok) elapsed else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // isolate queries: operators that persist intermediates (lengthBatch
+        // expired, minhash/simhash/ngram pipelines) would otherwise accumulate
+        // cache entries across the whole bench session, stealing memory from
+        // later queries. Cleared AFTER timing, so intra-query reuse still counts.
+        spark.catalog.clearCache()
+        if (ok) elapsed else -1.0
+      }
+      val good = times.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0, times)
     }
-    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (v, _)) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qsAll = results.map { case (k, (_, ts)) => s""""${esc(k)}":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_all":$qsAll,"reps":$reps,"errors":$es,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }
