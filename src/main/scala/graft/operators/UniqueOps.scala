@@ -36,11 +36,13 @@ final case class UniqueResult(current: DataFrame, expired: DataFrame) {
   * a per-key-partition window sort — both survive a 1000-executor cluster.
   * The two operators whose reference semantics are inherently global-order
   * sequential (`lengthBatch`/`firstLengthBatch` count-trigger; SURVEY.md
-  * §7.4.3) isolate the sequential part to a single-partition pass over a
-  * tiny two-column (seq, key) projection that emits only batch BOUNDARY
-  * intervals (data/n-proportional); events pick up their batch id via a
-  * broadcast range join and the per-key replace/keep-first step stays
-  * fully parallel. No driver-side collect anywhere.
+  * §7.4.3) place boundaries via a SEGMENTED TWO-PASS fold: a parallel
+  * per-seq-chunk compression pass over the (seq, key) projection, then the
+  * sequential automaton over the compressed summaries only (see
+  * lengthBatchIntervals — exactness argued there). The fold emits only
+  * batch BOUNDARY intervals (data/n-proportional); events pick up their
+  * batch id via a broadcast range join and the per-key replace/keep-first
+  * step stays fully parallel. No driver-side collect anywhere.
   */
 object UniqueOps {
   private val RN = "__graft_rn"
@@ -208,54 +210,176 @@ object UniqueOps {
   //    that flushes when it holds N distinct keys
   //    (UniqueLengthBatchWindowProcessor.java:165-197). The count trigger
   //    depends on global arrival order + per-batch distinct count — an
-  //    inherently sequential decision (SURVEY.md §7.4.3). We fold over the
-  //    (seq, key) projection on a single partition (tiny: two columns),
-  //    emit one (batch_id, lo, hi] interval per flush, and range-join the
-  //    intervals back onto the full rows via broadcast: nothing
-  //    data-proportional ever visits the driver, and the single partition
-  //    ships ~data/n rows. Events after the last flush are pending (never
-  //    emitted), matching the reference's observable output; they match no
-  //    interval and drop out of the inner join.
+  //    inherently sequential decision (SURVEY.md §7.4.3). The boundary
+  //    placement runs as a SEGMENTED TWO-PASS fold (see
+  //    lengthBatchIntervals): a parallel per-seq-chunk compression pass,
+  //    then the sequential automaton over the compressed summary. It emits
+  //    one (batch_id, lo, hi] interval per flush; events pick up their
+  //    batch id via a broadcast range join: nothing data-proportional ever
+  //    visits the driver or a single partition. Events after the last
+  //    flush are pending (never emitted), matching the reference's
+  //    observable output; they match no interval and drop out of the
+  //    inner join.
   // ------------------------------------------------------------------
+
+  /** Batch-boundary intervals of the lengthBatch count trigger, as a
+    * two-phase segmented fold (the round-6 replacement for the previous
+    * all-rows single-partition pass).
+    *
+    * Phase A (parallel): the (seq, key) projection is range-partitioned
+    * into contiguous seq chunks. Each chunk is compressed EXACTLY to the
+    * events that can ever matter to the automaton: the first occurrence of
+    * each key after every *possible* flush position in the chunk. The
+    * possible-flush set B̂ is computed in O(chunk):
+    *   - the first in-chunk flush always lands on one of the chunk's first
+    *     min(n, distinct) first-occurrence positions — scanning from the
+    *     (unknown) carried-in state S0 (|S0| < n), only chunk-first
+    *     occurrences of keys outside S0 grow the set, so the n-th growth
+    *     step is at the m-th chunk-first-occurrence for some m ≤ n;
+    *   - after any flush the state is EMPTY at a known position, so every
+    *     subsequent flush is deterministic: it lands on t(q), the index of
+    *     the n-th distinct key at or after q, precomputed for all q by a
+    *     monotone two-pointer sweep. B̂ = the candidate positions plus the
+    *     closure of i ↦ t(i+1) over them (each index enqueued once).
+    * Correctness of the compression: B̂ is a SUPERSET of the flush
+    * positions any execution can take, and retaining extra events is
+    * harmless because the automaton's set-add is idempotent — a retained
+    * re-occurrence of a key already in the running set changes nothing.
+    * For every true boundary b and key k, k's first occurrence s0 after b
+    * is retained (the B̂ element immediately preceding s0 is ≥ b, and no
+    * k occurs between it and s0), so the replayed set equals the true set
+    * at every step and flushes land on identical seqs.
+    *
+    * Phase B (sequential, inherent to the reference's global-order
+    * trigger — UniqueLengthBatchWindowProcessor.java:165): the original
+    * O(n)-memory automaton over the CONCATENATED chunk summaries, which
+    * are ~distinct-keys-per-boundary-gap sized, not data-sized. With
+    * heavy key repetition (the regime where lengthBatch is used) the
+    * summary is a small fraction of the input; in the degenerate
+    * all-keys-distinct case it equals the input, which is also the case
+    * where no compression is possible at all.
+    *
+    * Memory: phase A materializes one chunk per task as primitive arrays
+    * plus a key dictionary (seq: Long, keyId: Int per event) — chunk size
+    * is data/numChunks and is tuned by `numChunks` (defaults to
+    * spark.sql.shuffle.partitions). Intervals are data/n-proportional, so
+    * the downstream broadcast regime holds to millions of batches (~tens
+    * of MB) — beyond that the trigger chain itself is the ceiling.
+    */
+  private[graft] def lengthBatchIntervals(df: DataFrame, keys: Seq[String], seqCol: String,
+                                          n: Int, numChunks: Option[Int] = None): DataFrame = {
+    val kWidth = keys.length
+    val seqKey = df.select((col(seqCol).cast("long").as("__s") +: keys.map(col)): _*)
+    val chunks = numChunks.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
+    val chunked = seqKey.repartitionByRange(chunks, col("__s")).sortWithinPartitions("__s")
+    implicit val rowEnc = Encoders.row(chunked.schema)
+    val summary = chunked.mapPartitions { it =>
+      // materialize the chunk as primitives + an interned key dictionary
+      val sArr = new scala.collection.mutable.ArrayBuffer[Long]
+      val kArr = new scala.collection.mutable.ArrayBuffer[Int]
+      val dictIdx = scala.collection.mutable.HashMap.empty[Seq[Any], Int]
+      val dictVals = new scala.collection.mutable.ArrayBuffer[Seq[Any]]
+      while (it.hasNext) {
+        val r = it.next()
+        sArr += r.getLong(0)
+        val kv = (1 to kWidth).map(r.get)
+        kArr += dictIdx.getOrElseUpdate(kv, { dictVals += kv; dictVals.length - 1 })
+      }
+      val c = sArr.length
+      val nKeys = dictVals.length
+      if (c == 0) Iterator.empty
+      else {
+        // chunk-first-occurrence positions
+        val firstPos = new scala.collection.mutable.ArrayBuffer[Int]
+        locally {
+          val seen = new Array[Boolean](nKeys)
+          var i = 0
+          while (i < c) {
+            if (!seen(kArr(i))) { seen(kArr(i)) = true; firstPos += i }
+            i += 1
+          }
+        }
+        // t(q) = index of the n-th distinct key in [q, c), or -1.
+        // m(q) is nondecreasing in q, so one forward two-pointer sweep.
+        val t = Array.fill(c)(-1)
+        locally {
+          val counts = new Array[Int](nKeys)
+          var distinct = 0
+          var m = -1
+          var q = 0
+          while (q < c) {
+            while (distinct < n && m + 1 < c) {
+              m += 1
+              if (counts(kArr(m)) == 0) distinct += 1
+              counts(kArr(m)) += 1
+            }
+            t(q) = if (distinct == n) m else -1
+            counts(kArr(q)) -= 1
+            if (counts(kArr(q)) == 0) distinct -= 1
+            q += 1
+          }
+        }
+        // B̂: candidate first flushes + deterministic-continuation closure
+        val bHat = new Array[Boolean](c)
+        locally {
+          val queue = scala.collection.mutable.ArrayDeque.empty[Int]
+          val nCand = math.min(n, firstPos.length)
+          var j = 0
+          while (j < nCand) {
+            val i = firstPos(j)
+            if (!bHat(i)) { bHat(i) = true; queue.append(i) }
+            j += 1
+          }
+          while (queue.nonEmpty) {
+            val i = queue.removeHead()
+            if (i + 1 < c) {
+              val nf = t(i + 1)
+              if (nf >= 0 && !bHat(nf)) { bHat(nf) = true; queue.append(nf) }
+            }
+          }
+        }
+        // retain first occurrence of each key in every boundary-gap epoch
+        val lastEpoch = Array.fill(nKeys)(-1)
+        var epoch = 0
+        val out = new scala.collection.mutable.ArrayBuffer[Row]
+        var i = 0
+        while (i < c) {
+          if (lastEpoch(kArr(i)) != epoch) {
+            lastEpoch(kArr(i)) = epoch
+            out += Row.fromSeq(sArr(i) +: dictVals(kArr(i)))
+          }
+          if (bHat(i)) epoch += 1
+          i += 1
+        }
+        out.iterator
+      }
+    }(rowEnc)
+    // phase B: the reference automaton over the compressed, seq-ordered
+    // summary; O(n) key-set memory, emits only boundary intervals
+    val foldedIn = summary.repartition(1).sortWithinPartitions("__s")
+    implicit val ivEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    foldedIn.mapPartitions { it =>
+      val cur = scala.collection.mutable.HashSet.empty[Seq[Any]]
+      var batch = 0L
+      var lo = Long.MinValue // exclusive lower bound of the filling batch
+      it.flatMap { r =>
+        val s = r.getLong(0)
+        if (lo == Long.MinValue) lo = s - 1 // anchor batch 0 at the first event
+        cur += ((1 to kWidth).map(r.get))
+        if (cur.size == n) {
+          val iv = (batch, lo, s)
+          cur.clear(); batch += 1; lo = s
+          Iterator.single(iv)
+        } else Iterator.empty
+      }
+    }(ivEnc).toDF("__batch_id", "__lo", "__hi")
+  }
   def lengthBatch(df: DataFrame, keys: Seq[String], seqCol: String, n: Int,
                   keepFirst: Boolean = false): UniqueResult = {
     validate(df, keys, seqCol, n = Some(n))
     val kWidth = keys.length
-    // fold: running distinct-key set over the tiny (seq, key) projection on
-    // one partition; flush at size n. The fold emits only BOUNDARY
-    // INTERVALS (batch_id, lo, hi] — one row per flushed batch, ~n× fewer
-    // rows than per-event assignments — so the single partition's shuffle
-    // output is boundary-sized, and events get their batch id from a
-    // BROADCAST range join (map-side, no shuffle) instead of an equi-join
-    // against a single-partition-produced table. The sequential distinct
-    // count itself is inherent to the reference's global-order trigger
-    // (UniqueLengthBatchWindowProcessor.java:165, SURVEY.md §7.4.3);
-    // intervals are data/n-proportional, so the broadcast regime holds to
-    // millions of batches (~tens of MB) — beyond that the trigger chain
-    // itself is the ceiling, not this join.
-    val intervals: DataFrame = {
-      val seqKey = df.select((col(seqCol).cast("long").as("__s") +: keys.map(col)): _*)
-        .repartition(1).sortWithinPartitions("__s")
-      implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
-      seqKey.mapPartitions { it =>
-        val cur = scala.collection.mutable.HashSet.empty[Seq[Any]]
-        var batch = 0L
-        var lo = Long.MinValue // exclusive lower bound of the filling batch
-        // memory: O(n) key set — pending events are never buffered; the
-        // unflushed tail (no n-th distinct key) emits no interval
-        it.flatMap { r =>
-          val s = r.getLong(0)
-          if (lo == Long.MinValue) lo = s - 1 // anchor batch 0 at the first event
-          cur += ((1 to kWidth).map(r.get))
-          if (cur.size == n) {
-            val iv = (batch, lo, s)
-            cur.clear(); batch += 1; lo = s
-            Iterator.single(iv)
-          } else Iterator.empty
-        }
-      }(enc).toDF("__batch_id", "__lo", "__hi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val intervals: DataFrame = lengthBatchIntervals(df, keys, seqCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def cur(): DataFrame = {
       val s = col(seqCol).cast("long")
       // bucketed range join: W ≈ mean interval width (computed in-plan, no

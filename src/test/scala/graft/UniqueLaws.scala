@@ -112,6 +112,28 @@ object UniqueLaws extends Properties("UniqueOps") {
       cur == assignment.map { case ((k, b), s) => (k, b, s) }.toSet
     }
 
+  property("lengthBatch segmented intervals == in-memory automaton, any chunking") =
+    forAll(streamGen, Gen.choose(2, 5), Gen.choose(1, 7)) { (rows, n, chunks) =>
+      // larger chunk counts force batch boundaries to straddle chunk edges —
+      // the regime where a mid-chunk flush makes key RE-occurrences
+      // load-bearing and naive first-occurrence compression would be wrong
+      val got = UniqueOps.lengthBatchIntervals(toDf(rows), Seq("key"), "seq", n, Some(chunks))
+        .as[(Long, Long, Long)].collect().toSet
+      // oracle: the reference automaton run in memory over arrival order
+      var seen = Set.empty[String]
+      var batch = 0L
+      var lo = 0L // seq of first event - 1 = 0
+      val oracle = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      rows.zipWithIndex.foreach { case ((k, _), i) =>
+        seen += k
+        if (seen.size == n) {
+          oracle += ((batch, lo, i + 1L))
+          seen = Set.empty; batch += 1; lo = i + 1L
+        }
+      }
+      got == oracle.toSet
+    }
+
   property("deduplicateSalted == deduplicate on random streams and intervals") =
     forAll(streamGen, Gen.choose(1L, 2000L)) { (rows, interval) =>
       val df = toDf(rows)
