@@ -239,12 +239,36 @@ object SparkEntry {
         streaming.UniqueStreams.timeLengthBatchStream(sdf, Seq("user_id"), "event_id",
           "ts", DAY, 50)).drop("change")),
     // the no-time.out form (timeOutMs=0): batches close only when a later
-    // event crosses the boundary — the idle-flush/append-merge path is
-    // processing-time-driven and stays sbt-tested (UniqueStreamsSpec)
+    // event crosses the boundary
     "externaltimebatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.externalTimeBatchStream(sdf, Seq("user_id"), "event_id",
           "ts", H6, timeOutMs = 0L)).drop("flush_kind")),
+    // the time.out idle-flush / append-merge path
+    // (UniqueExternalTimeBatchWindowProcessor.java:279-298), driven
+    // DETERMINISTICALLY: flush-marker rows stand in for the reference's
+    // TIMER events at fixed stream positions (after every 2500th event by
+    // event_id rank), making the wall-clock path replayable and
+    // hash-verifiable. Grid-aligned batches (start.time = 0). Feed order:
+    // events at 2*event_id, the marker after event c at 2*c+1.
+    "externaltimebatch_timeout_replay" -> ((s, d) => {
+      val events = ev(s, d)
+      val tagged = events
+        .withColumn("__ord", col("event_id") * 2)
+        .withColumn("__flush", lit(false))
+      val markers = events
+        .withColumn("__rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))))
+        .filter(col("__rnk") % 2500 === 0)
+        .select((events.columns.map(c =>
+          if (c == "event_id") col(c)
+          else lit(null).cast(events.schema(c).dataType).as(c))
+          :+ (col("event_id") * 2 + 1).as("__ord") :+ lit(true).as("__flush")): _*)
+      streaming.Replay.replay(s, tagged.unionByName(markers), "__ord", 2000, "update")(sdf =>
+        streaming.UniqueStreams.externalTimeBatchStream(sdf, Seq("user_id"), "__ord",
+          "ts", H6, timeOutMs = 0L, startMs = Some(0L), flushMarkerCol = Some("__flush")))
+        .drop("__ord", "__flush")
+    }),
   )
 
   /** Production variants benchmarked but NOT oracle-checked: DuckDB cannot
@@ -522,6 +546,39 @@ object SparkEntry {
            |) WHERE rn = 1 AND bid < (
            |  SELECT max((epoch_ms(ts) - s2.m) // $H6)
            |  FROM events CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s2)""".stripMargin,
+      // marker-driven time.out replay. Emission model (matching the
+      // reference's TIMER + boundary branches exactly):
+      //  - marker after event c idle-flushes the open grid window w(c) =
+      //    c's window: latest-per-key among w's events with event_id <= c;
+      //    'timeout' for the window's first idle flush, 'append' after
+      //    (the batch merged with rows already sent). Always dirty — the
+      //    cutoff event c itself arrived since any previous emit.
+      //  - a window w with later events beyond it closes: 'close' if never
+      //    idle-flushed; 'append' (full merged batch) if idle-flushed AND
+      //    events arrived after the last marker; NOTHING if all its rows
+      //    were already sent (appendToOutputChunk's currentEvents>0 guard,
+      //    UniqueExternalTimeBatchWindowProcessor.java:412).
+      //  - the final window never closes (only marker emissions).
+      "externaltimebatch_timeout_replay" ->
+        s"""WITH evw AS (SELECT *, epoch_ms(ts) // $H6 AS w FROM events),
+           |mk AS (SELECT event_id AS c, epoch_ms(ts) // $H6 AS w FROM events
+           |       QUALIFY row_number() OVER (ORDER BY event_id) % 2500 = 0),
+           |mk2 AS (SELECT c, w, c = min(c) OVER (PARTITION BY w) AS isf FROM mk),
+           |me AS (SELECT m.c, CASE WHEN m.isf THEN 'timeout' ELSE 'append' END AS fk, e.*,
+           |         row_number() OVER (PARTITION BY m.c, e.user_id ORDER BY e.event_id DESC) AS rn
+           |       FROM mk2 m JOIN evw e ON e.w = m.w AND e.event_id <= m.c),
+           |lastc AS (SELECT w, max(c) AS lc FROM mk GROUP BY w),
+           |cl AS (SELECT wi.w, CASE WHEN l.lc IS NULL THEN 'close' ELSE 'append' END AS fk
+           |       FROM (SELECT w, max(event_id) AS maxid FROM evw GROUP BY w) wi
+           |       LEFT JOIN lastc l ON wi.w = l.w
+           |       WHERE wi.w < (SELECT max(w) FROM evw)
+           |         AND (l.lc IS NULL OR wi.maxid > l.lc)),
+           |ce AS (SELECT c.fk, e.*,
+           |         row_number() OVER (PARTITION BY e.w, e.user_id ORDER BY e.event_id DESC) AS rn
+           |       FROM cl c JOIN evw e ON e.w = c.w)
+           |SELECT $EVSQL, fk AS flush_kind, (w + 1) * $H6 AS batch_end_ms FROM me WHERE rn = 1
+           |UNION ALL
+           |SELECT $EVSQL, fk AS flush_kind, (w + 1) * $H6 AS batch_end_ms FROM ce WHERE rn = 1""".stripMargin,
       "doc_fingerprint_md5" ->
         """WITH t AS (SELECT doc_id,
           |  trim(regexp_replace(lower(text), '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm FROM documents)

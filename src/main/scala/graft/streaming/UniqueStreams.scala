@@ -547,17 +547,28 @@ object UniqueStreams {
     * ProcessingTimeTimeout the engine always claims another batch is due
     * and processAllAvailable never returns — replay/verification must use
     * the no-timeout form).
+    *
+    * `flushMarkerCol`: name of a boolean input column marking FLUSH
+    * COMMANDS. A row with the marker set is not an event; processed at its
+    * seq position, it drives exactly the idle-timeout branch (the
+    * reference's TIMER event, UniqueExternalTimeBatchWindowProcessor
+    * .java:279-298) through the same emit logic — a test clock that makes
+    * the time.out path deterministically replayable (and DuckDB-
+    * verifiable) instead of wall-clock-driven. Production streams leave it
+    * None and use `timeOutMs`.
     */
   def externalTimeBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
                               tsCol: String, windowMs: Long,
                               timeOutMs: Long,
-                              startMs: Option[Long] = None): DataFrame = {
+                              startMs: Option[Long] = None,
+                              flushMarkerCol: Option[String] = None): DataFrame = {
     val inSchema = sdf.schema
     val outSchema = inSchema.add("flush_kind", "string").add("batch_end_ms", "long")
     val keyed = sdf.withColumn("__k", jsonKey(keys))
     val kIdx = keyed.schema.fieldIndex("__k")
     val sIdx = keyed.schema.fieldIndex(seqCol)
     val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val mIdx = flushMarkerCol.map(keyed.schema.fieldIndex)
     val rowEnc = Encoders.row(keyed.schema)
     val outEnc = Encoders.row(outSchema)
     val stateEnc = Encoders.kryo[EtbState]
@@ -574,36 +585,47 @@ object UniqueStreams {
             st.batch.foreach { case (_, r) =>
               out += Row.fromSeq(r.toSeq.take(nCols) ++ Seq(kind, st.endTimeMs))
             }
+          // the reference's TIMER branch (UniqueExternalTimeBatchWindowProcessor
+          // .java:279-289): first idle fire flushes, later idle fires re-emit
+          // the batch MERGED with rows sent already — but only if new events
+          // arrived since the last emit (`currentEvents.size() > 0` guard)
+          def idleFlush(st: EtbState): EtbState =
+            if (st.batch.nonEmpty && st.dirty) {
+              emit(st, if (st.sentIdle) "append" else "timeout")
+              st.copy(sentIdle = true, dirty = false)
+            } else st
           if (state.hasTimedOut) {
-            state.getOption.foreach { st =>
-              if (st.batch.nonEmpty && st.dirty) {
-                // idle flush; re-fires as a merged "append" if new
-                // same-batch events arrived after a previous idle flush
-                emit(st, if (st.sentIdle) "append" else "timeout")
-                state.update(st.copy(sentIdle = true, dirty = false))
-              }
-            }
+            state.getOption.foreach(st => state.update(idleFlush(st)))
           } else {
             var st = state.getOption.getOrElse(
               EtbState(Long.MinValue, Nil, sentIdle = false, dirty = false))
             sortedBySeq(rows, sIdx).foreach { r =>
-              val ts = r.getAs[java.sql.Timestamp](tsIdx).getTime
-              if (st.endTimeMs == Long.MinValue) {
-                // anchor at the first event, or on the start.time grid when
-                // given (findEndTime modulo arithmetic,
-                // UniqueExternalTimeBatchWindowProcessor.java:454-458)
-                val end = startMs match {
-                  case Some(s0) => s0 + (Math.floorDiv(ts - s0, windowMs) + 1) * windowMs
-                  case None => ts + windowMs
+              if (mIdx.exists(i => !r.isNullAt(i) && r.getBoolean(i))) {
+                st = idleFlush(st) // flush command, not an event
+              } else {
+                val ts = r.getAs[java.sql.Timestamp](tsIdx).getTime
+                if (st.endTimeMs == Long.MinValue) {
+                  // anchor at the first event, or on the start.time grid when
+                  // given (findEndTime modulo arithmetic,
+                  // UniqueExternalTimeBatchWindowProcessor.java:454-458)
+                  val end = startMs match {
+                    case Some(s0) => s0 + (Math.floorDiv(ts - s0, windowMs) + 1) * windowMs
+                    case None => ts + windowMs
+                  }
+                  st = st.copy(endTimeMs = end)
                 }
-                st = st.copy(endTimeMs = end)
+                while (ts >= st.endTimeMs) { // batch closes (monotonic input)
+                  // after an idle flush, a close with NO new events emits
+                  // nothing: the reference's appendToOutputChunk is a no-op
+                  // when currentEvents is empty (java:412 outer guard) —
+                  // everything in the batch was already sent
+                  if (st.batch.nonEmpty && (!st.sentIdle || st.dirty))
+                    emit(st, if (st.sentIdle) "append" else "close")
+                  st = EtbState(st.endTimeMs + windowMs, Nil, sentIdle = false, dirty = false)
+                }
+                val k = r.getString(kIdx)
+                st = st.copy(batch = st.batch.filterNot(_._1 == k) :+ (k -> r), dirty = true)
               }
-              while (ts >= st.endTimeMs) { // batch closes (monotonic input)
-                if (st.batch.nonEmpty) emit(st, if (st.sentIdle) "append" else "close")
-                st = EtbState(st.endTimeMs + windowMs, Nil, sentIdle = false, dirty = false)
-              }
-              val k = r.getString(kIdx)
-              st = st.copy(batch = st.batch.filterNot(_._1 == k) :+ (k -> r), dirty = true)
             }
             state.update(st)
             if (timeOutMs > 0) state.setTimeoutDuration(timeOutMs)

@@ -11,6 +11,11 @@ import graft.streaming.UniqueStreams
 
 case class Login(ts: Timestamp, ip: String, seq: Int)
 
+/** Login plus a flush-marker column (externalTimeBatchStream's
+  * deterministic stand-in for the reference's TIMER events).
+  */
+case class LoginM(ts: Timestamp, ip: String, seq: Int, flush: Boolean)
+
 /** Streaming-vs-batch equivalence on the reference fixtures, via
   * MemoryStream (no wall-clock sleeps: event-time + explicit watermark
   * advancement, mirroring DeduplicateStreamProcessor.java:155-178 and
@@ -221,6 +226,65 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
       awaitCond(rowsOfKind("append") === Set(1L, 2L, 3L),
         "append-merge of the already-sent rows with c")
     } finally q.stop()
+  }
+
+  test("marker-driven time.out reproduces reference test1's exact emission trace") {
+    // UniqueExternalTimeBatchWindowTestCase.java:83-127: window 1 sec,
+    // start.time 0, time.out 2 sec; the two Thread.sleep(2100) timer fires
+    // and the final scheduler fire become flush markers at the same stream
+    // positions — emission sizes must be 3 (close), 2 (timeout),
+    // 3 (append), 4 (append), 2 (timeout), 14 rows total.
+    val ms = MemoryStream[LoginM]
+    val q = startQuery(
+      UniqueStreams.externalTimeBatchStream(
+        ms.toDF().withColumn("seq", col("seq").cast("long")),
+        Seq("ip"), "seq", "ts", 1000L, timeOutMs = 0L, startMs = Some(0L),
+        flushMarkerCol = Some("flush")),
+      "etb_mk", OutputMode.Update())
+    def e(msTs: Long, ip: String, seq: Int) = LoginM(new Timestamp(msTs), ip, seq, flush = false)
+    def m(seq: Int) = LoginM(new Timestamp(0), "", seq, flush = true)
+    val t = 1366335804000L
+    ms.addData(
+      e(t + 341, "3", 1), e(t + 599, "3", 2), e(t + 600, "5", 3), e(t + 607, "6", 4),
+      e(t + 1599, "4", 5), e(t + 1600, "4", 6), e(t + 1607, "6", 7),
+      m(8),
+      e(t + 1606, "6", 9), e(t + 1605, "8", 10),
+      m(11),
+      e(t + 1606, "6", 12), e(t + 1605, "92", 13),
+      e(t + 2606, "9", 14), e(t + 2690, "10", 15),
+      m(16))
+    q.processAllAvailable()
+    val got = spark.table("etb_mk").select("flush_kind", "seq").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    q.stop()
+    // close of [804000,805000): {.3@2, .5@3, .6@4}
+    assert(got("close") === List(2L, 3L, 4L))
+    // marker@8: timeout {.4@6, .6@7}; marker@16: timeout {.9@14, .10@15}
+    assert(got("timeout") === List(6L, 7L, 14L, 15L))
+    // marker@11: {.4@6, .6@9, .8@10}; boundary close at seq 14 after the
+    // idle flush with new events 12/13: {.4@6, .8@10, .6@12, .92@13}
+    assert(got("append") === List(6L, 6L, 9L, 10L, 10L, 12L, 13L))
+  }
+
+  test("close after an idle flush with no new events emits nothing") {
+    // the reference's appendToOutputChunk is a no-op when currentEvents is
+    // empty (UniqueExternalTimeBatchWindowProcessor.java:412 outer guard):
+    // everything in the batch was already sent by the idle flush
+    val ms = MemoryStream[LoginM]
+    val q = startQuery(
+      UniqueStreams.externalTimeBatchStream(
+        ms.toDF().withColumn("seq", col("seq").cast("long")),
+        Seq("ip"), "seq", "ts", 1000L, timeOutMs = 0L, startMs = Some(0L),
+        flushMarkerCol = Some("flush")),
+      "etb_mk2", OutputMode.Update())
+    def e(msTs: Long, ip: String, seq: Int) = LoginM(new Timestamp(msTs), ip, seq, flush = false)
+    def m(seq: Int) = LoginM(new Timestamp(0), "", seq, flush = true)
+    ms.addData(e(100, "a", 1), e(200, "b", 2), m(3), e(2500, "c", 4), m(5))
+    q.processAllAvailable()
+    val got = spark.table("etb_mk2").select("flush_kind", "seq").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    q.stop()
+    assert(got === Map("timeout" -> List(1L, 2L, 4L))) // no 'append', no 'close'
   }
 
   test("everStreamTtl evicts idle keys silently; a returning key is brand new") {
