@@ -244,6 +244,21 @@ object SparkEntry {
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.externalTimeBatchStream(sdf, Seq("user_id"), "event_id",
           "ts", H6, timeOutMs = 0L)).drop("flush_kind")),
+    // STREAMING composition: a join downstream of a streaming unique
+    // window (the streaming analog of join_windows; the reference joins
+    // two unique:ever windows in streaming, UniqueEverWindowTestCase
+    // .java:220-263 — the two-window event-by-event form is pinned by the
+    // foreachBatch spec in UniqueStreamsSpec; this row hash-verifies the
+    // in-query stream-static form: everStream(orders) ⨝ broadcast(customer)
+    // emitting the joined change log).
+    "join_windows_stream_replay" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      streaming.Replay.replay(s, Tables.orders(s, d), "o_orderkey", 2000, "update")(sdf =>
+        streaming.UniqueStreams.everStream(sdf, Seq("o_custkey"), Some("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "o_orderdate",
+            "change"))
+    }),
     // the time.out idle-flush / append-merge path
     // (UniqueExternalTimeBatchWindowProcessor.java:279-298), driven
     // DETERMINISTICALLY: flush-marker rows stand in for the reference's
@@ -546,6 +561,20 @@ object SparkEntry {
            |) WHERE rn = 1 AND bid < (
            |  SELECT max((epoch_ms(ts) - s2.m) // $H6)
            |  FROM events CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s2)""".stripMargin,
+      // everStream(orders by custkey) ⨝ customer change log: every order
+      // 'insert' once; every replaced order (non-latest per custkey at end
+      // of stream) 'expire' once — each joined to its customer row
+      "join_windows_stream_replay" ->
+        """SELECT c_custkey, c_name, o_orderkey, o_totalprice, o_orderdate,
+          |  'insert' AS change
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |UNION ALL
+          |SELECT c_custkey, c_name, o_orderkey, o_totalprice, o_orderdate,
+          |  'expire' AS change
+          |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          |        ORDER BY o_orderkey DESC) AS rn FROM orders)
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE rn > 1""".stripMargin,
       // marker-driven time.out replay. Emission model (matching the
       // reference's TIMER + boundary branches exactly):
       //  - marker after event c idle-flushes the open grid window w(c) =

@@ -16,6 +16,10 @@ case class Login(ts: Timestamp, ip: String, seq: Int)
   */
 case class LoginM(ts: Timestamp, ip: String, seq: Int, flush: Boolean)
 
+/** Fixtures for the two-window streaming join (reference everTest4). */
+case class Cse(symbol: String, price: Double, volume: Int, seq: Int)
+case class Tweet(user: String, tweet: String, company: String, seq: Int)
+
 /** Streaming-vs-batch equivalence on the reference fixtures, via
   * MemoryStream (no wall-clock sleeps: event-time + explicit watermark
   * advancement, mirroring DeduplicateStreamProcessor.java:155-178 and
@@ -285,6 +289,65 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
     q.stop()
     assert(got === Map("timeout" -> List(1L, 2L, 4L))) // no 'append', no 'close'
+  }
+
+  test("two streaming unique:ever windows join event-by-event (reference everTest4)") {
+    // UniqueEverWindowTestCase.java:220-263: cse#unique:ever(symbol) join
+    // twitter#unique:ever(user) on symbol == company. Spark cannot
+    // stream-stream-join two update-mode fMGWS outputs directly; the
+    // composition pattern is foreachBatch on each window's change log —
+    // each side upserts its current window contents and joins its new
+    // inserts against the other side's contents at that moment. Exactly
+    // the reference's event-by-event join timing when driven one event
+    // per micro-batch.
+    val cseWin = scala.collection.concurrent.TrieMap.empty[String, (String, Double)] // symbol -> (symbol, price)
+    val twWin = scala.collection.concurrent.TrieMap.empty[String, (String, String)]  // user -> (tweet, company)
+    val joined = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String, Double)]) // (symbol, tweet, price)
+    val cseMs = MemoryStream[Cse]
+    val twMs = MemoryStream[Tweet]
+    def start(df: DataFrame)(onBatch: DataFrame => Unit): StreamingQuery =
+      df.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ckpt_j2").toString)
+        .foreachBatch((b: DataFrame, _: Long) => onBatch(b))
+        .start()
+    val qCse = start(UniqueStreams.everStream(cseMs.toDF(), Seq("symbol"), Some("seq"))) { b =>
+      b.filter(col("change") === "insert")
+        .select("symbol", "price").collect().foreach { r =>
+          val (sym, price) = (r.getString(0), r.getDouble(1))
+          cseWin(sym) = (sym, price)
+          // new quote joins the twitter window's current contents
+          twWin.values.foreach { case (tweet, company) =>
+            if (company == sym) joined.add((sym, tweet, price))
+          }
+        }
+    }
+    val qTw = start(UniqueStreams.everStream(twMs.toDF(), Seq("user"), Some("seq"))) { b =>
+      b.filter(col("change") === "insert")
+        .select("user", "tweet", "company").collect().foreach { r =>
+          val (user, tweet, company) = (r.getString(0), r.getString(1), r.getString(2))
+          twWin(user) = (tweet, company)
+          // new tweet joins the cse window's current contents
+          cseWin.get(company).foreach { case (sym, price) =>
+            joined.add((sym, tweet, price))
+          }
+        }
+    }
+    try {
+      cseMs.addData(Cse("WSO2", 55.6, 100, 1)); qCse.processAllAvailable()
+      cseMs.addData(Cse("IBM", 59.6, 100, 2)); qCse.processAllAvailable()
+      twMs.addData(Tweet("User1", "Hello World", "WSO2", 3)); qTw.processAllAvailable()
+      twMs.addData(Tweet("User2", "Hello World2", "WSO2", 4)); qTw.processAllAvailable()
+      cseMs.addData(Cse("WSO2", 75.6, 100, 5)); qCse.processAllAvailable()
+    } finally { qCse.stop(); qTw.stop() }
+    import scala.jdk.CollectionConverters._
+    val got = joined.asScala.toList
+    // the reference asserts 4 joined events: the two tweets each join the
+    // 55.6 quote; the replacing 75.6 quote joins both live tweets
+    assert(got.sorted === List(
+      ("WSO2", "Hello World", 55.6), ("WSO2", "Hello World", 75.6),
+      ("WSO2", "Hello World2", 55.6), ("WSO2", "Hello World2", 75.6)))
   }
 
   test("everStreamTtl evicts idle keys silently; a returning key is brand new") {
