@@ -155,7 +155,8 @@ object SparkEntry {
     }),
     "emb_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      llm.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+      llm.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10,
+          lloydIters = 1)
         .select("query_id", "corpus_id", "rank")
     }),
     // embedding-cosine near-dup: banded hyperplane LSH + exact cosine
@@ -878,16 +879,30 @@ object SparkEntry {
        |SELECT id_a, id_b FROM s WHERE cos >= 0.4""".stripMargin
   }
 
-  /** DuckDB mirror of Similarity.ivfTopK (nCells=16, nProbe=4, k=10):
-    * centroids = vec_id < 16; corpus assigned to the argmax-cosine cell
-    * (ties to the smallest cell, matching the engine's (csim, -cell)
-    * max_by); queries probe the 4 nearest cells; rank-compared like
-    * emb_knn_brute.
+  /** DuckDB mirror of Similarity.ivfTopK (nCells=16, nProbe=4, k=10,
+    * lloydIters=1): anchor centroids = the 16 lowest-vec_id rows; corpus
+    * assigned to the argmax-cosine cell (ties to the smallest cell,
+    * matching the engine's (csim, -cell) max_by); ONE Lloyd pass
+    * recomputes each centroid as its cell's element-wise mean on
+    * floor(x·2^20) longs (exact order-free sums — the cross-engine
+    * determinism trick, see ivfTopK's scaladoc) and reassigns; queries
+    * probe the 4 nearest refined cells; rank-compared like emb_knn_brute.
     */
   private def embIvfOracle: String =
-    s"""WITH cent AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
-       |    FROM embeddings WHERE vec_id < 16),
+    s"""WITH cent0 AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT 16),
        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg0 AS (SELECT corpus_id, cv, cell FROM (
+       |  SELECT corpus_id, cv, cell,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN cent0)) WHERE rn = 1),
+       |el AS (SELECT cell, generate_subscripts(cv, 1) AS pos, unnest(cv) AS x FROM asg0),
+       |cm AS (SELECT cell, pos,
+       |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / (count(*) * 1048576.0) AS m
+       |  FROM el GROUP BY cell, pos),
+       |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
        |asg AS (SELECT corpus_id, cv, cell FROM (
        |  SELECT corpus_id, cv, cell,
        |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn

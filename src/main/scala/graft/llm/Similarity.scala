@@ -64,13 +64,24 @@ object Similarity {
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Fails the query loudly when an embedding's length differs from the
+    * configured `dim`: zip_with against a dim-length plane null-pads on
+    * mismatch, every dot folds to null, and all sign codes silently
+    * collapse to bucket 0 — a wrong-width corpus would otherwise return
+    * zero pairs / one giant bucket instead of erroring.
+    */
+  private def requireDim(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"embedding dimension mismatch: expected $dim, got "), size(v).cast("string"))))
+
   /** LSH bucket id: sign bits of the vector against nPlanes hyperplanes.
     * The float embedding is cast to array<double> first so each product
     * is a single double rounding — bit-identical to any engine computing
     * double(x)*double(y), which keeps bucket signs cross-engine stable.
+    * Mismatched embedding widths raise (see requireDim).
     */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
-    signCode(vec.cast("array<double>"), planes(nPlanes, dim, seed))
+    signCode(requireDim(vec.cast("array<double>"), dim), planes(nPlanes, dim, seed))
 
   /** LSH-bucketed ANN top-k: corpus and queries bucketed by hyperplane
     * signs; candidates = same-bucket rows only; cosine + per-query top-k
@@ -149,8 +160,11 @@ object Similarity {
     // one plane matrix, sliced per band — the oracle embeds the same rows
     val allPlanes = planes(groups * planesPerGroup, dim, seed)
     // persisted 2-consumer projection (band explode + verify join), the
-    // same pattern as minhashPairs' signature relation
-    val prepped = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // same pattern as minhashPairs' signature relation; released by
+    // PairsWithStats.unpersist(). Wrong-width embeddings raise loudly
+    // (requireDim) instead of collapsing every row into band code 0.
+    val prepped = df.select(col(idCol).as("id"),
+        requireDim(col(vecCol).cast("array<double>"), dim).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bands carry ids + short codes only — vectors never ride the explode
     val banded = prepped.select(col("id"),
@@ -177,46 +191,71 @@ object Similarity {
       .join(prepped.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-    PairsWithStats(pairs, dropped)
+    PairsWithStats(pairs, dropped, cached = Seq(prepped))
   }
 
   /** IVF (inverted-file) ANN top-k — the centroid-partitioned scale path
-    * beside the hyperplane `annTopK`. Cells are anchored at deterministic
-    * corpus rows (`idCol < nCells` — data-derived yet reproducible, and
-    * SQL-expressible for the oracle); every corpus row is assigned to its
-    * argmax-cosine centroid, queries probe the `nProbe` nearest cells.
+    * beside the hyperplane `annTopK`. Cells start at deterministic anchor
+    * rows (the `nCells` lowest-id corpus rows — data-derived yet
+    * reproducible, SQL-expressible for the oracle, and valid for ANY id
+    * space, unlike an `id < nCells` filter that silently degrades on
+    * non-dense ids); `lloydIters` k-means (Lloyd) refinement passes then
+    * recompute each centroid as its cell's element-wise mean vector and
+    * reassign — two DataFrame aggregations per pass. Every corpus row is
+    * assigned to its argmax-cosine centroid; queries probe the `nProbe`
+    * nearest cells.
     *
-    * Scale shape: centroids are broadcast both times (nCells rows); the
-    * corpus assignment is one broadcast-join + partial-aggregable
-    * `max_by` per corpus row (map-side combine collapses the nCells
-    * expansion before the shuffle), and scoring shuffles the corpus ONCE
-    * on the cell id with the probe side broadcast — each query touches
-    * ~nProbe/nCells of the data. A production deployment would swap the
-    * anchor centroids for k-means iterates; the plumbing is identical.
+    * Cross-engine determinism of the refinement: element sums are
+    * computed on `floor(x * 2^20)` longs — exact, order-independent
+    * integer addition — then divided once in double, so the DuckDB twin
+    * reproduces centroids bit-for-bit where a double-sum would depend on
+    * partition-merge order. The ~1e-6 quantization is noise against
+    * k-means' own movement. A cell that captures no rows drops out
+    * (standard Lloyd degeneracy; the effective cell count may shrink).
     *
-    * Sizing at scale: nCells grows with the corpus (≈ n / targetCellSize,
-    * classically ~sqrt(n)) so each cell stays partition-sized; the
-    * centroid table stays broadcastable far beyond that (10^6 cells of a
-    * 64-dim double vector ≈ 0.5 GB — switch the assignment join to a
-    * shuffle join first). Per-query cost stays nProbe cells regardless
-    * of corpus size.
+    * Scale shape: centroids are broadcast every pass (nCells rows); each
+    * refinement is one broadcast-join assignment + one partial-aggregable
+    * (cell, pos) sum — map-side combine collapses the dim-explode before
+    * the shuffle — and scoring shuffles the corpus ONCE on the cell id
+    * with the probe side broadcast: each query touches ~nProbe/nCells of
+    * the data. Sizing at scale: nCells grows with the corpus
+    * (≈ n / targetCellSize, classically ~sqrt(n)) so each cell stays
+    * partition-sized; the centroid table stays broadcastable far beyond
+    * that (10^6 cells of a 64-dim double vector ≈ 0.5 GB — switch the
+    * assignment join to a shuffle join first). Per-query cost stays
+    * nProbe cells regardless of corpus size.
     *
     * Returns (query_id, corpus_id, sim, rank), rank <= k per query.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     // argmax-cosine cell per corpus row: max_by over a (csim, -cell)
     // struct — lexicographic, so ties go to the smallest cell id, matching
     // the oracle's ORDER BY csim DESC, cell
-    val assigned = c.crossJoin(broadcast(cent))
-      .select(col("corpus_id"), col("cv"), col("cell"),
-        cosine(col("cv"), col("centroid")).as("csim"))
-      .groupBy("corpus_id")
-      .agg(max_by(struct(col("cell"), col("cv")), struct(col("csim"), -col("cell"))).as("__a"))
-      .select(col("corpus_id"), col("__a.cell").as("cell"), col("__a.cv").as("cv"))
+    def assign(cent: DataFrame): DataFrame =
+      c.crossJoin(broadcast(cent))
+        .select(col("corpus_id"), col("cv"), col("cell"),
+          cosine(col("cv"), col("centroid")).as("csim"))
+        .groupBy("corpus_id")
+        .agg(max_by(struct(col("cell"), col("cv")), struct(col("csim"), -col("cell"))).as("__a"))
+        .select(col("corpus_id"), col("__a.cell").as("cell"), col("__a.cv").as("cv"))
+    val scale = 1048576.0d // 2^20 — see determinism note above
+    var cent = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+    for (_ <- 0 until lloydIters)
+      cent = assign(cent)
+        .select(col("cell"), posexplode(col("cv")))
+        .select(col("cell"), col("pos"), floor(col("col") * lit(scale)).cast("long").as("q"))
+        .groupBy("cell", "pos")
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * lit(scale))).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+    val assigned = assign(cent)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cell"),

@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   * bucket usually means degenerate boilerplate content: aggregate with
   * `agg(count(*), max("size"))` and alert before trusting recall.
   */
-final case class PairsWithStats(pairs: DataFrame, droppedBuckets: DataFrame)
+final case class PairsWithStats(pairs: DataFrame, droppedBuckets: DataFrame,
+                                cached: Seq[DataFrame] = Nil) {
+  /** Release the pipeline-internal persisted frames once `pairs` /
+    * `droppedBuckets` have been consumed (blocking=false; re-consumption
+    * recomputes, stays correct) — the scoped alternative to a session-wide
+    * clearCache in long-lived sessions.
+    */
+  def unpersist(): Unit = cached.foreach(_.unpersist(false))
+}
 
 object TextDedup {
 
@@ -214,7 +222,7 @@ object TextDedup {
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    PairsWithStats(pairs, dropped)
+    PairsWithStats(pairs, dropped, cached = Seq(withSig))
   }
 
   /** Jaccard similarity of two string arrays (set semantics). */
@@ -327,7 +335,7 @@ object TextDedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
-    PairsWithStats(pairs, dropped)
+    PairsWithStats(pairs, dropped, cached = Seq(withSim))
   }
 
   /** n-gram Jaccard near-dup with single-min-hash blocking: candidates
@@ -382,6 +390,6 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    PairsWithStats(pairs, dropped)
+    PairsWithStats(pairs, dropped, cached = Seq(withSh))
   }
 }

@@ -10,10 +10,19 @@ import org.apache.spark.sql.functions._
   * (UniqueEverWindowProcessor.java:143-169). `all` tags rows with a
   * `change` column instead of Siddhi's event-type enum.
   */
-final case class UniqueResult(current: DataFrame, expired: DataFrame) {
+final case class UniqueResult(current: DataFrame, expired: DataFrame,
+                              cached: Seq[DataFrame] = Nil) {
   def all: DataFrame =
     current.withColumn("change", lit("insert"))
       .unionByName(expired.withColumn("change", lit("expire")))
+
+  /** Release the operator-internal persisted frames (`cached`) once the
+    * outputs have been consumed. Blocking=false; a later re-consumption of
+    * `current`/`expired` stays CORRECT (recomputes instead of reusing the
+    * cache). The scoped alternative to a session-wide
+    * `spark.catalog.clearCache()` in long-lived sessions.
+    */
+  def unpersist(): Unit = cached.foreach(_.unpersist(false))
 }
 
 /** Batch (deterministic, oracle-testable) semantics of the 11 `unique:`
@@ -405,11 +414,11 @@ object UniqueOps {
     }
     // both outputs consume the SAME persisted interval frame (it is tiny —
     // one row per batch); long-lived sessions reclaim with
-    // spark.catalog.clearCache()
+    // UniqueResult.unpersist() once done
     val lastBatch = intervals.agg(max(col("__batch_id")).as("__last"))
     val expired = cur().crossJoin(broadcast(lastBatch))
       .filter(col("batch_id") < col("__last")).drop("__last")
-    UniqueResult(cur(), expired)
+    UniqueResult(cur(), expired, cached = Seq(intervals))
   }
 
   def firstLengthBatch(df: DataFrame, keys: Seq[String], seqCol: String, n: Int): UniqueResult =

@@ -249,9 +249,114 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     val part = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
       nCells = 16, nProbe = 4)
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
-    assert(part.subsetOf(truth.union(part)), "sanity") // part pairs rank within probed cells
+    // independent in-memory oracle: every partial-probe result's corpus row
+    // must be assigned (argmax cosine, ties to smallest cell) to one of
+    // its query's 4 nearest cells — plain Scala math over collected
+    // vectors, no reuse of the operator's own joins
+    locally {
+      val vecs = embs.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val cents = vecs.keys.toSeq.sorted.take(16).map(id => id -> vecs(id))
+      def rankedCells(v: Array[Double]): Seq[Long] =
+        cents.map { case (cid, cv) => (cid, cos(v, cv)) }.sortBy { case (cid, s) => (-s, cid) }.map(_._1)
+      val assignedCell = vecs.map { case (id, v) => id -> rankedCells(v).head }
+      part.foreach { case (q, cid) =>
+        assert(rankedCells(vecs(q)).take(4).contains(assignedCell(cid)),
+          s"corpus $cid surfaced for query $q outside its probed cells")
+      }
+    }
     val recall = (truth intersect part).size.toDouble / truth.size
     assert(recall > 0.25, s"IVF recall@10 $recall at or below coverage baseline")
+  }
+
+  test("ivfTopK Lloyd pass matches an independent in-memory k-means iteration") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 10,
+      nCells = 16, nProbe = 4, lloydIters = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // independent in-memory Lloyd pass: anchor assign → quantized
+    // element-wise mean (floor(x·2^20) longs — the engine's exact
+    // arithmetic) → reassign; every refined result's corpus row must be
+    // assigned to one of its query's 4 nearest REFINED cells
+    val vecs = embs.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def argCell(cents: Seq[(Long, Array[Double])])(v: Array[Double]): Long =
+      cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    val anchors = vecs.keys.toSeq.sorted.take(16).map(id => id -> vecs(id))
+    val cells0 = vecs.map { case (id, v) => id -> argCell(anchors)(v) }
+    val scale = 1048576.0
+    val refinedCents = cells0.groupBy(_._2).map { case (cell, members) =>
+      val vs = members.keys.toSeq.map(vecs)
+      cell -> Array.tabulate(vs.head.length) { p =>
+        vs.map(v => math.floor(v(p) * scale).toLong).sum.toDouble / (vs.size * scale)
+      }
+    }.toSeq.sortBy(_._1)
+    val assigned1 = vecs.map { case (id, v) => id -> argCell(refinedCents)(v) }
+    def probed(q: Long): Seq[Long] =
+      refinedCents.map { case (cid, cv) => (cid, cos(vecs(q), cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(4).map(_._1)
+    refined.foreach { case (q, cid) =>
+      assert(probed(q).contains(assigned1(cid)),
+        s"refined IVF surfaced corpus $cid for query $q outside its probed cells")
+    }
+    // recall still beats the 4/16 coverage baseline. (On this synthetic
+    // corpus — no real cluster structure, max cosine ~0.48 — one Lloyd
+    // pass moves recall by about one pair in either direction: measured
+    // 0.825 refined vs 0.830 anchor. The refinement's value is the
+    // tighter cells it builds when structure EXISTS; this corpus can't
+    // show that, so the assertion pins correctness, not superiority.)
+    val recallRefined = (truth intersect refined).size.toDouble / truth.size
+    assert(recallRefined > 0.25,
+      s"refined IVF recall@10 $recallRefined at or below coverage baseline")
+  }
+
+  test("lshBucket/embeddingNearDupPairs raise loudly on mismatched embedding width") {
+    // a wrong-width corpus would otherwise null-pad through zip_with and
+    // silently collapse every row into band code 0 (ADVICE r5)
+    val wrong = embs.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val ex = intercept[Exception] {
+      Similarity.embeddingNearDupPairs(wrong, "vec_id", "embedding",
+        threshold = 0.3, groups = 4, planesPerGroup = 4).count()
+    }
+    assert(ex.getMessage.contains("dimension mismatch")
+      || Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("pairs pipelines release their persisted relations via unpersist()") {
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    // a bystander cache entry proves the unpersist is SCOPED, not global
+    val bystander = docs.select("doc_id").persist()
+    bystander.count()
+    try {
+      val r = TextDedup.minhashPairsWithStats(docs, "text", "doc_id", threshold = 0.5)
+      r.pairs.count()
+      assert(r.cached.nonEmpty && r.cached.forall(_.storageLevel != none),
+        "pipeline-internal relation must be cached while in use")
+      r.unpersist()
+      assert(r.cached.forall(_.storageLevel == none),
+        "unpersist() must drop the pipeline-internal cache entries")
+      assert(bystander.storageLevel != none,
+        "scoped unpersist must not touch unrelated cache entries")
+      val r2 = Similarity.embeddingNearDupPairsWithStats(embs, "vec_id", "embedding",
+        threshold = 0.3, groups = 4, planesPerGroup = 4)
+      r2.pairs.count()
+      assert(r2.cached.forall(_.storageLevel != none))
+      r2.unpersist()
+      assert(r2.cached.forall(_.storageLevel == none))
+    } finally bystander.unpersist()
   }
 
   test("embeddingNearDupPairs plans bucket-local equi-joins, never a cartesian product") {

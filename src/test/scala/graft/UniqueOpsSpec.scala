@@ -97,6 +97,19 @@ class UniqueOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.current.select("batch_id").distinct().count() === 3)
   }
 
+  test("lengthBatch releases its persisted interval frame via UniqueResult.unpersist") {
+    val df = cse(("IBM", 700.0, 1), ("WSO2", 60.5, 2), ("IBM", 700.0, 3),
+      ("WSO2", 60.5, 4), ("IBM", 700.0, 5), ("WSO2", 60.5, 6))
+    val r = UniqueOps.lengthBatch(df, Seq("symbol"), "seq", 2)
+    r.current.count(); r.expired.count()
+    assert(r.cached.nonEmpty &&
+      r.cached.forall(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "interval frame must be cached while outputs are consumed")
+    r.unpersist()
+    assert(r.cached.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "unpersist() must release the interval frame")
+  }
+
   // ---- unique:lengthBatch(symbol, 4) aggregation: first flush sums
   // price to 130.0; remaining events stay pending
   // (UniqueLengthBatchWindowTestCase.java:253-275) ----
