@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10×-scale measurement harness (VERDICT r5 stretch #8): the driver only
+  * ships up to sf0.1, so the 100×-design claims rest on plan shape alone.
+  * This tool materializes an sf1-like synthetic set (10 copies of the
+  * sf0.1 events/documents tables — event ids and timestamps shifted per
+  * copy to stay unique and ts-monotone; document texts suffixed per copy
+  * so cross-copy pairs are NEAR-duplicates, not exact, multiplying the
+  * near-dup workload ~copies² in the dup-heavy buckets) and runs the two
+  * heaviest pipelines once, reporting wall time and total shuffle-write
+  * bytes per query. Results are recorded in BASELINE.md §round-6.
+  *
+  *   sbt "runMain graft.tools.ScaleBench [outDir]"   # default /tmp/graft_sf1
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("/tmp/graft_sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val evPath = s"$out/events.parquet"
+    val docPath = s"$out/documents.parquet"
+
+    if (!new java.io.File(evPath).exists()) {
+      val ev = graft.Tables.events(spark, base)
+      val b = ev.agg(max(col("event_id")).cast("long"),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (maxId, tsMin, tsMax) = (b.getLong(0) + 1, b.getLong(1), b.getLong(2))
+      val spanUs = tsMax - tsMin + 86400000000L // +1 day gap keeps ts monotone in event_id
+      (0 until copies).map { i =>
+        ev.select(ev.columns.map {
+          case "event_id" => (col("event_id") + lit(i * maxId)).as("event_id")
+          case "ts" => timestamp_micros(unix_micros(col("ts")) + lit(i * spanUs)).as("ts")
+          case c => col(c)
+        }: _*)
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(evPath)
+    }
+    if (!new java.io.File(docPath).exists()) {
+      val docs = graft.Tables.documents(spark, base)
+      val maxDoc = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1
+      (0 until copies).map { i =>
+        docs.select(docs.columns.map {
+          case "doc_id" => (col("doc_id") + lit(i * maxDoc)).as("doc_id")
+          case "text" => concat(col("text"), lit(s" copyvariant$i")).as("text")
+          case c => col(c)
+        }: _*)
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(docPath)
+    }
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def timed(name: String)(rows: => Long): String = {
+      spark.catalog.clearCache()
+      shuffleWrite.set(0)
+      val t0 = System.nanoTime()
+      val n = rows
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are posted asynchronously (listenerBus is
+      // private[spark]); a short settle keeps the tallies complete
+      Thread.sleep(500)
+      f""""$name":{"sec":$sec%.2f,"rows":$n,"shuffle_write_mb":${shuffleWrite.get / 1048576.0}%.1f}"""
+    }
+
+    val evSf1 = spark.read.parquet(evPath)
+    val docsSf1 = spark.read.parquet(docPath)
+    val r1 = timed("lengthbatch_current") {
+      graft.operators.UniqueOps.lengthBatch(evSf1, Seq("user_id"), "event_id", 40)
+        .current.count()
+    }
+    val r2 = timed("doc_minhash_pairs") {
+      graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2).count()
+    }
+    val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}"""
+    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$r2}""")
+    spark.stop()
+  }
+}
