@@ -614,6 +614,45 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
       s"pre-restart pending row must flush in batch 0 after restart, got $inserts")
   }
 
+  test("externalTimeBatchStream restores the sentIdle/dirty flush state after a restart") {
+    // the append-merge decision depends on EtbState's sentIdle + dirty
+    // flags; a restart between the idle flush and the batch close must
+    // preserve them or the close would re-emit 'close' instead of the
+    // reference's merged append (or re-send an already-sent batch)
+    val ckpt = Files.createTempDirectory("ckpt_etb_restart").toString
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def run(ms: MemoryStream[LoginM]): StreamingQuery =
+      UniqueStreams.externalTimeBatchStream(
+          ms.toDF().withColumn("seq", col("seq").cast("long")),
+          Seq("ip"), "seq", "ts", 1000L, timeOutMs = 0L, startMs = Some(0L),
+          flushMarkerCol = Some("flush"))
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("flush_kind", "seq").collect()
+            .foreach(r => sink.add((r.getString(0), r.getLong(1))))
+        }
+        .start()
+    def e(msTs: Long, ip: String, seq: Int) = LoginM(new Timestamp(msTs), ip, seq, flush = false)
+    def m(seq: Int) = LoginM(new Timestamp(0), "", seq, flush = true)
+    val ms1 = MemoryStream[LoginM]
+    val q1 = run(ms1)
+    ms1.addData(e(100, "a", 1), e(200, "b", 2), m(3)) // idle flush {a,b}
+    q1.processAllAvailable()
+    q1.stop()
+    ms1.addData(e(300, "c", 4), e(2500, "d", 5)) // same-batch c, then close
+    val q2 = run(ms1)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = sink.toArray(Array.empty[(String, Long)]).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    // timeout {a@1, b@2} pre-restart; close after restart must APPEND the
+    // merged batch {a, b, c} (sentIdle survived), never 'close'
+    assert(got("timeout") === List(1L, 2L))
+    assert(got("append") === List(1L, 2L, 4L))
+    assert(!got.contains("close"), s"restart lost sentIdle: $got")
+  }
+
   test("file source end-to-end: readStream parquet -> everStream -> sink equals batch") {
     // the production ingest path (not MemoryStream): events land as
     // parquet files, readStream picks them up per micro-batch
