@@ -155,6 +155,104 @@ case class XxShingleHashes(child: Expression, n: Int)
     })
 }
 
+/** Fused hyperplane sign codes for ALL LSH bands in one generated loop:
+  * out(g) = Σ_i [v · plane(g·ppg+i) >= 0] << i  for i in 0..ppg-1.
+  * Replaces the HOF construction (per-plane `aggregate(zip_with(...))`
+  * + when/shiftleft reduce), which walks the vector groups·ppg times
+  * with interpreted lambdas. Bit-exact parity with the HOF form (pinned
+  * by tests): dots accumulate left-to-right in double, `>= 0` sign, bit
+  * index local to the group; a null element nulls every dot, so every
+  * code collapses to 0 (when(null).otherwise(0)); an input of the wrong
+  * length returns null (callers guard with requireDim first, which
+  * raises before this is reached).
+  */
+case class VecBandCodes(child: Expression, planes: Seq[Seq[Double]], planesPerGroup: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planesPerGroup > 0 && planesPerGroup <= 62,
+    s"planesPerGroup must be in 1..62, got $planesPerGroup")
+  require(planes.nonEmpty && planes.length % planesPerGroup == 0,
+    s"${planes.length} planes do not divide into groups of $planesPerGroup")
+  require(planes.forall(_.length == planes.head.length), "ragged plane matrix")
+  private val groups = planes.length / planesPerGroup
+  private val dim = planes.head.length
+  @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_band_codes"
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): VecBandCodes =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val out = new Array[Long](groups)
+    var j = 0
+    while (j < dim) { // null element → all-zero codes, like the HOF form
+      if (v.isNullAt(j)) return new GenericArrayData(out)
+      j += 1
+    }
+    val vv = new Array[Double](dim)
+    j = 0
+    while (j < dim) { vv(j) = v.getDouble(j); j += 1 }
+    var g = 0
+    while (g < groups) {
+      var code = 0L
+      var i = 0
+      while (i < planesPerGroup) {
+        val base = (g * planesPerGroup + i) * dim
+        var dot = 0.0
+        var p = 0
+        while (p < dim) { dot += vv(p) * flat(base + p); p += 1 }
+        if (dot >= 0.0) code += (1L << i)
+        i += 1
+      }
+      out(g) = code
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val pl = ctx.addReferenceObj("planesFlat", flat, "double[]")
+      val out = ctx.freshName("out")
+      val vv = ctx.freshName("vv")
+      val hasNull = ctx.freshName("hasNull")
+      val g = ctx.freshName("g")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val code = ctx.freshName("code")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($c.numElements() != $dim) { ${ev.isNull} = true; } else {
+         |  final long[] $out = new long[$groups];
+         |  boolean $hasNull = false;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($c.isNullAt($j)) { $hasNull = true; break; }
+         |  }
+         |  if (!$hasNull) {
+         |    final double[] $vv = new double[$dim];
+         |    for (int $j = 0; $j < $dim; $j++) $vv[$j] = $c.getDouble($j);
+         |    for (int $g = 0; $g < $groups; $g++) {
+         |      long $code = 0L;
+         |      for (int $i = 0; $i < $planesPerGroup; $i++) {
+         |        final int $base = ($g * $planesPerGroup + $i) * $dim;
+         |        double $dot = 0.0;
+         |        for (int $p = 0; $p < $dim; $p++) $dot += $vv[$p] * $pl[$base + $p];
+         |        if ($dot >= 0.0) $code += (1L << $i);
+         |      }
+         |      $out[$g] = $code;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+         |""".stripMargin
+    })
+}
+
 /** Fused cosine similarity over two double arrays: dot product and both
   * norms in ONE generated loop (the HOF form walks each array three
   * times with interpreted lambdas, and recomputes the corpus-side norm

@@ -51,18 +51,22 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Packed sign-bit code of a double-array column against an explicit
-    * plane set: bit i is set iff v · ps(i) >= 0. Left-fold double
-    * accumulation, so the sign is bit-identical to any engine computing
-    * double(x)*double(y) in the same order (the DuckDB oracles embed the
-    * same constants and fold with list_reduce).
+  /** Packed sign-bit codes of a double-array column against an explicit
+    * plane matrix, one code per band of `planesPerGroup` planes: bit i of
+    * band g is set iff v · ps(g·ppg+i) >= 0. ONE native codegen'd loop
+    * (graft.functions.VecBandCodes) — the previous HOF construction
+    * (per-plane `aggregate(zip_with(...))`) walked the vector once per
+    * plane with interpreted lambdas. Left-fold double accumulation, so
+    * signs are bit-identical to any engine computing double(x)*double(y)
+    * in the same order (the DuckDB oracles embed the same constants).
     */
+  private def bandCodes(v: Column, ps: Array[Array[Double]], planesPerGroup: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.functions.VecBandCodes(
+      org.apache.spark.sql.GraftColumnBridge.expression(v),
+      ps.map(_.toSeq).toSeq, planesPerGroup))
+
   private def signCode(v: Column, ps: Array[Array[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
+    element_at(bandCodes(v, ps, ps.length), 1)
 
   /** Fails the query loudly when an embedding's length differs from the
     * configured `dim`: zip_with against a dim-length plane null-pads on
@@ -166,14 +170,10 @@ object Similarity {
     val prepped = df.select(col(idCol).as("id"),
         requireDim(col(vecCol).cast("array<double>"), dim).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bands carry ids + short codes only — vectors never ride the explode
+    // bands carry ids + short codes only — vectors never ride the explode;
+    // all `groups` codes come from ONE fused VecBandCodes pass over v
     val banded = prepped.select(col("id"),
-        explode(array((0 until groups).map { g =>
-          struct(lit(g).as("band"),
-            signCode(col("v"),
-              allPlanes.slice(g * planesPerGroup, (g + 1) * planesPerGroup)).as("code"))
-        }: _*)).as("bc"))
-      .select(col("id"), col("bc.band"), col("bc.code"))
+        posexplode(bandCodes(col("v"), allPlanes, planesPerGroup)).as(Seq("band", "code")))
     val bucketStats = banded.groupBy("band", "code").count()
     val okBuckets = bucketStats
       .filter(col("count") <= maxBucket && col("count") > 1)

@@ -420,6 +420,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("xx_shingle_hashes"))
   }
 
+  test("VecBandCodes is bit-identical to the HOF sign-code construction") {
+    // the HOF form VecBandCodes replaced: per-plane aggregate(zip_with)
+    // left-fold dot, >= 0 sign, bit index local to the band, when/otherwise
+    val ps = Similarity.planes(16, 64) // 4 bands × 4 planes
+    def hofCode(v: org.apache.spark.sql.Column, slice: Array[Array[Double]]) =
+      slice.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(zip_with(v, typedLit(p.toSeq), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x)
+        when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce(_ + _)
+    val v = col("embedding").cast("array<double>")
+    val hof = array((0 until 4).map(g => hofCode(v, ps.slice(g * 4, (g + 1) * 4))): _*)
+    val native = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.VecBandCodes(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        ps.map(_.toSeq).toSeq, 4))
+    val mism = embs.select(native.as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(mism === 0L, "VecBandCodes must reproduce the HOF sign codes exactly")
+    val plan = embs.select(native).queryExecution.executedPlan.toString
+    assert(plan.contains("vec_band_codes"))
+  }
+
   test("near-dup pipelines report dropped buckets instead of silently capping") {
     // degenerate corpus: 30 identical docs + 2 genuine near-dups. With
     // maxBucket = 10 every bucket the identical docs share is over-cap —
