@@ -155,6 +155,72 @@ case class XxShingleHashes(child: Expression, n: Int)
     })
 }
 
+/** Fused SimHash over a token array: h(tok) = xxhash64(tok) (null token →
+  * seed 42, like XxShingleHashes n=1); bit b of the result is set iff the
+  * count of tokens with bit b set is a strict majority (count·2 > n) —
+  * identical to the explode + 64-sum DataFrame construction and the ±1
+  * bitsum HOF form, in ONE generated loop with no explode/shuffle.
+  * Empty array → 0L (callers filter empty token sets to match the
+  * explode form's absent-row behavior).
+  */
+case class XxSimhash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xx_simhash"
+  override protected def withNewChildInternal(newChild: Expression): XxSimhash =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < m) {
+      val h = if (arr.isNullAt(j)) 42L else XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > m) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = NativeHashExpressions.XXH
+      val m = ctx.freshName("m")
+      val counts = ctx.freshName("counts")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $m = $c.numElements();
+         |final int[] $counts = new int[64];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  final long $h = $c.isNullAt($j) ? 42L : $xxh.hashUTF8String($c.getUTF8String($j), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] * 2 > $m) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+         |""".stripMargin
+    })
+}
+
 /** Fused hyperplane sign codes for ALL LSH bands in one generated loop:
   * out(g) = Σ_i [v · plane(g·ppg+i) >= 0] << i  for i in 0..ppg-1.
   * Replaces the HOF construction (per-plane `aggregate(zip_with(...))`

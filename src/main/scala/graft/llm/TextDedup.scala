@@ -252,15 +252,21 @@ object TextDedup {
       .reduce(_ + _)
   }
 
-  /** DataFrame-level SimHash: explode token hashes and count set bits per
-    * position with 64 codegen'd sums — measured 8× faster than the
-    * 64-lambda expression form (`simhash`), which stays for the SQL
-    * function surface. Bit b is set iff set-bit count > half the tokens —
-    * identical to the ±1 bitsum sign, so both forms produce the same hash.
-    * Output: (id, simhash); docs with no tokens are absent.
+  /** DataFrame-level SimHash on the native fused expression
+    * (graft.functions.XxSimhash): one generated loop per doc — no token
+    * explode, no shuffle (the round-3 explode + 64-sum construction
+    * already beat the 64-lambda HOF form 8×; the fused loop removes the
+    * remaining explode shuffle entirely). Bit b is set iff set-bit count
+    * is a strict majority — identical to both earlier forms (parity
+    * pinned in LlmOpsSpec). Output: (id, simhash); docs with no tokens
+    * are absent, matching the explode form.
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashDf(df, idCol, textCol, toks => shingleHashes(toks, 1), 64, "simhash")
+    df.select(col(idCol).as("id"), tokenize(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col("id"), org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.XxSimhash(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__t")))).as("simhash"))
 
   /** DuckDB-checkable simhash twin: the per-token 64-bit hash is replaced
     * by the first 15 hex chars of md5 parsed as a 60-bit integer (both
