@@ -31,6 +31,7 @@ object ScaleBench {
 
     val evPath = s"$out/events.parquet"
     val docPath = s"$out/documents.parquet"
+    val embPath = s"$out/embeddings.parquet"
 
     if (!new java.io.File(evPath).exists()) {
       val ev = graft.Tables.events(spark, base)
@@ -56,6 +57,26 @@ object ScaleBench {
           case c => col(c)
         }: _*)
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(docPath)
+    }
+
+    if (!new java.io.File(embPath).exists()) {
+      // per-copy perturbation of ONE coordinate makes cross-copy pairs
+      // NEAR-duplicates (cosine ~0.999, pairwise distinct vectors): each
+      // original row becomes a `copies`-clique under a 0.9 threshold —
+      // the production high-similarity regime the synthetic sf0.1 corpus
+      // (max pairwise cosine ~0.48) cannot exercise.
+      val em = graft.Tables.embeddings(spark, base)
+      val maxVec = em.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1
+      (0 until copies).map { i =>
+        em.select(em.columns.map {
+          case "vec_id" => (col("vec_id") + lit(i * maxVec)).as("vec_id")
+          case "embedding" if i > 0 =>
+            transform(col("embedding"), (x, p) =>
+              when(p === lit((i - 1) % 64), (x * lit(1.0 + 0.05 * i)).cast("float"))
+                .otherwise(x)).as("embedding")
+          case c => col(c)
+        }: _*)
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(embPath)
     }
 
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
@@ -84,8 +105,19 @@ object ScaleBench {
     val r2 = timed("doc_minhash_pairs") {
       graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2).count()
     }
-    val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}"""
-    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$r2}""")
+    val embSf1 = spark.read.parquet(embPath)
+    var embDropped = -1L
+    val r3 = timed("emb_neardup_pairs") {
+      val pws = graft.llm.Similarity.embeddingNearDupPairsWithStats(
+        embSf1, "vec_id", "embedding", threshold = 0.9)
+      val n = pws.pairs.count()
+      embDropped = pws.droppedBuckets.count()
+      pws.unpersist()
+      n
+    }
+    val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}""" +
+      s""","embeddings":${embSf1.count()},"emb_dropped_buckets":$embDropped"""
+    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$r2,$r3}""")
     spark.stop()
   }
 }
