@@ -361,18 +361,19 @@ case class VecCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val hasNull = ctx.freshName("hasNull") // raw name would collide across two VecCosines in one codegen scope
       s"""
          |final int $m = $a.numElements();
          |if ($m != $b.numElements()) { ${ev.isNull} = true; } else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  boolean hasNull = false;
+         |  boolean $hasNull = false;
          |  for (int $i = 0; $i < $m; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { hasNull = true; break; }
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
          |    final double $x = $a.getDouble($i);
          |    final double $y = $b.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if (hasNull) { ${ev.isNull} = true; }
+         |  if ($hasNull) { ${ev.isNull} = true; }
          |  else if ($na == 0.0 || $nb == 0.0) { ${ev.value} = 0.0; }
          |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          |}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** Interpreted-vs-codegen parity for the custom Catalyst expressions.
+  *
+  * Every DataFrame test in the suite exercises only the `doGenCode` path
+  * (whole-stage codegen is on by default); a divergence in `nullSafeEval`
+  * — the path Spark falls back to when a generated method exceeds the JIT
+  * limit or Janino fails — would ship silently. This spec runs the same
+  * edge-case inputs (empty arrays, null elements, null arrays, wrong
+  * widths, zero vectors) through both paths by flipping
+  * `spark.sql.codegen.wholeStage` + `spark.sql.codegen.factoryMode` and
+  * asserts identical rows.
+  */
+class NativeExprSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftColumnBridge.column(e)
+  private def e(col: Column) = GraftColumnBridge.expression(col)
+
+  /** Collect `df` under default codegen and under forced interpretation. */
+  private def runBoth(df: DataFrame): (Seq[Row], Seq[Row]) = {
+    val viaCodegen = df.orderBy("id").collect().toSeq
+    val keys = Seq("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      (viaCodegen, df.orderBy("id").collect().toSeq)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private def assertParity(df: DataFrame): Unit = {
+    val (gen, interp) = runBoth(df)
+    assert(gen === interp, "codegen and interpreted results must be identical")
+  }
+
+  private lazy val toksDf = Seq(
+    (1L, Seq("the", "quick", "brown", "fox")),
+    (2L, Seq.empty[String]),
+    (3L, Seq("a", null, "b")),
+    (4L, null.asInstanceOf[Seq[String]]),
+    (5L, Seq("solo"))
+  ).toDF("id", "toks")
+
+  test("XxShingleHashes + XxSimhash: interpreted == codegen on edge inputs") {
+    val df = toksDf.select(col("id"),
+      c(XxShingleHashes(e(col("toks")), 3)).as("sh3"),
+      c(XxShingleHashes(e(col("toks")), 1)).as("sh1"),
+      c(XxSimhash(e(col("toks")))).as("sim"))
+    assertParity(df)
+    // sanity on the shared-edge semantics, not just self-consistency
+    val rows = df.orderBy("id").collect()
+    assert(rows(1).getSeq[Long](1).isEmpty, "empty toks → empty shingles")
+    assert(rows(1).getLong(3) === 0L, "empty toks → simhash 0")
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(3), "null toks → null")
+  }
+
+  test("XxMinhashSignature: interpreted == codegen incl. null hash elements") {
+    val hsDf = Seq(
+      (1L, Seq[java.lang.Long](7L, -3L, Long.MaxValue)),
+      (2L, Seq.empty[java.lang.Long]),
+      (3L, Seq[java.lang.Long](5L, null, 9L)),
+      (4L, null.asInstanceOf[Seq[java.lang.Long]])
+    ).toDF("id", "hs")
+    assertParity(hsDf.select(col("id"),
+      c(XxMinhashSignature(e(col("hs")), 8)).as("sig")))
+  }
+
+  test("VecBandCodes: interpreted == codegen incl. wrong width / null element / zero vec") {
+    val planes = Seq(Seq(1.0, -2.0, 0.5), Seq(-1.0, 0.0, 3.0),
+      Seq(0.25, 0.25, -0.25), Seq(2.0, -1.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, -3.0)),
+      (2L, Seq[java.lang.Double](0.0, 0.0, 0.0)),
+      (3L, Seq[java.lang.Double](1.0, null, 2.0)),
+      (4L, Seq[java.lang.Double](1.0, 2.0)), // wrong width → null
+      (5L, null.asInstanceOf[Seq[java.lang.Double]])
+    ).toDF("id", "v")
+    val df = vecs.select(col("id"),
+      c(VecBandCodes(e(col("v")), planes, 2)).as("codes"))
+    assertParity(df)
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getSeq[Long](1) === Seq(0L, 0L), "null element → all-zero codes")
+    assert(byId(4L).isNullAt(1), "wrong width → null")
+  }
+
+  test("VecCosine: interpreted == codegen incl. mismatch / null element / zero norm") {
+    val pairs = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](-1.0, 0.5, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)), // mismatch → null
+      (3L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)), // null elem → null
+      (4L, Seq[java.lang.Double](0.0, 0.0, 0.0), Seq[java.lang.Double](1.0, 2.0, 3.0)), // zero norm → 0.0
+      (5L, null.asInstanceOf[Seq[java.lang.Double]], Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "a", "b")
+    // two VecCosines in ONE projection: pins the freshName fix (a raw
+    // `hasNull` in doGenCode would collide and kill codegen compilation)
+    val df = pairs.select(col("id"),
+      c(VecCosine(e(col("a")), e(col("b")))).as("cos_ab"),
+      c(VecCosine(e(col("b")), e(col("a")))).as("cos_ba"))
+    assertParity(df)
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).isNullAt(1) && byId(3L).isNullAt(1) && byId(5L).isNullAt(1))
+    assert(byId(4L).getDouble(1) === 0.0)
+    assert(byId(1L).getDouble(1) === byId(1L).getDouble(2), "cosine is symmetric")
+  }
+}
