@@ -158,5 +158,33 @@ object GraftSql {
       plan(llm.Similarity.bruteForceTopK(tableArg(spark, es.head),
         tableArg(spark, es(1)), litStr(es(2), "id column"),
         litStr(es(3), "vector column"), litLong(es(4), "k").toInt)), "internal")
+    // the remaining near-dup / ANN pipelines, completing the LLM tier:
+    // `graft_simhash_pairs(t, text, id, maxHamming)`,
+    // `graft_ngram_pairs(t, text, id, threshold)`,
+    // `graft_neardup_pairs(t, id, vec, threshold)`,
+    // `graft_ann_lsh(corpus, queries, id, vec, k)`,
+    // `graft_ann_ivf(corpus, queries, id, vec, k, nCells, nProbe)`
+    reg.createOrReplaceTempFunction("graft_simhash_pairs", es =>
+      plan(llm.TextDedup.simhashPairs(tableArg(spark, es.head),
+        litStr(es(1), "text column"), litStr(es(2), "id column"),
+        maxHamming = litLong(es(3), "max hamming").toInt)), "internal")
+    reg.createOrReplaceTempFunction("graft_ngram_pairs", es =>
+      plan(llm.TextDedup.ngramJaccardPairs(tableArg(spark, es.head),
+        litStr(es(1), "text column"), litStr(es(2), "id column"),
+        threshold = litDouble(es(3), "threshold"))), "internal")
+    reg.createOrReplaceTempFunction("graft_neardup_pairs", es =>
+      plan(llm.Similarity.embeddingNearDupPairs(tableArg(spark, es.head),
+        litStr(es(1), "id column"), litStr(es(2), "vector column"),
+        threshold = litDouble(es(3), "threshold"))), "internal")
+    reg.createOrReplaceTempFunction("graft_ann_lsh", es =>
+      plan(llm.Similarity.annTopK(tableArg(spark, es.head),
+        tableArg(spark, es(1)), litStr(es(2), "id column"),
+        litStr(es(3), "vector column"), litLong(es(4), "k").toInt)), "internal")
+    reg.createOrReplaceTempFunction("graft_ann_ivf", es =>
+      plan(llm.Similarity.ivfTopK(tableArg(spark, es.head),
+        tableArg(spark, es(1)), litStr(es(2), "id column"),
+        litStr(es(3), "vector column"), litLong(es(4), "k").toInt,
+        nCells = litLong(es(5), "nCells").toInt,
+        nProbe = litLong(es(6), "nProbe").toInt)), "internal")
   }
 }

@@ -135,6 +135,42 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(nn === Seq(1L)) // nearest non-self neighbor
   }
 
+  test("near-dup and ANN TVFs from SQL: simhash/ngram/vector pairs, lsh + ivf top-k") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "unrelated words about telescopes and astronomy tonight"))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_nd_tvf")
+    val sp = spark.sql(
+      "SELECT id_a, id_b FROM graft_simhash_pairs('docs_nd_tvf', 'text', 'doc_id', 3)")
+      .as[(Long, Long)].collect().toSet
+    assert(sp === Set((1L, 2L))) // identical text → hamming 0
+    val np = spark.sql(
+      "SELECT id_a, id_b FROM graft_ngram_pairs('docs_nd_tvf', 'text', 'doc_id', 0.5)")
+      .as[(Long, Long)].collect().toSet
+    assert(np === Set((1L, 2L)))
+    // 64-dim corpus (the TVFs run the production dim=64 defaults): one
+    // near-identical pair + one unrelated direction
+    val base = Array.tabulate(64)(i => math.sin(i + 1.0).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val ortho = Array.tabulate(64)(i => math.cos(3.0 * i + 2.0).toFloat)
+    Seq((0L, base), (1L, near), (2L, ortho))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("vecs64_tvf")
+    val nd = spark.sql(
+      "SELECT id_a, id_b FROM graft_neardup_pairs('vecs64_tvf', 'vec_id', 'embedding', 0.99)")
+      .as[(Long, Long)].collect().toSet
+    assert(nd === Set((0L, 1L)))
+    val lsh = spark.sql(
+      """SELECT corpus_id FROM graft_ann_lsh(TABLE(vecs64_tvf),
+        |  TABLE(SELECT * FROM vecs64_tvf WHERE vec_id = 0), 'vec_id', 'embedding', 1)
+        |""".stripMargin).as[Long].collect().toSeq
+    assert(lsh === Seq(1L))
+    val ivf = spark.sql(
+      """SELECT corpus_id FROM graft_ann_ivf(TABLE(vecs64_tvf),
+        |  TABLE(SELECT * FROM vecs64_tvf WHERE vec_id = 0), 'vec_id', 'embedding', 1, 2, 2)
+        |""".stripMargin).as[Long].collect().toSeq
+    assert(ivf === Seq(1L))
+  }
+
   test("simhash from SQL equals simhash from the Scala API") {
     val viaSql = spark.sql("SELECT graft_simhash(graft_tokenize('alpha beta gamma'))")
       .as[Long].head()
