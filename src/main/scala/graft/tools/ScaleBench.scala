@@ -115,9 +115,36 @@ object ScaleBench {
       pws.unpersist()
       n
     }
+    // ANN quality at 10×: recall@20 of IVF (64 cells, 8 probes — each
+    // query scans ~1/8 of the corpus) against brute-force ground truth on
+    // a deterministic ~50-query sample, anchor centroids vs one Lloyd
+    // pass. k=20 exceeds the planted 10-cliques (9 same-clique neighbors)
+    // so the tail of each truth set holds genuine low-similarity
+    // neighbors — the part cell assignment can actually lose.
+    val qs = embSf1.filter(col("vec_id") % 397 === 0).cache()
+    val nq = qs.count()
+    val truth = graft.llm.Similarity
+      .bruteForceTopK(embSf1, qs, "vec_id", "embedding", 20)
+      .select("query_id", "corpus_id").cache()
+    val nTruth = truth.count()
+    def recallOf(lloydIters: Int): (Double, Double) = {
+      spark.catalog.clearCache(); qs.cache(); truth.cache()
+      val t0 = System.nanoTime()
+      val hits = graft.llm.Similarity
+        .ivfTopK(embSf1, qs, "vec_id", "embedding", 20,
+          nCells = 64, nProbe = 8, lloydIters = lloydIters)
+        .select("query_id", "corpus_id")
+        .join(truth, Seq("query_id", "corpus_id")).count()
+      ((System.nanoTime() - t0) / 1e9, hits.toDouble / nTruth)
+    }
+    val (ivf0Sec, ivf0Rec) = recallOf(0)
+    val (ivf1Sec, ivf1Rec) = recallOf(1)
+    val rIvf = f""""emb_ann_ivf_recall":{"queries":$nq,"k":20,"n_cells":64,"n_probe":8,""" +
+      f""""anchor":{"sec":$ivf0Sec%.2f,"recall":$ivf0Rec%.3f},""" +
+      f""""lloyd1":{"sec":$ivf1Sec%.2f,"recall":$ivf1Rec%.3f}}"""
     val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}""" +
       s""","embeddings":${embSf1.count()},"emb_dropped_buckets":$embDropped"""
-    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$r2,$r3}""")
+    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$r2,$r3,$rIvf}""")
     spark.stop()
   }
 }
