@@ -102,6 +102,17 @@ object ScaleBench {
       graft.operators.UniqueOps.lengthBatch(evSf1, Seq("user_id"), "event_id", 40)
         .current.count()
     }
+    // the keyed-operator tier at 10×: `ever` (pure window-rank, the shape
+    // every keyed op shares) and `deduplicate` (keyed secondary-sort
+    // fold, the heaviest) — both should scale ~linearly, unlike the
+    // global-order lengthBatch above whose phase B is inherently serial
+    val rEver = timed("ever_current") {
+      graft.operators.UniqueOps.everCurrent(evSf1, Seq("user_id"), "event_id").count()
+    }
+    val rDedup = timed("deduplicate") {
+      graft.operators.UniqueOps.deduplicate(evSf1, Seq("user_id"), "event_id",
+        "ts", 86400000L).current.count()
+    }
     val r2 = timed("doc_minhash_pairs") {
       graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2).count()
     }
@@ -144,7 +155,7 @@ object ScaleBench {
       f""""lloyd1":{"sec":$ivf1Sec%.2f,"recall":$ivf1Rec%.3f}}"""
     val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}""" +
       s""","embeddings":${embSf1.count()},"emb_dropped_buckets":$embDropped"""
-    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$r2,$r3,$rIvf}""")
+    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$rEver,$rDedup,$r2,$r3,$rIvf}""")
     spark.stop()
   }
 }
