@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * sf0.1 events/documents tables — event ids and timestamps shifted per
   * copy to stay unique and ts-monotone; document texts suffixed per copy
   * so cross-copy pairs are NEAR-duplicates, not exact, multiplying the
-  * near-dup workload ~copies² in the dup-heavy buckets) and runs the two
-  * heaviest pipelines once, reporting wall time and total shuffle-write
-  * bytes per query. Results are recorded in BASELINE.md §round-6.
+  * near-dup workload ~copies² in the dup-heavy buckets; embeddings get
+  * one coordinate perturbed per copy so each original vector becomes a
+  * near-identical `copies`-clique) and measures the global-order fold
+  * (lengthBatch), the keyed tier (ever, deduplicate), the text and
+  * vector near-dup pipelines, and IVF recall@20 vs brute force (anchor
+  * centroids vs one Lloyd pass), reporting wall time and total
+  * shuffle-write bytes per query. Results: BASELINE.md §round-6.
   *
   *   sbt "runMain graft.tools.ScaleBench [outDir]"   # default /tmp/graft_sf1
   */
