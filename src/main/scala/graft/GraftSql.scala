@@ -180,6 +180,19 @@ object GraftSql {
       plan(llm.Similarity.annTopK(tableArg(spark, es.head),
         tableArg(spark, es(1)), litStr(es(2), "id column"),
         litStr(es(3), "vector column"), litLong(es(4), "k").toInt)), "internal")
+    // `graft_neardup_dedup(t, id, text, threshold)` — the end-to-end
+    // near-dup removal (minhash pairs → min-label connected components →
+    // drop non-canonical members). The CC label propagation is iterative,
+    // so this TVF materializes intermediate jobs while the statement is
+    // ANALYZED (same eager-materialization caveat as a CACHE TABLE) —
+    // the returned relation itself is a plain anti-join plan.
+    reg.createOrReplaceTempFunction("graft_neardup_dedup", es => {
+      val t = tableArg(spark, es.head)
+      val id = litStr(es(1), "id column")
+      plan(llm.TextDedup.dedupByPairs(t, id,
+        llm.TextDedup.minhashPairs(t, litStr(es(2), "text column"), id,
+          threshold = litDouble(es(3), "threshold"))))
+    }, "internal")
     reg.createOrReplaceTempFunction("graft_ann_ivf", es =>
       plan(llm.Similarity.ivfTopK(tableArg(spark, es.head),
         tableArg(spark, es(1)), litStr(es(2), "id column"),

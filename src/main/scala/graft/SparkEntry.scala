@@ -141,6 +141,19 @@ object SparkEntry {
       llm.TextDedup.ngramJaccardPairsMd5(Tables.documents(s, d), "text", "doc_id")),
     "doc_simhash_pairs_md5" -> ((s, d) =>
       llm.TextDedup.simhashPairsMd5(Tables.documents(s, d), "text", "doc_id")),
+    // pairs → transitive clusters (distributed min-label CC): the step
+    // that turns pairwise near-dup evidence into dedup groups. md5 family
+    // so the WHOLE chain — shingle → minhash → LSH → Jaccard → connected
+    // components — is DuckDB-checkable (recursive-CTE closure oracle).
+    "doc_neardup_clusters_md5" -> ((s, d) =>
+      llm.TextDedup.nearDupClusters(
+        llm.TextDedup.minhashPairsMd5(Tables.documents(s, d), "text", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+    // ... and clusters → the surviving corpus (canonical = min doc_id per
+    // cluster): the end-to-end "remove near-duplicates" deliverable
+    "doc_neardup_dedup_md5" -> ((s, d) =>
+      llm.TextDedup.dedupByPairs(Tables.documents(s, d), "doc_id",
+        llm.TextDedup.minhashPairsMd5(Tables.documents(s, d), "text", "doc_id"))),
     "emb_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // sim column excluded: engines agree on double-precision RANKS, but
@@ -267,6 +280,12 @@ object SparkEntry {
     // event_id rank), making the wall-clock path replayable and
     // hash-verifiable. Grid-aligned batches (start.time = 0). Feed order:
     // events at 2*event_id, the marker after event c at 2*c+1.
+    // the LLM tier's streaming twin: exact dedup as an infinite stream —
+    // firstStream keyed on the content column is exactly exactDedup's
+    // min_by(doc_id) when fed in doc_id order (same oracle)
+    "doc_exact_dedup_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 1000, "update")(sdf =>
+        streaming.UniqueStreams.firstStream(sdf, Seq("text"), "doc_id"))),
     "externaltimebatch_timeout_replay" -> ((s, d) => {
       val events = ev(s, d)
       val tagged = events
@@ -307,6 +326,12 @@ object SparkEntry {
         threshold = 0.1)),
     "doc_simhash_pairs" -> ((s, d) =>
       llm.TextDedup.simhashPairs(Tables.documents(s, d), "text", "doc_id")),
+    // production CC clustering over the xxhash64 minhash pairs (the md5
+    // twin carries the oracle check)
+    "doc_neardup_clusters" -> ((s, d) =>
+      llm.TextDedup.nearDupClusters(
+        llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.2))),
     "doc_fingerprint" -> ((s, d) =>
       llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram", "fp_full")),
@@ -457,6 +482,11 @@ object SparkEntry {
         """SELECT doc_id, text, lang, source, n_chars FROM (
           |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
           |  FROM documents) WHERE rn = 1""".stripMargin,
+      // firstStream keyed on text, fed in doc_id order = exactDedup
+      "doc_exact_dedup_stream_replay" ->
+        """SELECT doc_id, text, lang, source, n_chars FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1""".stripMargin,
       "doc_text_stats" ->
         """SELECT doc_id,
           |  CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS INTEGER) AS ws_tokens,
@@ -465,6 +495,8 @@ object SparkEntry {
       "doc_quality" -> docQualityOracle,
       "doc_langid" -> docLangIdOracle,
       "doc_minhash_pairs_md5" -> docMinhashMd5Oracle,
+      "doc_neardup_clusters_md5" -> docNeardupClustersOracle,
+      "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
       "doc_simhash_md5" -> docSimhashMd5Oracle,
       "doc_ngram_pairs_md5" -> docNgramMd5Oracle,
       "doc_simhash_pairs_md5" -> docSimhashPairsMd5Oracle,
@@ -719,7 +751,15 @@ object SparkEntry {
     * '#band'); bucket-capped band self-join; distinct pairs; one exact
     * Jaccard verify.
     */
-  private def docMinhashMd5Oracle: String = {
+  private def docMinhashMd5Oracle: String =
+    s"""WITH $docMinhashMd5PairsCtes
+       |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
+
+  /** The minhashPairsMd5 mirror as a reusable CTE chain ending in
+    * `mp(id_a, id_b, jaccard)` — shared by the pairs oracle and the
+    * connected-components oracles built on top of it.
+    */
+  private def docMinhashMd5PairsCtes: String = {
     val bands = 4; val r = 2; val k = bands * r
     val sigItems = (0 until k).map(i =>
       s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
@@ -727,7 +767,7 @@ object SparkEntry {
       val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
       s"WHEN $b THEN md5($parts || '#$b')"
     }.mkString(" ")
-    s"""WITH $md5ShingleCtes,
+    s"""$md5ShingleCtes,
        |sig AS (SELECT doc_id, [$sigItems] AS sig FROM s2),
        |banded AS (SELECT doc_id, band, CASE band $bandCase END AS bh
        |  FROM sig CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
@@ -738,9 +778,36 @@ object SparkEntry {
        |  FROM ib a JOIN ib b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |j AS (SELECT id_a, id_b, ${md5JaccardExpr("sa.sh", "sb.sh")} AS jaccard
        |  FROM cand JOIN s2 sa ON sa.doc_id = cand.id_a
-       |            JOIN s2 sb ON sb.doc_id = cand.id_b)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2""".stripMargin
+       |            JOIN s2 sb ON sb.doc_id = cand.id_b),
+       |mp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2)""".stripMargin
   }
+
+  /** Connected components of the md5 minhash pairs as a recursive-CTE
+    * transitive closure (feasible at oracle scale: closure size is
+    * Σ component-size², and near-dup components are tiny): every member
+    * id labeled with the minimum reachable id — the DuckDB ground truth
+    * for TextDedup.nearDupClusters's min-label propagation.
+    */
+  private def docNeardupClusterCtes: String =
+    s"""$docMinhashMd5PairsCtes,
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM mp UNION ALL SELECT id_b AS id FROM mp)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM mp
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM mp),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private def docNeardupClustersOracle: String =
+    s"""WITH RECURSIVE $docNeardupClusterCtes
+       |SELECT id AS doc_id, cluster_id FROM cc""".stripMargin
+
+  private def docNeardupDedupOracle: String =
+    s"""WITH RECURSIVE $docNeardupClusterCtes
+       |SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin
 
   /** DuckDB mirror of TextDedup.ngramJaccardPairsMd5 (shingleN=3,
     * threshold=0.1, maxBucket=200): block on the min shingle hash, cap

@@ -371,6 +371,87 @@ object TextDedup {
                                      maxBucket: Int, fam: HashFamily): DataFrame =
     ngramJaccardPairsStats(df, textCol, idCol, shingleN, threshold, maxBucket, fam).pairs
 
+  /** Connected components over a near-dup `pairs` relation
+    * (`id_a`, `id_b`, ...) → one row per member id: (id, cluster_id),
+    * where cluster_id is the MINIMUM id in the component — turning
+    * pairwise near-dup evidence into dedup groups (transitively: if a~b
+    * and b~c then a,b,c share one cluster even when a~c was never a
+    * candidate pair).
+    *
+    * Algorithm: iterative min-label propagation with pointer-jumping path
+    * compression. Each round a node adopts the least of (its label, its
+    * neighbors' labels), then labels jump one level (label := label's
+    * label) — convergence in O(log diameter) rounds, each round two
+    * hash-joins + one aggregation, all key-partitioned (the standard
+    * MapReduce-CC shape, cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Scale: nothing data-proportional
+    * visits the driver (per round: one boolean convergence probe); state
+    * between rounds is one (id, label) relation persisted and scoped —
+    * previous rounds are unpersisted as they are superseded and the final
+    * relation is released once consumed (the caller sees a plain
+    * DataFrame computed from the released cache's lineage only if it
+    * re-executes; `collect`/`count`/write it before long-lived reuse).
+    * Near-dup components have tiny diameters in practice (dup cliques +
+    * chains), so rounds ≈ 2-4; `maxIters` is a loud-failure bound, not a
+    * silent cap.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(lvl)
+    var converged = labels.isEmpty // no pairs → no clusters, skip the loop
+    var rounds = 0
+    while (!converged) {
+      if (rounds >= maxIters)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge in $maxIters rounds — " +
+            "component diameter exceeds 2^maxIters, raise maxIters")
+      // min over neighbor labels, null when the node's neighbors carry
+      // nothing smaller (left join keeps isolated... — every node has ≥1
+      // edge by construction, but keep the left join shape so a filtered
+      // pairs relation can't drop rows)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("nl").as("nmin"))
+      val stepped = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: label := label(label) — labels are node ids, so the
+      // lookup always resolves; coalesce guards the (unreachable) miss
+      val jumped = stepped
+        .join(stepped.select(col("id").as("__lid"), col("label").as("__ll")),
+          col("label") === col("__lid"), "left")
+        .select(col("id"), coalesce(col("__ll"), col("label")).as("label"))
+        .persist(lvl)
+      converged = jumped.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") =!= col("__old")).isEmpty
+      labels.unpersist(false)
+      labels = jumped
+      rounds += 1
+    }
+    edges.unpersist(false)
+    val out = labels.select(col("id"), col("label").as("cluster_id"))
+    labels.unpersist(false)
+    out
+  }
+
+  /** End-to-end near-dup removal: keep every row of `df` except
+    * non-canonical near-dup cluster members (the canonical survivor is
+    * the cluster's minimum id — same policy as exactDedup's min_by).
+    * One anti-join against the (tiny: pair-members only) loser set.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = nearDupClusters(pairs)
+      .filter(col("cluster_id") =!= col("id")).select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   private[llm] def ngramJaccardPairsStats(df: DataFrame, textCol: String, idCol: String,
                                           shingleN: Int, threshold: Double,
                                           maxBucket: Int, fam: HashFamily): PairsWithStats = {

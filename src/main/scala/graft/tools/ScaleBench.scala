@@ -4,9 +4,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** 10×-scale measurement harness (VERDICT r5 stretch #8): the driver only
+/** N×-scale measurement harness (VERDICT r5 stretch #8): the driver only
   * ships up to sf0.1, so the 100×-design claims rest on plan shape alone.
-  * This tool materializes an sf1-like synthetic set (10 copies of the
+  * This tool materializes an N×-scaled synthetic set
+  * (SPARK_GRAFT_SCALE_COPIES copies, default 10, of the
   * sf0.1 events/documents tables — event ids and timestamps shifted per
   * copy to stay unique and ts-monotone; document texts suffixed per copy
   * so cross-copy pairs are NEAR-duplicates, not exact, multiplying the
@@ -16,7 +17,11 @@ import org.apache.spark.sql.functions._
   * (lengthBatch), the keyed tier (ever, deduplicate), the text and
   * vector near-dup pipelines, and IVF recall@20 vs brute force (anchor
   * centroids vs one Lloyd pass), reporting wall time and total
-  * shuffle-write bytes per query. Results: BASELINE.md §round-6.
+  * shuffle-write bytes per query. SPARK_GRAFT_SCALE_QUERIES (comma
+  * -separated names) restricts the run — e.g. the 100×-copies run
+  * measures only the ~linear keyed tier, skipping the near-dup pipelines
+  * whose planted-clique workload grows ~copies². Results:
+  * BASELINE.md §round-6.
   *
   *   sbt "runMain graft.tools.ScaleBench [outDir]"   # default /tmp/graft_sf1
   */
@@ -100,29 +105,42 @@ object ScaleBench {
       f""""$name":{"sec":$sec%.2f,"rows":$n,"shuffle_write_mb":${shuffleWrite.get / 1048576.0}%.1f}"""
     }
 
+    // optional subset (comma-separated query names): lets the 100×-copies
+    // run target the ~linear keyed tier without paying the quadratic
+    // near-dup workload the copy construction deliberately plants
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+
     val evSf1 = spark.read.parquet(evPath)
     val docsSf1 = spark.read.parquet(docPath)
-    val r1 = timed("lengthbatch_current") {
+    if (wanted("lengthbatch_current")) parts += timed("lengthbatch_current") {
       graft.operators.UniqueOps.lengthBatch(evSf1, Seq("user_id"), "event_id", 40)
         .current.count()
     }
-    // the keyed-operator tier at 10×: `ever` (pure window-rank, the shape
+    // the keyed-operator tier at scale: `ever` (pure window-rank, the shape
     // every keyed op shares) and `deduplicate` (keyed secondary-sort
     // fold, the heaviest) — both should scale ~linearly, unlike the
     // global-order lengthBatch above whose phase B is inherently serial
-    val rEver = timed("ever_current") {
+    if (wanted("ever_current")) parts += timed("ever_current") {
       graft.operators.UniqueOps.everCurrent(evSf1, Seq("user_id"), "event_id").count()
     }
-    val rDedup = timed("deduplicate") {
+    if (wanted("deduplicate")) parts += timed("deduplicate") {
       graft.operators.UniqueOps.deduplicate(evSf1, Seq("user_id"), "event_id",
         "ts", 86400000L).current.count()
     }
-    val r2 = timed("doc_minhash_pairs") {
+    if (wanted("doc_minhash_pairs")) parts += timed("doc_minhash_pairs") {
       graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2).count()
+    }
+    if (wanted("doc_neardup_dedup")) parts += timed("doc_neardup_dedup") {
+      graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",
+        graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2))
+        .count()
     }
     val embSf1 = spark.read.parquet(embPath)
     var embDropped = -1L
-    val r3 = timed("emb_neardup_pairs") {
+    if (wanted("emb_neardup_pairs")) parts += timed("emb_neardup_pairs") {
       val pws = graft.llm.Similarity.embeddingNearDupPairsWithStats(
         embSf1, "vec_id", "embedding", threshold = 0.9)
       val n = pws.pairs.count()
@@ -136,30 +154,32 @@ object ScaleBench {
     // pass. k=20 exceeds the planted 10-cliques (9 same-clique neighbors)
     // so the tail of each truth set holds genuine low-similarity
     // neighbors — the part cell assignment can actually lose.
-    val qs = embSf1.filter(col("vec_id") % 397 === 0).cache()
-    val nq = qs.count()
-    val truth = graft.llm.Similarity
-      .bruteForceTopK(embSf1, qs, "vec_id", "embedding", 20)
-      .select("query_id", "corpus_id").cache()
-    val nTruth = truth.count()
-    def recallOf(lloydIters: Int): (Double, Double) = {
-      spark.catalog.clearCache(); qs.cache(); truth.cache()
-      val t0 = System.nanoTime()
-      val hits = graft.llm.Similarity
-        .ivfTopK(embSf1, qs, "vec_id", "embedding", 20,
-          nCells = 64, nProbe = 8, lloydIters = lloydIters)
-        .select("query_id", "corpus_id")
-        .join(truth, Seq("query_id", "corpus_id")).count()
-      ((System.nanoTime() - t0) / 1e9, hits.toDouble / nTruth)
+    if (wanted("emb_ann_ivf_recall")) {
+      val qs = embSf1.filter(col("vec_id") % 397 === 0).cache()
+      val nq = qs.count()
+      val truth = graft.llm.Similarity
+        .bruteForceTopK(embSf1, qs, "vec_id", "embedding", 20)
+        .select("query_id", "corpus_id").cache()
+      val nTruth = truth.count()
+      def recallOf(lloydIters: Int): (Double, Double) = {
+        spark.catalog.clearCache(); qs.cache(); truth.cache()
+        val t0 = System.nanoTime()
+        val hits = graft.llm.Similarity
+          .ivfTopK(embSf1, qs, "vec_id", "embedding", 20,
+            nCells = 64, nProbe = 8, lloydIters = lloydIters)
+          .select("query_id", "corpus_id")
+          .join(truth, Seq("query_id", "corpus_id")).count()
+        ((System.nanoTime() - t0) / 1e9, hits.toDouble / nTruth)
+      }
+      val (ivf0Sec, ivf0Rec) = recallOf(0)
+      val (ivf1Sec, ivf1Rec) = recallOf(1)
+      parts += (f""""emb_ann_ivf_recall":{"queries":$nq,"k":20,"n_cells":64,"n_probe":8,""" +
+        f""""anchor":{"sec":$ivf0Sec%.2f,"recall":$ivf0Rec%.3f},""" +
+        f""""lloyd1":{"sec":$ivf1Sec%.2f,"recall":$ivf1Rec%.3f}}""")
     }
-    val (ivf0Sec, ivf0Rec) = recallOf(0)
-    val (ivf1Sec, ivf1Rec) = recallOf(1)
-    val rIvf = f""""emb_ann_ivf_recall":{"queries":$nq,"k":20,"n_cells":64,"n_probe":8,""" +
-      f""""anchor":{"sec":$ivf0Sec%.2f,"recall":$ivf0Rec%.3f},""" +
-      f""""lloyd1":{"sec":$ivf1Sec%.2f,"recall":$ivf1Rec%.3f}}"""
     val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}""" +
       s""","embeddings":${embSf1.count()},"emb_dropped_buckets":$embDropped"""
-    println(s"""{"metric":"scale10x","copies":$copies,$counts,$r1,$rEver,$rDedup,$r2,$r3,$rIvf}""")
+    println(s"""{"metric":"scale${copies}x","copies":$copies,$counts,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -133,6 +133,10 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
         |  TABLE(SELECT * FROM vecs_tvf WHERE vec_id = 0), 'vec_id', 'embedding', 1)
         |""".stripMargin).as[Long].collect().toSeq
     assert(nn === Seq(1L)) // nearest non-self neighbor
+    val survivors = spark.sql(
+      "SELECT doc_id FROM graft_neardup_dedup('docs_tvf', 'doc_id', 'text', 0.9)")
+      .as[Long].collect().toSet
+    assert(survivors === Set(1L, 3L)) // doc 2 loses its near-dup cluster to doc 1
   }
 
   test("near-dup and ANN TVFs from SQL: simhash/ngram/vector pairs, lsh + ivf top-k") {

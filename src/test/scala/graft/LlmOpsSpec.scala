@@ -52,6 +52,43 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(found === truth)
   }
 
+  test("nearDupClusters: min-label CC equals an in-memory union-find closure") {
+    // chain 1-2-3 (transitive: 1~3 never paired), clique 10/11/12,
+    // isolated pair 20-21, and a 4-hop path 30..34 (exercises >1 round)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L))
+      .toDF("id_a", "id_b")
+    val got = TextDedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // ground truth: union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got === want)
+    assert(got(3L) === 1L, "transitive chain must collapse to the min id")
+    assert(got(34L) === 30L, "4-hop path must converge")
+  }
+
+  test("nearDupClusters of an empty pairs relation is empty; dedupByPairs drops losers only") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextDedup.nearDupClusters(empty).isEmpty)
+    // dedup: docs with a duplicated text — survivors = exactDedup's set
+    val dup = docs.select(col("doc_id"), col("text"))
+      .union(docs.select(col("doc_id") + 10000, col("text")))
+    val pairs = TextDedup.minhashPairs(dup, "text", "doc_id", threshold = 0.99)
+    val kept = TextDedup.dedupByPairs(dup, "doc_id", pairs)
+    assert(kept.filter(col("doc_id") >= 10000).isEmpty,
+      "every high-id clone loses to its low-id original")
+    assert(kept.count() === docs.count())
+  }
+
   test("simhash of identical token streams is identical; disjoint texts differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "completely different words entirely")).toDF("doc_id", "text")
