@@ -387,22 +387,32 @@ object TextDedup {
     * MapReduce and Beyond", SoCC'14). Scale: nothing data-proportional
     * visits the driver (per round: one boolean convergence probe); state
     * between rounds is one (id, label) relation persisted and scoped —
-    * previous rounds are unpersisted as they are superseded and the final
-    * relation is released once consumed (the caller sees a plain
-    * DataFrame computed from the released cache's lineage only if it
-    * re-executes; `collect`/`count`/write it before long-lived reuse).
+    * previous rounds are unpersisted as they are superseded, and the
+    * final relation is returned as an eager localCheckpoint (lineage
+    * truncated, loop caches released, blocks auto-reclaimed when the
+    * result is unreferenced).
     * Near-dup components have tiny diameters in practice (dup cliques +
     * chains), so rounds ≈ 2-4; `maxIters` is a loud-failure bound, not a
     * silent cap.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // symmetrize in ONE pass over pairs (a union of two selects would run
+    // the whole upstream pairs pipeline once per branch — measured ~2× the
+    // candidate generation cost when the caller passes it un-persisted)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("a"), col("id_b").as("b")),
+        struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(lvl)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // init at label = min(id, min neighbor): one aggregation that both
+    // enumerates the nodes and performs the first propagation step —
+    // dup-clique components (the common near-dup shape) converge after
+    // this init plus a single no-change verification round
+    var labels = edges.groupBy(col("a"))
+      .agg(min("b").as("__mb"))
+      .select(col("a").as("id"), least(col("a"), col("__mb")).as("label"))
       .persist(lvl)
     var converged = labels.isEmpty // no pairs → no clusters, skip the loop
     var rounds = 0
@@ -418,26 +428,35 @@ object TextDedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min("nl").as("nmin"))
+      // the pre-step label rides along as __old so convergence is a plain
+      // filter on the round's (persisted) output — no extra join per round
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // pointer jump: label := label(label) — labels are node ids, so the
       // lookup always resolves; coalesce guards the (unreachable) miss
       val jumped = stepped
         .join(stepped.select(col("id").as("__lid"), col("label").as("__ll")),
           col("label") === col("__lid"), "left")
-        .select(col("id"), coalesce(col("__ll"), col("label")).as("label"))
+        .select(col("id"), col("__old"), coalesce(col("__ll"), col("label")).as("label"))
         .persist(lvl)
-      converged = jumped.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") =!= col("__old")).isEmpty
+      converged = jumped.filter(col("label") =!= col("__old")).isEmpty
       labels.unpersist(false)
       labels = jumped
       rounds += 1
     }
-    edges.unpersist(false)
+    // truncate the N-round iterative lineage before releasing the caches:
+    // localCheckpoint materializes the (small: pair-members only) label
+    // relation on the executors eagerly, so consumers don't re-run the
+    // whole pairs pipeline + every propagation round from scratch once the
+    // loop's persists are dropped (measured 9.0 s → 4.5 s for the sf0.1
+    // clusters query). Blocks are reclaimed by the ContextCleaner when the
+    // result is unreferenced — no session-lifetime cache entry.
     val out = labels.select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
     labels.unpersist(false)
+    edges.unpersist(false)
     out
   }
 
