@@ -386,11 +386,10 @@ object TextDedup {
     * MapReduce-CC shape, cf. Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14). Scale: nothing data-proportional
     * visits the driver (per round: one boolean convergence probe); state
-    * between rounds is one (id, label) relation persisted and scoped —
-    * previous rounds are unpersisted as they are superseded, and the
-    * final relation is returned as an eager localCheckpoint (lineage
-    * truncated, loop caches released, blocks auto-reclaimed when the
-    * result is unreferenced).
+    * between rounds is one (id, label) relation, eagerly
+    * locally-checkpointed so every round's plan stays constant-size (see
+    * the in-loop comment); superseded rounds' blocks are auto-reclaimed,
+    * and the returned relation is lineage-free.
     * Near-dup components have tiny diameters in practice (dup cliques +
     * chains), so rounds ≈ 2-4; `maxIters` is a loud-failure bound, not a
     * silent cap.
@@ -409,11 +408,19 @@ object TextDedup {
     // init at label = min(id, min neighbor): one aggregation that both
     // enumerates the nodes and performs the first propagation step —
     // dup-clique components (the common near-dup shape) converge after
-    // this init plus a single no-change verification round
+    // this init plus a single no-change verification round.
+    // Each round's relation is an EAGER localCheckpoint, not a persist: a
+    // persist caches data but leaves the logical plan growing — and the
+    // round's self-join + two labels references make the plan ~4× per
+    // round, i.e. exponential analysis/codegen cost by round 5 (measured:
+    // a 5-round 16-edge graph took 20 s on persists, sub-second on
+    // checkpoints). Checkpointing truncates lineage so every round's plan
+    // is constant-size; superseded rounds' blocks are reclaimed by the
+    // ContextCleaner (relations are pair-members-sized, tiny vs corpus).
     var labels = edges.groupBy(col("a"))
       .agg(min("b").as("__mb"))
       .select(col("a").as("id"), least(col("a"), col("__mb")).as("label"))
-      .persist(lvl)
+      .localCheckpoint(true)
     var converged = labels.isEmpty // no pairs → no clusters, skip the loop
     var rounds = 0
     while (!converged) {
@@ -440,24 +447,16 @@ object TextDedup {
         .join(stepped.select(col("id").as("__lid"), col("label").as("__ll")),
           col("label") === col("__lid"), "left")
         .select(col("id"), col("__old"), coalesce(col("__ll"), col("label")).as("label"))
-        .persist(lvl)
+        .localCheckpoint(true)
       converged = jumped.filter(col("label") =!= col("__old")).isEmpty
-      labels.unpersist(false)
       labels = jumped
       rounds += 1
     }
-    // truncate the N-round iterative lineage before releasing the caches:
-    // localCheckpoint materializes the (small: pair-members only) label
-    // relation on the executors eagerly, so consumers don't re-run the
-    // whole pairs pipeline + every propagation round from scratch once the
-    // loop's persists are dropped (measured 9.0 s → 4.5 s for the sf0.1
-    // clusters query). Blocks are reclaimed by the ContextCleaner when the
-    // result is unreferenced — no session-lifetime cache entry.
-    val out = labels.select(col("id"), col("label").as("cluster_id"))
-      .localCheckpoint(true)
-    labels.unpersist(false)
+    // labels is already a checkpointed (lineage-free) relation; the final
+    // projection is a plain select over it, so consumers never replay the
+    // iterative loop and the only scoped cache to release is the edge set
     edges.unpersist(false)
-    out
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** End-to-end near-dup removal: keep every row of `df` except

@@ -151,4 +151,32 @@ object UniqueLaws extends Properties("UniqueOps") {
       all.getOrElse("insert", 0L) == r.current.count() &&
         all.getOrElse("expire", 0L) == r.expired.count()
     }
+
+  /** Random sparse graphs on a small node alphabet — dup cliques, chains,
+    * cycles and isolated pairs all arise; self-loops excluded (a pairs
+    * relation has id_a < id_b by construction).
+    */
+  private val edgeSetGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 30)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 19L)
+      b <- Gen.choose(0L, 19L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield es.distinct
+
+  property("nearDupClusters: min-label CC equals union-find on random graphs") =
+    forAll(edgeSetGen) { es =>
+      val got = graft.llm.TextDedup.nearDupClusters(es.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      got == parent.keys.map(x => x -> find(x)).toMap
+    }
 }
