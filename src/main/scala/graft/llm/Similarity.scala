@@ -167,13 +167,19 @@ object Similarity {
     // same pattern as minhashPairs' signature relation; released by
     // PairsWithStats.unpersist(). Wrong-width embeddings raise loudly
     // (requireDim) instead of collapsing every row into band code 0.
+    // Vectors stay in their SOURCE element type (typically float) here:
+    // the double cast happens per consumer — at the band-code pass below
+    // and inside `cosine` after the verify join — so the cached relation
+    // and the verify join's shuffle carry half the bytes, with identical
+    // results (float→double widening is exact).
     val prepped = df.select(col(idCol).as("id"),
-        requireDim(col(vecCol).cast("array<double>"), dim).as("v"))
+        requireDim(col(vecCol), dim).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bands carry ids + short codes only — vectors never ride the explode;
     // all `groups` codes come from ONE fused VecBandCodes pass over v
     val banded = prepped.select(col("id"),
-        posexplode(bandCodes(col("v"), allPlanes, planesPerGroup)).as(Seq("band", "code")))
+        posexplode(bandCodes(col("v").cast("array<double>"), allPlanes, planesPerGroup))
+          .as(Seq("band", "code")))
     val bucketStats = banded.groupBy("band", "code").count()
     val okBuckets = bucketStats
       .filter(col("count") <= maxBucket && col("count") > 1)
