@@ -189,9 +189,15 @@ object GraftSql {
     reg.createOrReplaceTempFunction("graft_neardup_dedup", es => {
       val t = tableArg(spark, es.head)
       val id = litStr(es(1), "id column")
-      plan(llm.TextDedup.dedupByPairs(t, id,
-        llm.TextDedup.minhashPairs(t, litStr(es(2), "text column"), id,
-          threshold = litDouble(es(3), "threshold"))))
+      // stats form so the pipeline-internal persisted signature relation
+      // can be released right here: dedupByPairs materializes the CC loop
+      // (losers is checkpointed, lineage-free), after which the upstream
+      // cache would only leak until ContextCleaner GC
+      val pws = llm.TextDedup.minhashPairsWithStats(t,
+        litStr(es(2), "text column"), id, threshold = litDouble(es(3), "threshold"))
+      val deduped = llm.TextDedup.dedupByPairs(t, id, pws.pairs)
+      pws.unpersist()
+      plan(deduped)
     }, "internal")
     reg.createOrReplaceTempFunction("graft_ann_ivf", es =>
       plan(llm.Similarity.ivfTopK(tableArg(spark, es.head),

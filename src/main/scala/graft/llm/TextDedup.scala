@@ -393,6 +393,16 @@ object TextDedup {
     * Near-dup components have tiny diameters in practice (dup cliques +
     * chains), so rounds ≈ 2-4; `maxIters` is a loud-failure bound, not a
     * silent cap.
+    *
+    * Availability: `localCheckpoint` stores lineage-free blocks on
+    * executors only — losing an executor mid-run makes the in-flight
+    * labels relation unrecoverable (the job fails and must be rerun from
+    * the pairs relation). Fine for a static cluster; for production runs
+    * with dynamic allocation / preemption, set a reliable checkpoint dir
+    * first (`spark.sparkContext.setCheckpointDir(...)`) — when one is
+    * configured this loop automatically switches to reliable
+    * `checkpoint`s, trading per-round HDFS writes for executor-loss
+    * recoverability.
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -417,46 +427,53 @@ object TextDedup {
     // checkpoints). Checkpointing truncates lineage so every round's plan
     // is constant-size; superseded rounds' blocks are reclaimed by the
     // ContextCleaner (relations are pair-members-sized, tiny vs corpus).
-    var labels = edges.groupBy(col("a"))
-      .agg(min("b").as("__mb"))
-      .select(col("a").as("id"), least(col("a"), col("__mb")).as("label"))
-      .localCheckpoint(true)
-    var converged = labels.isEmpty // no pairs → no clusters, skip the loop
-    var rounds = 0
-    while (!converged) {
-      if (rounds >= maxIters)
-        throw new IllegalStateException(
-          s"nearDupClusters did not converge in $maxIters rounds — " +
-            "component diameter exceeds 2^maxIters, raise maxIters")
-      // min over neighbor labels, null when the node's neighbors carry
-      // nothing smaller (left join keeps isolated... — every node has ≥1
-      // edge by construction, but keep the left join shape so a filtered
-      // pairs relation can't drop rows)
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min("nl").as("nmin"))
-      // the pre-step label rides along as __old so convergence is a plain
-      // filter on the round's (persisted) output — no extra join per round
-      val stepped = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // pointer jump: label := label(label) — labels are node ids, so the
-      // lookup always resolves; coalesce guards the (unreachable) miss
-      val jumped = stepped
-        .join(stepped.select(col("id").as("__lid"), col("label").as("__ll")),
-          col("label") === col("__lid"), "left")
-        .select(col("id"), col("__old"), coalesce(col("__ll"), col("label")).as("label"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("label") =!= col("__old")).isEmpty
-      labels = jumped
-      rounds += 1
-    }
-    // labels is already a checkpointed (lineage-free) relation; the final
-    // projection is a plain select over it, so consumers never replay the
-    // iterative loop and the only scoped cache to release is the edge set
-    edges.unpersist(false)
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // reliable checkpoints when the caller configured a checkpoint dir
+    // (production knob — see the availability note in the scaladoc);
+    // localCheckpoint otherwise (fastest, executor-resident)
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // try/finally: the maxIters throw below must still release the
+    // persisted edge relation (it would otherwise leak until driver GC)
+    try {
+      var labels = snap(edges.groupBy(col("a"))
+        .agg(min("b").as("__mb"))
+        .select(col("a").as("id"), least(col("a"), col("__mb")).as("label")))
+      var converged = labels.isEmpty // no pairs → no clusters, skip the loop
+      var rounds = 0
+      while (!converged) {
+        if (rounds >= maxIters)
+          throw new IllegalStateException(
+            s"nearDupClusters did not converge in $maxIters rounds — " +
+              "component diameter exceeds 2^maxIters, raise maxIters")
+        // min over neighbor labels, null when the node's neighbors carry
+        // nothing smaller (left join keeps isolated... — every node has ≥1
+        // edge by construction, but keep the left join shape so a filtered
+        // pairs relation can't drop rows)
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min("nl").as("nmin"))
+        // the pre-step label rides along as __old so convergence is a plain
+        // filter on the round's (persisted) output — no extra join per round
+        val stepped = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // pointer jump: label := label(label) — labels are node ids, so the
+        // lookup always resolves; coalesce guards the (unreachable) miss
+        val jumped = snap(stepped
+          .join(stepped.select(col("id").as("__lid"), col("label").as("__ll")),
+            col("label") === col("__lid"), "left")
+          .select(col("id"), col("__old"), coalesce(col("__ll"), col("label")).as("label")))
+        converged = jumped.filter(col("label") =!= col("__old")).isEmpty
+        labels = jumped
+        rounds += 1
+      }
+      // labels is already a checkpointed (lineage-free) relation; the final
+      // projection is a plain select over it, so consumers never replay the
+      // iterative loop and the only scoped cache to release is the edge set
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally edges.unpersist(false)
   }
 
   /** End-to-end near-dup removal: keep every row of `df` except

@@ -108,8 +108,17 @@ object ScaleBench {
     // optional subset (comma-separated query names): lets the 100×-copies
     // run target the ~linear keyed tier without paying the quadratic
     // near-dup workload the copy construction deliberately plants
+    val knownQueries = Set("lengthbatch_current", "ever_current", "deduplicate",
+      "doc_minhash_pairs", "doc_neardup_dedup", "emb_neardup_pairs",
+      "emb_ann_ivf_recall", "pair_verify_skew")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names => // a misspelled name must fail loudly, not skip silently
+      val unknown = names -- knownQueries
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_QUERIES names unknown queries: ${unknown.mkString(", ")} " +
+          s"(known: ${knownQueries.toSeq.sorted.mkString(", ")})")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -179,7 +188,8 @@ object ScaleBench {
     }
     val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}""" +
       s""","embeddings":${embSf1.count()},"emb_dropped_buckets":$embDropped"""
-    println(s"""{"metric":"scale${copies}x","copies":$copies,$counts,${parts.mkString(",")}}""")
+    // conditional separator: an empty parts list must not leave a trailing comma
+    println(s"""{"metric":"scale${copies}x","copies":$copies,${(counts +: parts).mkString(",")}}""")
     spark.stop()
   }
 }
