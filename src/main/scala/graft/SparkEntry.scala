@@ -286,6 +286,32 @@ object SparkEntry {
     "doc_exact_dedup_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 1000, "update")(sdf =>
         streaming.UniqueStreams.firstStream(sdf, Seq("text"), "doc_id"))),
+    // STREAMING INCREMENTAL NEAR-DUP DEDUP (graft.streaming.NearDupStream):
+    // replay the documents table in doc_id order through the incremental
+    // band-code-index operator; a doc's latest change-log row is its live
+    // verdict, so the final survivor set (latest change == "keep") must
+    // hash-match the BATCH minhash → LSH → connected-components survivors
+    // — the same recursive-CTE closure oracle as doc_neardup_dedup_md5.
+    // The md5 hash family end-to-end keeps the oracle computable; the cap
+    // never bites at verification scale (max bucket 10 at sf0.1), so the
+    // streamed pair relation IS the batch pair relation.
+    "doc_neardup_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s) // transformWithState backend
+      try {
+        val docs = Tables.documents(s, d)
+        val log = streaming.Replay.replay(s, docs, "doc_id", 1000, "update")(sdf =>
+          streaming.NearDupStream.nearDupStreamMd5(sdf, "doc_id", "text"))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "externaltimebatch_timeout_replay" -> ((s, d) => {
       val events = ev(s, d)
       val tagged = events
@@ -497,6 +523,8 @@ object SparkEntry {
       "doc_minhash_pairs_md5" -> docMinhashMd5Oracle,
       "doc_neardup_clusters_md5" -> docNeardupClustersOracle,
       "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
+      // the streaming operator's final survivors = the batch CC survivors
+      "doc_neardup_stream_replay" -> docNeardupDedupOracle,
       "doc_simhash_md5" -> docSimhashMd5Oracle,
       "doc_ngram_pairs_md5" -> docNgramMd5Oracle,
       "doc_simhash_pairs_md5" -> docSimhashPairsMd5Oracle,

@@ -128,6 +128,32 @@ object TextDedup {
       }
   }
 
+  /** Per-doc near-dup INDEX columns — the same tokenize → shingle-hash →
+    * minhash → band-hash pipeline as `minhashPairsStats`, exposed as two
+    * plain columns for the STREAMING operator
+    * (graft.streaming.NearDupStream): `sh` (distinct shingle hashes, cast
+    * to strings so both hash families share one state layout) and
+    * `codes` (one "band:bandHash" string per LSH band — the keys of the
+    * streaming band-code index). Runs fully distributed as Catalyst
+    * expressions BEFORE the stateful stage, so the state operator does
+    * index lookups only. Docs with no shingles get empty arrays (the
+    * batch pipelines drop them pre-banding; the streaming operator must
+    * still emit a verdict for them).
+    */
+  private[graft] def indexCols(textCol: Column, shingleN: Int, bands: Int,
+                               rowsPerBand: Int, md5Family: Boolean): (Column, Column) = {
+    val fam: HashFamily = if (md5Family) Md5Hash else XxHash
+    val sh = array_distinct(shingleHashes(tokenize(textCol), shingleN, fam))
+    val sig = minhashFromBaseHashes(sh, bands * rowsPerBand, fam)
+    val codes = array((0 until bands).map(b =>
+      concat(lit(s"$b:"),
+        fam.band(slice(sig, b * rowsPerBand + 1, rowsPerBand), b).cast("string"))): _*)
+    val shStr = sh.cast("array<string>")
+    val emptyStr = array().cast("array<string>")
+    (when(size(sh) === 0, emptyStr).otherwise(shStr),
+      when(size(sh) === 0, emptyStr).otherwise(codes))
+  }
+
   /** Exact duplicates: keep the lowest-id row per identical value of
     * `exactCols` (a hash-groupBy — one shuffle, partial-aggregable).
     */

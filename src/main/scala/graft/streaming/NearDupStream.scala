@@ -1,0 +1,205 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming INCREMENTAL near-duplicate dedup — the continuous-ingestion
+  * form of `TextDedup.dedupByPairs`, and the LLM-tier analog of what the
+  * reference's dedup processor does for exact keys
+  * (DeduplicateStreamProcessor.java:155-178: "is this arriving event a
+  * duplicate of the live index?"). Per arriving document the operator
+  * answers "is this a near-dup of the corpus so far?" and maintains the
+  * answer TRANSITIVELY, so its final survivor set equals the batch
+  * minhash → LSH → connected-components pipeline on the same corpus.
+  *
+  * Architecture (design-for-scale split):
+  *  - The per-doc heavy work — tokenize → shingle hashes → minhash
+  *    signature → band codes (`TextDedup.indexCols`) — runs DISTRIBUTED
+  *    as pure Catalyst expressions before the stateful stage.
+  *  - The stateful stage is `transformWithState` (Spark 4 arbitrary
+  *    state, RocksDB-backed — call `UniqueStreams.useRocksDBStateStore`
+  *    first) holding the incremental index as three MapStates:
+  *      bandIdx : band-code → doc-id list (the LSH bucket index)
+  *      docSh   : doc-id → shingle-hash set (for the exact-Jaccard verify)
+  *      parent  : doc-id → parent doc-id (min-rooted union-find forest;
+  *                a doc absent from the map is a component root)
+  *    MapState gives POINT lookups/updates against RocksDB — per doc the
+  *    stage touches `bands` bucket entries + its candidates, never the
+  *    whole index (a kryo'd Map in flatMapGroupsWithState state would
+  *    deserialize the entire index every micro-batch).
+  *
+  * Per arriving doc (processed in `idCol` order): look up its band
+  * buckets, exact-Jaccard-verify the candidates against their stored
+  * shingle sets, and union-find-merge with every verified match (new
+  * root = MINIMUM doc id, the batch CC's min-label policy). Output is a
+  * CHANGE LOG (update mode): (id, change, canonical, upd_seq) where
+  *  - a doc with no verified match emits (id, "keep", id)
+  *  - a doc matching an existing component emits (id, "drop", root)
+  *  - a doc whose arrival MERGES two components additionally demotes the
+  *    larger-id root r: (r, "drop", newRoot) — the retroactive retraction
+  *    that keeps the survivor set transitively exact (a two-sided
+  *    near-dup link discovered late can reveal that an earlier "unique"
+  *    doc was a duplicate all along; greedy emit-once operators get this
+  *    wrong).
+  * A doc's latest row by `upd_seq` is its live verdict: survivors =
+  * docs whose latest change is "keep" — exactly the roots of the final
+  * union-find forest = min-id per connected component + isolated docs,
+  * i.e. the batch `dedupByPairs` survivor set, hash-verified by the
+  * `doc_neardup_stream_replay` CORRECTNESS row against the same DuckDB
+  * recursive-CTE oracle as `doc_neardup_dedup_md5`. `canonical` is the
+  * component root AT EMISSION TIME (a later merge can lower the final
+  * cluster label without re-emitting dropped members; the final
+  * clustering is recoverable by running CC over the latest canonical
+  * edges).
+  *
+  * Candidate-generation parity with the batch pipeline: a pair is a
+  * candidate iff the two docs share ≥1 band bucket — the same relation
+  * the batch band self-join builds, so with an un-saturated index the
+  * streamed pair set IS the batch pair set. `maxBucket` caps bucket
+  * growth (a bucket at cap stops indexing new docs — degenerate
+  * boilerplate protection, same motivation as the batch cap but
+  * prefix-shaped: the batch form drops over-cap buckets retroactively,
+  * which streaming cannot do without full dynamic-connectivity state).
+  * At verification scale the cap never bites — the max observed md5
+  * band bucket is 4 at sf0.01 and 10 at sf0.1 — so streamed survivors
+  * hash-match the batch oracle exactly; a production deployment sizes
+  * `maxBucket` from the batch pipeline's dropped-bucket telemetry
+  * (`PairsWithStats`).
+  *
+  * Scale: state is doc-id-sized (one shingle set per doc, stored ONCE —
+  * bands carry ids only, like the batch explode) and RocksDB-resident.
+  * The stateful stage runs single-keyed (one task): the union-find is a
+  * global structure, the same inherent ceiling as the reference's
+  * single-JVM index and this repo's global-order batch triggers
+  * (UniqueStreams tier 2b). The distributed hashing stage dominates
+  * per-doc cost; the index stage is hash-map lookups. Sharding the
+  * stateful stage by band-space partition would parallelize lookups but
+  * breaks cross-band transitivity — documented trade-off, not taken.
+  */
+object NearDupStream {
+
+  /** md5-family form — DuckDB-checkable end-to-end (the verification
+    * path; same parameters as `TextDedup.minhashPairsMd5`).
+    */
+  def nearDupStreamMd5(sdf: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                       threshold: Double = 0.2, maxBucket: Int = 1000): DataFrame =
+    build(sdf, idCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket,
+      md5Family = true)
+
+  /** xxhash64-family form — the production path (same parameters as
+    * `TextDedup.minhashPairs`; codegen'd native hashing upstream).
+    */
+  def nearDupStream(sdf: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                    threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame =
+    build(sdf, idCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket,
+      md5Family = false)
+
+  private def build(sdf: DataFrame, idCol: String, textCol: String,
+                    shingleN: Int, bands: Int, rowsPerBand: Int,
+                    threshold: Double, maxBucket: Int,
+                    md5Family: Boolean): DataFrame = {
+    val (sh, codes) = graft.llm.TextDedup.indexCols(col(textCol), shingleN, bands,
+      rowsPerBand, md5Family)
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+      sh.as("sh"), codes.as("codes"))
+    val prepSchema = prepared.schema
+    val rowEnc = Encoders.row(prepSchema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, "long").add("change", "string")
+      .add("canonical", "long").add("upd_seq", "long")
+    val outEnc = Encoders.row(outSchema)
+
+    val processor = new StatefulProcessor[Int, Row, Row] {
+      @transient private var bandIdx: org.apache.spark.sql.streaming.MapState[String, Array[Long]] = _
+      @transient private var docSh: org.apache.spark.sql.streaming.MapState[Long, Array[String]] = _
+      @transient private var parent: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+      @transient private var seqCtr: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        bandIdx = getHandle.getMapState[String, Array[Long]]("bandIdx",
+          Encoders.STRING, Encoders.kryo[Array[Long]], TTLConfig.NONE)
+        docSh = getHandle.getMapState[Long, Array[String]]("docSh",
+          Encoders.scalaLong, Encoders.kryo[Array[String]], TTLConfig.NONE)
+        parent = getHandle.getMapState[Long, Long]("parent",
+          Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+        seqCtr = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+      }
+
+      // min-rooted union-find over the parent MapState; absent key = root.
+      // Path compression keeps chains short (amortized near-constant).
+      private def find(x: Long): Long = {
+        var r = x
+        while (parent.containsKey(r)) r = parent.getValue(r)
+        var c = x
+        while (c != r) {
+          val next = parent.getValue(c)
+          if (next != r) parent.updateValue(c, r)
+          c = next
+        }
+        r
+      }
+
+      override def handleInputRows(key: Int, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var seq = if (seqCtr.exists()) seqCtr.get() else 0L
+        def emit(id: Long, change: String, canonical: Long): Unit = {
+          out += Row(id, change, canonical, seq)
+          seq += 1
+        }
+        rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
+          val id = r.getLong(0)
+          val mySh = r.getSeq[String](1)
+          val myCodes = r.getSeq[String](2)
+          if (mySh.isEmpty) {
+            emit(id, "keep", id) // no shingles → never a candidate (batch parity)
+          } else {
+            // 1. bucket lookups: collect candidates, index this doc
+            val cand = scala.collection.mutable.LinkedHashSet.empty[Long]
+            myCodes.distinct.foreach { code =>
+              val cur = if (bandIdx.containsKey(code)) bandIdx.getValue(code)
+                        else Array.empty[Long]
+              cur.foreach(cand += _)
+              if (cur.length < maxBucket) bandIdx.updateValue(code, cur :+ id)
+            }
+            // 2. exact-Jaccard verify against the stored shingle sets
+            val mySet = mySh.toSet
+            var dRoot = id
+            cand.foreach { c =>
+              val cSet = docSh.getValue(c).toSet
+              val inter = mySet.count(cSet)
+              val jac = if (inter == 0) 0.0
+                        else inter.toDouble / (mySet.size + cSet.size - inter)
+              if (jac >= threshold) {
+                // 3. union with the verified match (min-label merge)
+                val rc = find(c)
+                if (rc != dRoot) {
+                  val lo = math.min(rc, dRoot)
+                  val hi = math.max(rc, dRoot)
+                  parent.updateValue(hi, lo)
+                  // a pre-existing root demoted by this merge was last
+                  // emitted "keep" — retract it (hi == id means the
+                  // arriving doc itself, whose verdict is emitted below)
+                  if (hi != id) emit(hi, "drop", lo)
+                  dRoot = lo
+                }
+              }
+            }
+            docSh.updateValue(id, mySh.toArray)
+            if (dRoot == id) emit(id, "keep", id) else emit(id, "drop", dRoot)
+          }
+        }
+        seqCtr.update(seq)
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.{NearDupStream, Replay, UniqueStreams}
+
+case class Doc(doc_id: Long, text: String)
+
+/** Streaming incremental near-dup dedup vs the batch
+  * minhash → LSH → connected-components pipeline: the operator's final
+  * survivor set must equal `TextDedup.dedupByPairs` with the same
+  * parameters, including the two cases a greedy emit-once dedup gets
+  * wrong — transitive chains (a~b, b~c, a≁c) and retroactive merges (a
+  * and b unrelated until a later c links both, demoting b).
+  *
+  * Parameters: bands=16, rowsPerBand=1 — one minhash seed per band makes
+  * P(candidate | jaccard j) = 1-(1-j)^16, so the ~0.23-jaccard fixture
+  * pairs are found with near-certainty (outcomes are deterministic for
+  * fixed texts; asserted against the batch pair relation below).
+  */
+class NearDupStreamSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val W = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+  private def words(from: Int, until: Int): String = W.slice(from, until).mkString(" ")
+
+  private val BANDS = 16
+  private val RPB = 1
+  private val THR = 0.2
+
+  private def runStream(docs: Seq[Doc]): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark) // transformWithState requires RocksDB
+    try
+      // chunkSize=1: one doc per micro-batch — exercises cross-batch state
+      Replay.replay(spark, docs.toDF(), "doc_id", 1, "update")(sdf =>
+        NearDupStream.nearDupStreamMd5(sdf, "doc_id", "text",
+          bands = BANDS, rowsPerBand = RPB, threshold = THR))
+        .cache()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def batchPairs(docs: Seq[Doc]) =
+    llm.TextDedup.minhashPairsMd5(docs.toDF(), "text", "doc_id",
+      bands = BANDS, rowsPerBand = RPB, threshold = THR)
+
+  private def survivors(log: org.apache.spark.sql.DataFrame): Set[Long] =
+    log.groupBy(col("doc_id"))
+      .agg(max_by(col("change"), col("upd_seq")).as("change"))
+      .filter(col("change") === "keep")
+      .select("doc_id").as[Long].collect().toSet
+
+  test("transitive chain: a~b, b~c, a not~ c — c still drops to a's component") {
+    val docs = Seq(Doc(1, words(0, 10)), Doc(2, words(5, 15)), Doc(3, words(10, 20)))
+    // fixture sanity: the batch pipeline finds exactly the chain pairs
+    val bp = batchPairs(docs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bp === Set((1L, 2L), (2L, 3L)), s"fixture drift: batch pairs $bp")
+    val log = runStream(docs)
+    assert(survivors(log) === Set(1L))
+    val rows = log.select("doc_id", "change", "canonical").as[(Long, String, Long)]
+      .collect().toSet
+    assert(rows.contains((2L, "drop", 1L)))
+    assert(rows.contains((3L, "drop", 1L))) // via 2's component, never paired with 1
+  }
+
+  test("retroactive merge: later doc links two kept docs — earlier root is demoted") {
+    val docs = Seq(Doc(1, words(0, 10)), Doc(2, words(10, 20)),
+      Doc(3, words(0, 8) + " " + words(10, 18)))
+    val bp = batchPairs(docs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bp === Set((1L, 3L), (2L, 3L)), s"fixture drift: batch pairs $bp")
+    val log = runStream(docs)
+    assert(survivors(log) === Set(1L))
+    val ordered = log.orderBy("upd_seq")
+      .select("doc_id", "change", "canonical").as[(Long, String, Long)].collect().toSeq
+    // 2 was kept at arrival, then RETRACTED when 3 merged the components
+    assert(ordered.indexOf((2L, "keep", 2L)) >= 0)
+    assert(ordered.indexOf((2L, "drop", 1L)) > ordered.indexOf((2L, "keep", 2L)))
+    assert(ordered.last === ((3L, "drop", 1L)))
+  }
+
+  test("streamed survivors equal batch dedupByPairs on a mixed corpus") {
+    val docs = Seq(
+      Doc(1, words(0, 10)), Doc(2, words(5, 15)), Doc(3, words(10, 20)),
+      Doc(4, words(0, 8) + " " + words(10, 18)),
+      Doc(5, "completely unrelated content here nothing shared with others at all"),
+      Doc(6, "completely unrelated content here nothing shared with anyone at all"),
+      Doc(7, ""), // no shingles → always kept, never indexed
+      Doc(8, "zz yy"))  // < shingleN tokens → no shingles
+    val batchKept = llm.TextDedup.dedupByPairs(docs.toDF(), "doc_id", batchPairs(docs))
+      .select("doc_id").as[Long].collect().toSet
+    val log = runStream(docs)
+    assert(survivors(log) === batchKept)
+    // every doc got a verdict, and each doc emits at most keep + one demotion
+    val perDoc = log.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.keySet === docs.map(_.doc_id).toSet)
+    assert(perDoc.values.forall(_ <= 2))
+  }
+}
