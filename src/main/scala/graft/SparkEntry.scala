@@ -273,6 +273,62 @@ object SparkEntry {
           .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "o_orderdate",
             "change"))
     }),
+    // TWO STREAMING WINDOWS JOINED EVENT-BY-EVENT (reference everTest4,
+    // UniqueEverWindowTestCase.java:228-263: two unique:ever windows, each
+    // new arrival joining the OTHER window's contents at that moment).
+    // Both windows live in ONE everStream via disjoint composite keys
+    // ("O:"+o_custkey for orders, "C:"+c_nationkey for customers), fed on
+    // a deterministic global interleave (customer c at seq 2c, order o at
+    // 2o+1); the foreachBatch handler walks the merged change log in seq
+    // order maintaining both windows and emitting the event-by-event
+    // joins — making the reference's single-input-thread join timing
+    // replayable and hash-verifiable (order side: latest live customer
+    // per nation matching o_custkey; customer side: the live latest order
+    // per custkey). Window keys differ from the join attribute on the
+    // customer side, like the reference's symbol==company condition.
+    "join_two_windows_stream_replay" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(
+        lit("O").as("side"), (col("o_orderkey") * 2 + 1).as("__g"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(null).cast("long").as("c_custkey"), lit(null).cast("string").as("c_name"),
+        lit(null).cast("int").as("c_nationkey"))
+      val b = Tables.customer(s, d).select(
+        lit("C").as("side"), (col("c_custkey") * 2).as("__g"),
+        lit(null).cast("long").as("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val liveOrder = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+      val liveCustByNation = scala.collection.mutable.Map.empty[Int, Long]
+      val liveCust = scala.collection.mutable.Map.empty[Long, (String, Int)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, String, Int)]
+      streaming.Replay.replayForeachBatch(s, a.unionByName(b), "__g", 2000) { sdf =>
+        streaming.UniqueStreams.everStream(
+          sdf.withColumn("__wk", when(col("side") === "O",
+            concat(lit("O:"), col("o_custkey")))
+            .otherwise(concat(lit("C:"), col("c_nationkey")))),
+          Seq("__wk"), Some("__g"))
+      } { rows =>
+        rows.filter(_.getAs[String]("change") == "insert").foreach { r =>
+          if (r.getAs[String]("side") == "O") {
+            val (ok, ck, tp) = (r.getAs[Long]("o_orderkey"),
+              r.getAs[Long]("o_custkey"), r.getAs[Double]("o_totalprice"))
+            liveOrder(ck) = (ok, ck, tp) // upsert window A (keyed o_custkey)
+            liveCust.get(ck).foreach { case (nm, nk) => out += ((ok, ck, tp, nm, nk)) }
+          } else {
+            val (cc, nm, nk) = (r.getAs[Long]("c_custkey"),
+              r.getAs[String]("c_name"), r.getAs[Int]("c_nationkey"))
+            // upsert window B (keyed c_nationkey): the nation's previous
+            // occupant leaves the window
+            liveCustByNation.get(nk).foreach(liveCust.remove)
+            liveCustByNation(nk) = cc
+            liveCust(cc) = (nm, nk)
+            liveOrder.get(cc).foreach { case (ok, ck, tp) => out += ((ok, ck, tp, nm, nk)) }
+          }
+        }
+      }
+      import s.implicits._
+      out.toSeq.toDF("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_nationkey")
+    }),
     // the time.out idle-flush / append-merge path
     // (UniqueExternalTimeBatchWindowProcessor.java:279-298), driven
     // DETERMINISTICALLY: flush-marker rows stand in for the reference's
@@ -636,6 +692,27 @@ object SparkEntry {
           |        ORDER BY o_orderkey DESC) AS rn FROM orders)
           |JOIN customer ON o_custkey = c_custkey
           |WHERE rn > 1""".stripMargin,
+      // two-window event-by-event join. A joined row emits on exactly one
+      // side, decided by arrival order on the 2c / 2o+1 interleave: the
+      // order side emits (o, c) when c arrived first (c_custkey <=
+      // o_orderkey) and is still its nation's live window-B occupant at
+      // o's arrival; the customer side emits when o arrived first
+      // (o_orderkey < c_custkey) and is still its custkey's live window-A
+      // occupant at c's arrival.
+      "join_two_windows_stream_replay" ->
+        """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_nationkey
+          |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          |WHERE c.c_custkey <= o.o_orderkey
+          |  AND NOT EXISTS (SELECT 1 FROM customer c2
+          |    WHERE c2.c_nationkey = c.c_nationkey
+          |      AND c2.c_custkey > c.c_custkey AND c2.c_custkey <= o.o_orderkey)
+          |UNION ALL
+          |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_nationkey
+          |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          |WHERE o.o_orderkey < c.c_custkey
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |    WHERE o2.o_custkey = o.o_custkey
+          |      AND o2.o_orderkey > o.o_orderkey AND o2.o_orderkey < c.c_custkey)""".stripMargin,
       // marker-driven time.out replay. Emission model (matching the
       // reference's TIMER + boundary branches exactly):
       //  - marker after event c idle-flushes the open grid window w(c) =

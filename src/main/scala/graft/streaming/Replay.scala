@@ -43,4 +43,36 @@ object Replay {
     finally q.stop()
     spark.table(sink)
   }
+
+  /** `replay` with a foreachBatch sink instead of a memory sink: each
+    * micro-batch's OUTPUT rows, sorted by `seqCol`, are handed to
+    * `handler` on the driver — the composition point for event-by-event
+    * logic downstream of a streaming operator (e.g. joining two unique
+    * window change logs the way the reference's single-threaded runtime
+    * does, UniqueEverWindowTestCase.java:228-263). Update output mode;
+    * same harness-only caveats as `replay`.
+    */
+  def replayForeachBatch(spark: SparkSession, input: DataFrame, seqCol: String,
+                         chunkSize: Int)
+                        (build: DataFrame => DataFrame)
+                        (handler: Seq[Row] => Unit): Unit = {
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val enc = Encoders.row(input.schema)
+    val stream = MemoryStream[Row]
+    val out = build(stream.toDF())
+    val rows = input.orderBy(col(seqCol)).collect()
+    val q = out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_replay_fb").toString)
+      .foreachBatch((b: DataFrame, _: Long) =>
+        handler(b.orderBy(col(seqCol)).collect().toSeq))
+      .start()
+    try
+      rows.grouped(chunkSize).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    finally q.stop()
+  }
 }
