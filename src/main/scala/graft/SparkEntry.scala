@@ -21,6 +21,7 @@ object SparkEntry {
   private val DAY = 86400000L
   private val WEEK = 7 * DAY
   private val H6 = 6 * 3600000L
+  private val H12 = 12 * 3600000L
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
@@ -213,6 +214,21 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // the BOUNDED-state ever variant: keys idle longer than ttl (event
+    // time) are evicted SILENTLY — a returning key is brand new (insert
+    // with no preceding expire). Deterministically replayable because
+    // evictions fire in the no-data micro-batch after each chunk, with
+    // the watermark frozen at the chunk boundary: a key's previous row
+    // expires iff the boundary watermark before its successor's chunk
+    // had not passed ts+ttl (the oracle bakes in chunkSize=500, like the
+    // timeout replay bakes in its marker grid). The TWS TTL twin
+    // (everStreamTws ttl) is wall-clock-driven (TimeMode.ProcessingTime)
+    // and thus not replayable — this event-time row is its deterministic
+    // analog; the TWS path stays sbt-pinned.
+    "ever_ttl_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 500, "update")(sdf =>
+        streaming.UniqueStreams.everStreamTtl(sdf, Seq("user_id"), "ts",
+          ttlMs = H12, seqCol = Some("event_id")))),
     "lengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40))
@@ -612,6 +628,22 @@ object SparkEntry {
            |SELECT $EVSQL, 'expire' AS change FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn > 1""".stripMargin,
+      // everStreamTtl change log: every event 'insert'; a replaced row
+      // 'expire' iff its key SURVIVED to the replacement — i.e. the
+      // chunk-boundary watermark before the successor's chunk (the ts at
+      // rank (chunk//500)*500; no-data micro-batches apply it) had not
+      // passed ts+ttl. Silently evicted keys emit nothing.
+      "ever_ttl_stream_replay" ->
+        s"""WITH r AS (SELECT *, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+           |    row_number() OVER (ORDER BY event_id) AS rn FROM events),
+           |nxt AS (SELECT *, lead(rn) OVER (PARTITION BY user_id ORDER BY event_id) AS rn2 FROM r),
+           |exp AS (SELECT nxt.event_id FROM nxt
+           |  LEFT JOIN r wb ON wb.rn = ((nxt.rn2 - 1) // 500) * 500
+           |  WHERE nxt.rn2 IS NOT NULL AND (wb.ms IS NULL OR wb.ms <= nxt.ms + $H12))
+           |SELECT $EVSQL, 'insert' AS change FROM events
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM events
+           |WHERE event_id IN (SELECT event_id FROM exp)""".stripMargin,
       "lengthbatch_stream_replay" -> lengthBatchOracle(latest = true),
       "timebatch_stream_replay" -> timebatchExpiredSql,
       "firstlengthbatch_stream_replay" -> lengthBatchOracle(latest = false),
