@@ -214,6 +214,14 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // CHECKPOINT-RESTART at oracle level: the same everStream replay,
+    // but the query is KILLED at the halfway chunk boundary and restarted
+    // from its checkpoint (offsets + keyed state restored). The
+    // accumulated change log must hash-match the SAME oracle as the
+    // uninterrupted ever_stream_replay.
+    "ever_restart_stream_replay" -> ((s, d) =>
+      streaming.Replay.replayWithRestart(s, ev(s, d), "event_id", 2000)(sdf =>
+        streaming.UniqueStreams.everStream(sdf, Seq("user_id"), Some("event_id")))),
     // the BOUNDED-state ever variant: keys idle longer than ttl (event
     // time) are evicted SILENTLY — a returning key is brand new (insert
     // with no preceding expire). Deterministically replayable because
@@ -229,10 +237,12 @@ object SparkEntry {
       streaming.Replay.replay(s, ev(s, d), "event_id", 500, "update")(sdf =>
         streaming.UniqueStreams.everStreamTtl(sdf, Seq("user_id"), "ts",
           ttlMs = H12, seqCol = Some("event_id")))),
+    // the FULL change log, expires included: each flush re-emits the
+    // previous batch tagged "expire" — verified against the expired-batch
+    // oracle union'd with the insert form (VERDICT r6 ask #4)
     "lengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
-        streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40))
-        .filter(col("change") === "insert").drop("change")),
+        streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40))),
     // fed in ts order (the operator is an order-insensitive windowed agg;
     // ts-ordered feeding keeps the watermark monotone so nothing is late)
     "timebatch_stream_replay" -> ((s, d) =>
@@ -245,8 +255,7 @@ object SparkEntry {
     "firstlengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.lengthBatchStream(sdf, Seq("user_id"), "event_id", 40,
-          keepFirst = true))
-        .filter(col("change") === "insert").drop("change")),
+          keepFirst = true))),
     // The events table's ts is monotone in event_id (checked per-sf), so
     // event_id-ordered feeding keeps the watermark monotone for the
     // event-time operators below — nothing is dropped as late.
@@ -628,6 +637,13 @@ object SparkEntry {
            |SELECT $EVSQL, 'expire' AS change FROM (
            |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
            |  FROM events) WHERE rn > 1""".stripMargin,
+      // restarted replay == uninterrupted replay (checkpoint recovery)
+      "ever_restart_stream_replay" ->
+        s"""SELECT $EVSQL, 'insert' AS change FROM events
+           |UNION ALL
+           |SELECT $EVSQL, 'expire' AS change FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           |  FROM events) WHERE rn > 1""".stripMargin,
       // everStreamTtl change log: every event 'insert'; a replaced row
       // 'expire' iff its key SURVIVED to the replacement — i.e. the
       // chunk-boundary watermark before the successor's chunk (the ts at
@@ -644,9 +660,11 @@ object SparkEntry {
            |UNION ALL
            |SELECT $EVSQL, 'expire' AS change FROM events
            |WHERE event_id IN (SELECT event_id FROM exp)""".stripMargin,
-      "lengthbatch_stream_replay" -> lengthBatchOracle(latest = true),
+      // full change log: every flushed batch 'insert'; every flushed batch
+      // with a successor re-emitted 'expire' at the next flush
+      "lengthbatch_stream_replay" -> lengthBatchStreamOracle(latest = true),
       "timebatch_stream_replay" -> timebatchExpiredSql,
-      "firstlengthbatch_stream_replay" -> lengthBatchOracle(latest = false),
+      "firstlengthbatch_stream_replay" -> lengthBatchStreamOracle(latest = false),
       // append output = closed windows only (the last window is still open)
       "firsttimebatch_stream_replay" ->
         s"""SELECT $EVSQL, batch_start_ms FROM (
@@ -1145,6 +1163,17 @@ object SparkEntry {
        |  $lanes
        |FROM t""".stripMargin
   }
+
+  /** The streaming count-batch operators' FULL change log: inserts are
+    * every flushed batch's rows; expires are every non-final flushed
+    * batch's rows, re-emitted when the next batch flushes (both tagged
+    * with their own batch_id — UniqueLengthBatchWindowProcessor
+    * .java:165-197's expiredEventChunk re-emission).
+    */
+  private def lengthBatchStreamOracle(latest: Boolean): String =
+    s"""SELECT *, 'insert' AS change FROM (${lengthBatchOracle(latest)})
+       |UNION ALL
+       |SELECT *, 'expire' AS change FROM (${lengthBatchOracle(latest, expiredOnly = true)})""".stripMargin
 
   private def lengthBatchOracle(latest: Boolean, expiredOnly: Boolean = false): String = {
     val ord = if (latest) "DESC" else "ASC"

@@ -44,6 +44,56 @@ object Replay {
     spark.table(sink)
   }
 
+  /** `replay` with a mid-stream KILL + RESTART: the query is stopped
+    * after the chunk at the halfway boundary (floor(nChunks/2), min 1)
+    * and restarted from its checkpoint before the remaining chunks are
+    * fed — exercising offset recovery AND state-store restore on the
+    * operator under test. The accumulated output must equal the
+    * uninterrupted replay's, so a restart row shares its oracle with the
+    * plain replay row.
+    *
+    * The memory sink is not restart-safe (a restarted query re-creates
+    * the named table empty), so output is collected via an IDEMPOTENT
+    * foreachBatch collector keyed by batchId — the standard
+    * exactly-once-sink pattern: a batch re-delivered after restart
+    * overwrites its own slot (state is restored to the pre-batch
+    * version, so the re-run emits identical rows).
+    */
+  def replayWithRestart(spark: SparkSession, input: DataFrame, seqCol: String,
+                        chunkSize: Int)
+                       (build: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    implicit val enc = Encoders.row(input.schema)
+    val stream = MemoryStream[Row]
+    val out = build(stream.toDF())
+    val outSchema = out.schema
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_replay_restart").toString
+    val batches = scala.collection.concurrent.TrieMap.empty[Long, Array[Row]]
+    def start() = out.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((b: DataFrame, id: Long) => { batches(id) = b.collect(); () })
+      .start()
+    val rows = input.orderBy(col(seqCol)).collect()
+    val chunks = rows.grouped(chunkSize).toSeq
+    val restartAfter = math.max(1, chunks.length / 2)
+    var q = start()
+    try
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+        if (i + 1 == restartAfter) {
+          q.stop()      // kill mid-replay ...
+          q = start()   // ... and recover from the checkpoint
+        }
+      }
+    finally q.stop()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        batches.toSeq.sortBy(_._1).flatMap(_._2.toSeq), 1),
+      outSchema)
+  }
+
   /** `replay` with a foreachBatch sink instead of a memory sink: each
     * micro-batch's OUTPUT rows, sorted by `seqCol`, are handed to
     * `handler` on the driver — the composition point for event-by-event
