@@ -44,8 +44,13 @@ object Bench {
     // `_md5` twins exist only to make pipelines DuckDB-checkable and
     // `_replay` harnesses measure a driver-fed MemoryStream, not the
     // engine (streaming throughput is tools/StreamBench's job).
+    // optional subset for targeted re-measurement (comma-separated names);
+    // the driver's per-round run sets no filter and measures everything
+    val onlyQ = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchable = (SparkEntry.queries ++ SparkEntry.benchQueries)
       .filterNot { case (n, _) => n.endsWith("_md5") || n.endsWith("_replay") }
+      .filter { case (n, _) => onlyQ.forall(_.contains(n)) }
     // Noise-proofing: a single-shot measurement on a shared/contended box has
     // twice produced a false-alarm official record (r3, r5 — the code was
     // exonerated by idle re-runs both times). Each query therefore runs REPS
