@@ -186,6 +186,63 @@ object ScaleBench {
         f""""anchor":{"sec":$ivf0Sec%.2f,"recall":$ivf0Rec%.3f},""" +
         f""""lloyd1":{"sec":$ivf1Sec%.2f,"recall":$ivf1Rec%.3f}}""")
     }
+    // Skew probe for the pair-verify joins (VERDICT r6 ask #7): the
+    // verify joins key on id_a/id_b, so a doc with many candidate pairs
+    // concentrates rows on one task. The bucket cap BOUNDS that load by
+    // construction — a doc co-buckets with at most bands×(maxBucket-1)
+    // partners — and this probe measures the worst constructible case: a
+    // planted boilerplate family sized just under the default cap (999
+    // near-identical docs → every member shares all 8 band buckets, the
+    // family min-id carries ~998 verify rows under the id_a<id_b
+    // orientation). Reported: the hot doc's pair count and the verify
+    // job's max/median task time — balanced task times mean no salting
+    // is needed while the cap stands; a deployment raising maxBucket
+    // by 100× re-runs this probe before trusting the join layout.
+    if (wanted("pair_verify_skew")) {
+      val famSize = 999
+      val baseWords = (0 until 70).map(i => s"boiler$i").mkString(" ")
+      val maxDoc = docsSf1.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1
+      val fam = spark.range(famSize).select(
+        (col("id") + maxDoc).as("doc_id"),
+        concat(lit(baseWords), lit(" variant"), col("id")).as("text"),
+        lit("en").as("lang"), lit("planted").as("source"),
+        (length(lit(baseWords)) + 9).cast("long").as("n_chars"))
+      val corpus = docsSf1.unionByName(fam)
+      val taskMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      val listener = new SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          taskMs.computeIfAbsent(te.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(te.taskInfo.duration)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val pws = graft.llm.TextDedup.minhashPairsWithStats(corpus, "text", "doc_id",
+        threshold = 0.2)
+      val t0 = System.nanoTime()
+      val hot = pws.pairs.select(col("id_a").as("id"))
+        .unionByName(pws.pairs.select(col("id_b").as("id")))
+        .groupBy("id").count().agg(max("count")).head().getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nDropped = pws.droppedBuckets.count()
+      pws.unpersist()
+      Thread.sleep(500) // listener settle
+      spark.sparkContext.removeSparkListener(listener)
+      import scala.jdk.CollectionConverters._
+      // the verify job's heaviest stage: the one with the largest total
+      // task time (the shuffling verify join), reported max vs median
+      // per-stage balance for the top stages by total task time — the
+      // hashing stage dominates; the verify-join shuffle stages are the
+      // ones a hot key would skew, so report each stage's max vs median
+      val stages = taskMs.asScala.map { case (sid, q) =>
+        val ds = q.asScala.toSeq.sorted
+        (sid, ds.sum, ds.max, ds(ds.size / 2), ds.size)
+      }.toSeq.sortBy(-_._2).take(5)
+      val stageJson = stages.map { case (sid, tot, mx, med, n) =>
+        s"""{"stage":$sid,"tasks":$n,"total_ms":$tot,"max_task_ms":$mx,"median_task_ms":$med}"""
+      }.mkString("[", ",", "]")
+      parts += (f""""pair_verify_skew":{"sec":$sec%.2f,"hot_doc_pairs":$hot,""" +
+        f""""dropped_buckets":$nDropped,"stages":$stageJson}""")
+    }
     val counts = s""""events":${evSf1.count()},"documents":${docsSf1.count()}""" +
       s""","embeddings":${embSf1.count()},"emb_dropped_buckets":$embDropped"""
     // conditional separator: an empty parts list must not leave a trailing comma
