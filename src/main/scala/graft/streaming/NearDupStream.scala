@@ -160,8 +160,12 @@ object NearDupStream {
             // 1. bucket lookups: collect candidates, index this doc
             val cand = scala.collection.mutable.LinkedHashSet.empty[Long]
             myCodes.distinct.foreach { code =>
-              val cur = if (bandIdx.containsKey(code)) bandIdx.getValue(code)
-                        else Array.empty[Long]
+              // one point-read per band: getValue returns null when the
+              // bucket doesn't exist yet (array-valued state, so the null
+              // is unambiguous — unlike the boxed-Long parent map, which
+              // keeps containsKey to avoid null-unboxing)
+              val cur0 = bandIdx.getValue(code)
+              val cur = if (cur0 == null) Array.empty[Long] else cur0
               cur.foreach(cand += _)
               if (cur.length < maxBucket) bandIdx.updateValue(code, cur :+ id)
             }

@@ -110,7 +110,7 @@ object ScaleBench {
     // near-dup workload the copy construction deliberately plants
     val knownQueries = Set("lengthbatch_current", "ever_current", "deduplicate",
       "doc_minhash_pairs", "doc_neardup_dedup", "emb_neardup_pairs",
-      "emb_ann_ivf_recall", "pair_verify_skew")
+      "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -185,6 +185,61 @@ object ScaleBench {
       parts += (f""""emb_ann_ivf_recall":{"queries":$nq,"k":20,"n_cells":64,"n_probe":8,""" +
         f""""anchor":{"sec":$ivf0Sec%.2f,"recall":$ivf0Rec%.3f},""" +
         f""""lloyd1":{"sec":$ivf1Sec%.2f,"recall":$ivf1Rec%.3f}}""")
+    }
+    // Incremental corpus growth (VERDICT r6 stretch #8): feed the 10×
+    // corpus to the STREAMING near-dup operator in 10 doc_id-ordered
+    // increments (with the copy construction, increment i IS copy i, so
+    // later increments are near-dups of earlier ones — real incremental
+    // dup discovery) and record each increment's cost next to re-running
+    // the BATCH dedup from scratch on the same cumulative prefix — the
+    // number that sells the incremental operator: per-increment streaming
+    // cost stays ~flat while batch re-run cost grows with the corpus.
+    // The driver-side feed mirrors the Replay harness (verification/
+    // measurement only; production reads a real source).
+    if (wanted("incremental_neardup")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = docsSf1.select(col("doc_id"), col("text")).orderBy("doc_id")
+      val rows = src.collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val stream = MemoryStream[Row]
+      val out = graft.streaming.NearDupStream.nearDupStream(
+        stream.toDF(), "doc_id", "text", threshold = 0.2)
+      val q = out.writeStream.format("memory").queryName("inc_neardup")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_inc").toString)
+        .start()
+      val nInc = 10
+      val incSize = rows.length / nInc
+      val incJson = (0 until nInc).map { i =>
+        val chunk = rows.slice(i * incSize, if (i == nInc - 1) rows.length else (i + 1) * incSize)
+        val t0 = System.nanoTime()
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val ssec = (System.nanoTime() - t0) / 1e9
+        val hi = chunk.last.getLong(0)
+        val prefix = docsSf1.filter(col("doc_id") <= hi)
+        val t1 = System.nanoTime()
+        val kept = graft.llm.TextDedup.dedupByPairs(prefix, "doc_id",
+          graft.llm.TextDedup.minhashPairs(prefix, "text", "doc_id", threshold = 0.2))
+          .count()
+        val bsec = (System.nanoTime() - t1) / 1e9
+        spark.catalog.clearCache()
+        f"""{"inc":$i,"stream_sec":$ssec%.2f,"batch_rerun_sec":$bsec%.2f,"batch_kept":$kept}"""
+      }
+      q.stop()
+      // final-state cross-check: the stream's surviving set size must
+      // equal the last batch re-run's (same pairs, same CC semantics)
+      val survivors = spark.table("inc_neardup")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep").count()
+      parts += (s""""incremental_neardup":{"survivors_stream":$survivors,""" +
+        s""""increments":[${incJson.mkString(",")}]}""")
     }
     // Skew probe for the pair-verify joins (VERDICT r6 ask #7): the
     // verify joins key on id_a/id_b, so a doc with many candidate pairs
