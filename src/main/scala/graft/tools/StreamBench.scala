@@ -14,6 +14,7 @@ import graft.streaming.UniqueStreams
   */
 object StreamBench {
   case class Ev(ts: Timestamp, key: String, seq: Long)
+  case class DocEv(doc_id: Long, text: String)
 
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toInt).getOrElse(200000)
@@ -64,8 +65,39 @@ object StreamBench {
         run("everTws", ms => UniqueStreams.everStreamTws(
           ms.toDF(), Seq("key")), OutputMode.Update()) },
     )
+    // incremental near-dup throughput (docs/s, heavier per-row work than
+    // the keyed ops above: shingle+minhash hashing per doc + the banded
+    // index; needs RocksDB — already switched): ~25-word docs in ~n/20
+    // near-dup families so the index sees real candidate traffic
+    val nDocs = nEvents / 10
+    val wordPool = (0 until 4000).map(i => s"w$i")
+    def docText(i: Int): String = {
+      val fam = i % (nDocs / 20 max 1)
+      (0 until 24).map(j => wordPool((fam * 31 + j * 7) % wordPool.length))
+        .mkString(" ") + s" v$i"
+    }
+    val docRate = {
+      implicit val denc: org.apache.spark.sql.Encoder[DocEv] = Encoders.product[DocEv]
+      val ms = MemoryStream[DocEv]
+      val q = graft.streaming.NearDupStream
+        .nearDupStream(ms.toDF(), "doc_id", "text", threshold = 0.2)
+        .writeStream.format("memory").queryName("sb_neardup")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("sb_neardup").toString)
+        .start()
+      val all = (0 until nDocs).map(i => DocEv(i.toLong, docText(i)))
+      val per = nDocs / 10
+      val t0 = System.nanoTime()
+      (0 until 10).foreach { b =>
+        ms.addData(all.slice(b * per, (b + 1) * per))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      nDocs / secs
+    }
     val qs = results.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs}""")
+    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"}}""")
     spark.stop()
   }
 }
