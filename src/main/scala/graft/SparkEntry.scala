@@ -298,6 +298,29 @@ object SparkEntry {
           .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "o_orderdate",
             "change"))
     }),
+    // ... and the stream's final CLUSTER STRUCTURE (not just survivors):
+    // every drop row is a union-find edge (doc → root at emission time);
+    // connected components over those edges are the true final
+    // components — later demotions connect superseded roots onward — and
+    // the min label equals the batch CC label because roots are component
+    // minima under the id-ordered feed. Verified against the SAME
+    // recursive-CTE closure oracle as doc_neardup_clusters_md5, closing
+    // the canonical-at-emission-time asymmetry.
+    "doc_neardup_clusters_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val log = streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 1000,
+          "update")(sdf => streaming.NearDupStream.nearDupStreamMd5(sdf, "doc_id", "text"))
+        val edges = log.filter(col("change") === "drop")
+          .select(col("doc_id").as("id_a"), col("canonical").as("id_b"))
+        llm.TextDedup.nearDupClusters(edges).withColumnRenamed("id", "doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // TWO STREAMING WINDOWS JOINED EVENT-BY-EVENT (reference everTest4,
     // UniqueEverWindowTestCase.java:228-263: two unique:ever windows, each
     // new arrival joining the OTHER window's contents at that moment).
@@ -606,6 +629,8 @@ object SparkEntry {
       "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
       // the streaming operator's final survivors = the batch CC survivors
       "doc_neardup_stream_replay" -> docNeardupDedupOracle,
+      // ... and its emitted union-find edges reproduce the batch clusters
+      "doc_neardup_clusters_stream_replay" -> docNeardupClustersOracle,
       "doc_simhash_md5" -> docSimhashMd5Oracle,
       "doc_ngram_pairs_md5" -> docNgramMd5Oracle,
       "doc_simhash_pairs_md5" -> docSimhashPairsMd5Oracle,
