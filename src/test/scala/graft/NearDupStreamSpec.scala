@@ -84,6 +84,38 @@ class NearDupStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(ordered.last === ((3L, "drop", 1L)))
   }
 
+  test("final state is arrival-order-insensitive (production streams are unordered)") {
+    // every candidate pair is discovered at its SECOND member's arrival
+    // (the index holds earlier arrivals), so the pair set — and with
+    // min-rooted unions, the final forest — is the same for any feed
+    // order; only the intermediate verdicts differ (more retractions on
+    // adversarial orders). Feed the mixed fixture reversed and shuffled.
+    val docs = Seq(
+      Doc(1, words(0, 10)), Doc(2, words(5, 15)), Doc(3, words(10, 20)),
+      Doc(4, words(0, 8) + " " + words(10, 18)),
+      Doc(5, "completely unrelated content here nothing shared with others at all"))
+    val expected = survivors(runStream(docs))
+    for (perm <- Seq(docs.reverse, Seq(docs(3), docs(0), docs(4), docs(2), docs(1)))) {
+      // re-key arrival order via a fresh monotonically increasing feed id,
+      // keeping the ORIGINAL doc_id as the operator's id column
+      val reordered = perm.zipWithIndex.map { case (dc, i) => (i.toLong, dc.doc_id, dc.text) }
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+      val log =
+        try
+          Replay.replay(spark, reordered.toDF("feed_seq", "doc_id", "text"),
+            "feed_seq", 1, "update")(sdf =>
+            NearDupStream.nearDupStreamMd5(sdf, "doc_id", "text",
+              bands = BANDS, rowsPerBand = RPB, threshold = THR))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      assert(survivors(log) === expected, s"order ${perm.map(_.doc_id)} diverged")
+    }
+  }
+
   test("streamed survivors equal batch dedupByPairs on a mixed corpus") {
     val docs = Seq(
       Doc(1, words(0, 10)), Doc(2, words(5, 15)), Doc(3, words(10, 20)),
