@@ -48,7 +48,15 @@ object Bench {
     // the driver's per-round run sets no filter and measures everything
     val onlyQ = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val benchable = (SparkEntry.queries ++ SparkEntry.benchQueries)
+    val registry = (SparkEntry.queries ++ SparkEntry.benchQueries)
+    // a misspelled filter entry must fail loudly, not silently benchmark nothing
+    onlyQ.foreach { qs =>
+      val unknown = qs -- registry.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_QUERIES names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${registry.keySet.toSeq.sorted.mkString(", ")}")
+    }
+    val benchable = registry
       .filterNot { case (n, _) => n.endsWith("_md5") || n.endsWith("_replay") }
       .filter { case (n, _) => onlyQ.forall(_.contains(n)) }
     // Noise-proofing: a single-shot measurement on a shared/contended box has
@@ -83,7 +91,16 @@ object Bench {
     val qsAll = results.map { case (k, (_, ts)) => s""""${esc(k)}":[${ts.mkString(",")}]""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_all":$qsAll,"reps":$reps,"errors":$es,"sf":"${esc(sfDir)}"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_all":$qsAll,"reps":$reps,"errors":$es,"sf":"${esc(sfDir)}"}"""
+    println(json)
+    // the stdout line is tail-captured by the driver and has twice been
+    // truncated mid-array (BENCH_r06/r07 lost the alphabetically-first
+    // queries); the file is the self-contained primary record
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    System.err.println(s"bench json written to ${out.toAbsolutePath}")
     spark.stop()
   }
 }

@@ -33,7 +33,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * buckets, exact-Jaccard-verify the candidates against their stored
   * shingle sets, and union-find-merge with every verified match (new
   * root = MINIMUM doc id, the batch CC's min-label policy). Output is a
-  * CHANGE LOG (update mode): (id, change, canonical, upd_seq) where
+  * CHANGE LOG (update mode): (id, change, canonical, upd_seq, bucket) where
   *  - a doc with no verified match emits (id, "keep", id)
   *  - a doc matching an existing component emits (id, "drop", root)
   *  - a doc whose arrival MERGES two components additionally demotes the
@@ -63,9 +63,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * which streaming cannot do without full dynamic-connectivity state).
   * At verification scale the cap never bites — the max observed md5
   * band bucket is 4 at sf0.01 and 10 at sf0.1 — so streamed survivors
-  * hash-match the batch oracle exactly; a production deployment sizes
-  * `maxBucket` from the batch pipeline's dropped-bucket telemetry
-  * (`PairsWithStats`).
+  * hash-match the batch oracle exactly. The cap is NOT silent: the
+  * arrival that fills a bucket to `maxBucket` emits a telemetry row
+  * (id, "saturated", maxBucket, upd_seq, bucket=band-code) into the
+  * same change log — "no silent caps" parity with the batch tier's
+  * `PairsWithStats.droppedBuckets`. A production deployment sizes
+  * `maxBucket` from the batch pipeline's dropped-bucket telemetry and
+  * alerts on any "saturated" row: once one appears, recall in that
+  * band is arrival-order-dependent and batch parity no longer holds
+  * for docs hashing into it. Survivor/cluster consumers filter
+  * `change IN ('keep','drop')` (or take the max_by(upd_seq) verdict —
+  * a doc's verdict always follows its saturation rows in seq order),
+  * so telemetry rows never perturb results.
   *
   * Scale: state is doc-id-sized (one shingle set per doc, stored ONCE —
   * bands carry ids only, like the batch explode) and RocksDB-resident.
@@ -101,15 +110,22 @@ object NearDupStream {
                     shingleN: Int, bands: Int, rowsPerBand: Int,
                     threshold: Double, maxBucket: Int,
                     md5Family: Boolean): DataFrame = {
-    val (sh, codes) = graft.llm.TextDedup.indexCols(col(textCol), shingleN, bands,
-      rowsPerBand, md5Family)
+    // dirty-input hardening: a null text must not reach the stateful stage
+    // as a null array (the batch pipeline tolerates such rows by never
+    // pairing them; the stream treats them as shingle-less "keep"s), and a
+    // null id has no usable identity — drop it before the state stage, the
+    // same rows the batch pipeline's id-keyed joins would never emit
+    val (sh, codes) = graft.llm.TextDedup.indexCols(
+      coalesce(col(textCol), lit("")), shingleN, bands, rowsPerBand, md5Family)
     val prepared = sdf.select(col(idCol).cast("long").as("id"),
       sh.as("sh"), codes.as("codes"))
+      .where(col("id").isNotNull)
     val prepSchema = prepared.schema
     val rowEnc = Encoders.row(prepSchema)
     val outSchema = new org.apache.spark.sql.types.StructType()
       .add(idCol, "long").add("change", "string")
       .add("canonical", "long").add("upd_seq", "long")
+      .add("bucket", "string") // non-null only on "saturated" telemetry rows
     val outEnc = Encoders.row(outSchema)
 
     val processor = new StatefulProcessor[Int, Row, Row] {
@@ -146,8 +162,9 @@ object NearDupStream {
                                    timerValues: TimerValues): Iterator[Row] = {
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         var seq = if (seqCtr.exists()) seqCtr.get() else 0L
-        def emit(id: Long, change: String, canonical: Long): Unit = {
-          out += Row(id, change, canonical, seq)
+        def emit(id: Long, change: String, canonical: Long,
+                 bucket: String = null): Unit = {
+          out += Row(id, change, canonical, seq, bucket)
           seq += 1
         }
         rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
@@ -167,7 +184,16 @@ object NearDupStream {
               val cur0 = bandIdx.getValue(code)
               val cur = if (cur0 == null) Array.empty[Long] else cur0
               cur.foreach(cand += _)
-              if (cur.length < maxBucket) bandIdx.updateValue(code, cur :+ id)
+              if (cur.length < maxBucket) {
+                bandIdx.updateValue(code, cur :+ id)
+                // "no silent caps" (PairsWithStats parity): the arrival
+                // that FILLS a bucket emits one telemetry row — from here
+                // on this bucket stops indexing, so batch parity and
+                // arrival-order insensitivity no longer hold for its
+                // band. id = the filling doc, canonical = the cap.
+                if (cur.length + 1 == maxBucket)
+                  emit(id, "saturated", maxBucket.toLong, code)
+              }
             }
             // 2. exact-Jaccard verify against the stored shingle sets
             val mySet = mySh.toSet

@@ -41,7 +41,10 @@ object StreamBench {
       val all = events(nEvents)
       val t0 = System.nanoTime()
       (0 until batches).foreach { b =>
-        ms.addData(all.slice(b * per, (b + 1) * per))
+        // last slice takes the division remainder so every event is fed
+        // (the reported rate divides by nEvents)
+        val hi = if (b == batches - 1) nEvents else (b + 1) * per
+        ms.addData(all.slice(b * per, hi))
         q.processAllAvailable()
       }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -89,7 +92,8 @@ object StreamBench {
       val per = nDocs / 10
       val t0 = System.nanoTime()
       (0 until 10).foreach { b =>
-        ms.addData(all.slice(b * per, (b + 1) * per))
+        val hi = if (b == 9) nDocs else (b + 1) * per
+        ms.addData(all.slice(b * per, hi))
         q.processAllAvailable()
       }
       val secs = (System.nanoTime() - t0) / 1e9

@@ -133,4 +133,72 @@ class NearDupStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(perDoc.keySet === docs.map(_.doc_id).toSet)
     assert(perDoc.values.forall(_ <= 2))
   }
+
+  test("bucket saturation is observable: filling arrival emits a telemetry row") {
+    // a boilerplate family larger than maxBucket: identical texts share
+    // every band bucket, so each of the 16 band buckets fills at the
+    // maxBucket-th arrival and later arrivals are no longer indexed
+    val cap = 3
+    val fam = (1L to 6L).map(i => Doc(i, words(0, 12)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    val log =
+      try
+        Replay.replay(spark, fam.toDF(), "doc_id", 1, "update")(sdf =>
+          NearDupStream.nearDupStreamMd5(sdf, "doc_id", "text",
+            bands = BANDS, rowsPerBand = RPB, threshold = THR, maxBucket = cap))
+          .cache()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    val sat = log.filter(col("change") === "saturated")
+      .select("doc_id", "canonical", "bucket")
+      .as[(Long, Long, String)].collect()
+    // identical texts → identical band codes → every band saturates once,
+    // at the arrival of doc `cap` (the bucket-filling doc), carrying the cap
+    // size and a non-null band code; exactly one row per distinct bucket
+    assert(sat.nonEmpty)
+    assert(sat.forall { case (id, size, bucket) =>
+      id == cap.toLong && size == cap.toLong && bucket != null })
+    assert(sat.map(_._3).distinct.length === sat.length)
+    // telemetry rows never perturb verdicts: every doc still keeps/drops,
+    // and the saturated family still collapses to its min id
+    assert(survivors(log) === Set(1L))
+    val verdicts = log.filter(col("change").isin("keep", "drop"))
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(verdicts.keySet === fam.map(_.doc_id).toSet)
+  }
+
+  test("dirty input: null text becomes a shingle-less keep, null id is dropped") {
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, words(0, 10)),
+      (2L, null),                  // null text — must not NPE the processor
+      (null, words(0, 10)),        // null id — no identity, dropped pre-state
+      (3L, words(0, 10)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    val log =
+      try
+        Replay.replay(spark,
+          rows.toDF("doc_id", "text").withColumn("feed_seq",
+            monotonically_increasing_id()),
+          "feed_seq", 1, "update")(sdf =>
+          NearDupStream.nearDupStreamMd5(sdf, "doc_id", "text",
+            bands = BANDS, rowsPerBand = RPB, threshold = THR))
+          .cache()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    // null-text doc is kept (never a pair candidate — batch parity),
+    // null-id row produced no verdict, and the duplicate pair still folds
+    assert(survivors(log) === Set(1L, 2L))
+    assert(log.filter(col("doc_id").isNull).count() === 0)
+    val r3 = log.filter(col("doc_id") === 3).select("change", "canonical")
+      .as[(String, Long)].collect().toSeq
+    assert(r3 === Seq(("drop", 1L)))
+  }
 }
