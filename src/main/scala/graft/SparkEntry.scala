@@ -248,6 +248,23 @@ object SparkEntry {
     "timebatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "ts", 2000, "append")(sdf =>
         streaming.UniqueStreams.timeBatchStream(sdf, Seq("user_id"), "event_id", "ts", DAY))),
+    // OUT-OF-ORDER stress (VERDICT r7 stretch #8): same operator, same
+    // oracle — but the feed order is a bounded-disorder permutation:
+    // each event's feed position is its ts jittered by a deterministic
+    // pseudo-random offset < 2h (xxhash64 of event_id), and the
+    // watermark delay equals the disorder bound, so events arrive late
+    // relative to ts order yet always inside the watermark. The closed
+    // windows must hash-match the in-order oracle (end-of-stream slack
+    // past the last day boundary is >23h at every sf, far above the 2h
+    // delay, so the emitted window set is unchanged).
+    "timebatch_ooo_stream_replay" -> ((s, d) => {
+      val OOO = 7200000L // 2h disorder bound == watermark delay
+      val fed = ev(s, d).withColumn("__ooo_ord",
+        unix_millis(col("ts")) + pmod(xxhash64(col("event_id")), lit(OOO)))
+      streaming.Replay.replay(s, fed, "__ooo_ord", 2000, "append")(sdf =>
+        streaming.UniqueStreams.timeBatchStream(sdf.drop("__ooo_ord"), Seq("user_id"),
+          "event_id", "ts", DAY, delayMs = OOO))
+    }),
     "firsttimebatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "ts", 2000, "append")(sdf =>
         streaming.UniqueStreams.timeBatchStream(sdf, Seq("user_id"), "event_id", "ts", DAY,
@@ -689,6 +706,8 @@ object SparkEntry {
       // with a successor re-emitted 'expire' at the next flush
       "lengthbatch_stream_replay" -> lengthBatchStreamOracle(latest = true),
       "timebatch_stream_replay" -> timebatchExpiredSql,
+      // bounded-disorder feed, same closed-window semantics → same oracle
+      "timebatch_ooo_stream_replay" -> timebatchExpiredSql,
       "firstlengthbatch_stream_replay" -> lengthBatchStreamOracle(latest = false),
       // append output = closed windows only (the last window is still open)
       "firsttimebatch_stream_replay" ->

@@ -232,4 +232,192 @@ object NearDupStream {
       .groupByKey((_: Row) => 0)(Encoders.scalaInt)
       .transformWithState[Row](processor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** BAND-SHARDED two-stage form — the scale path past the monolithic
+    * operator's single-task index ceiling (~537 docs/s measured,
+    * BASELINE.md round-7).
+    *
+    * The monolith serializes candidate lookup + Jaccard verify + index
+    * write + union-find in ONE task because the union-find is global.
+    * But only the MERGE is global: candidate generation and the exact
+    * verify — the per-doc heavy work — factor cleanly by LSH band code.
+    * Stage A (`shardedEdges`) keys `transformWithState` by band code, so
+    * each shard holds one bucket (member ids + their shingle sets +
+    * their full band-code arrays) and shards spread across all cores;
+    * the output is ids-only VERIFIED EDGES (a < b, exact Jaccard ≥
+    * threshold). A pair sharing several bands is verified exactly once —
+    * in the lexicographically smallest band code the two docs share
+    * (both docs know both code arrays, so every shard agrees on the
+    * election without coordination). Stage B (`unionFindStage`) is the
+    * residual global stage: a union-find over ids only — no text, no
+    * shingles, no hashing — consuming doc markers (a==b rows, one per
+    * doc, for the keep verdicts of isolated docs) plus stage-A edges,
+    * emitting the same keep/drop change log with retroactive demotions
+    * as the monolith. Union-find is final-state order-insensitive, so
+    * stage-B output parity holds for any marker/edge interleaving in
+    * which a doc's marker precedes its edges — feeding markers
+    * batch-by-batch alongside (or before) that batch's edges satisfies
+    * this.
+    *
+    * Cost split: stage A carries the shingle sets (state duplicated per
+    * band vs the monolith's once — the storage price of sharding) and
+    * all the comparison work, parallelized; stage B touches a few
+    * longs per edge. Spark 4.1 does not chain two update-mode
+    * `transformWithState` operators in one query, so the two stages run
+    * as two queries bridged by an edge sink/source (measured in
+    * `ScaleBench` `neardup_sharded`; a production deployment bridges
+    * through a replayable log, e.g. the files/kafka sink-source pair).
+    * The bucket cap matches the monolith (a full bucket stops indexing;
+    * arrivals still verify against stored members), so below cap the
+    * edge set equals the monolith's pair set and both match batch.
+    */
+  def shardedEdges(sdf: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5, maxBucket: Int = 1000,
+                   md5Family: Boolean = false): DataFrame = {
+    val (sh, codes) = graft.llm.TextDedup.indexCols(
+      coalesce(col(textCol), lit("")), shingleN, bands, rowsPerBand, md5Family)
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+      sh.as("sh"), codes.as("codes"))
+      .where(col("id").isNotNull)
+      .select(explode(col("codes")).as("code"), col("id"), col("sh"), col("codes"))
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("a", "long").add("b", "long")
+    val outEnc = Encoders.row(outSchema)
+
+    val processor = new StatefulProcessor[String, Row, Row] {
+      // bucket members of THIS band code, split so the per-arrival
+      // election scan decodes only the small code arrays; the large
+      // shingle arrays are read once per ELECTED pair, not per member
+      @transient private var memberCodes: org.apache.spark.sql.streaming.MapState[Long, Array[String]] = _
+      @transient private var memberSh: org.apache.spark.sql.streaming.MapState[Long, Array[String]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        memberCodes = getHandle.getMapState[Long, Array[String]]("codes",
+          Encoders.scalaLong, Encoders.kryo[Array[String]], TTLConfig.NONE)
+        memberSh = getHandle.getMapState[Long, Array[String]]("sh",
+          Encoders.scalaLong, Encoders.kryo[Array[String]], TTLConfig.NONE)
+      }
+
+      override def handleInputRows(code: String, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        rows.toSeq.sortBy(_.getLong(1)).foreach { r =>
+          val id = r.getLong(1)
+          val mySh = r.getSeq[String](2)
+          val myCodes = r.getSeq[String](3)
+          val mySet = mySh.toSet
+          var n = 0
+          memberCodes.iterator().foreach { case (mid, mCodes) =>
+            n += 1
+            if (mid != id) {
+              // shard election: verify only in the smallest shared code
+              val mCodeSet = mCodes.toSet
+              val minCommon = myCodes.iterator.filter(mCodeSet).min
+              if (minCommon == code) {
+                val mSet = memberSh.getValue(mid).toSet
+                val inter = mySet.count(mSet)
+                val jac = if (inter == 0) 0.0
+                          else inter.toDouble / (mySet.size + mSet.size - inter)
+                if (jac >= threshold)
+                  out += Row(math.min(id, mid), math.max(id, mid))
+              }
+            }
+          }
+          if (n < maxBucket) {
+            memberCodes.updateValue(id, myCodes.toArray)
+            memberSh.updateValue(id, mySh.toArray)
+          }
+        }
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Stage B of the sharded form: ids-only union-find over a stream of
+    * doc markers (`a == b`: "doc a exists") and verified edges from
+    * `shardedEdges`. Emits the monolith's change-log semantics on the
+    * final state: a marker gets its live verdict at arrival ("keep" if
+    * currently a root, "drop" otherwise), an edge that merges two
+    * components demotes the larger root ("drop" with the new canonical).
+    * Survivors = docs whose latest change by `upd_seq` is "keep" — the
+    * min-id of each connected component plus isolated docs, identical
+    * to the monolith and to batch `dedupByPairs`.
+    */
+  def unionFindStage(edges: DataFrame): DataFrame = {
+    val prepared = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("change", "string")
+      .add("canonical", "long").add("upd_seq", "long")
+    val outEnc = Encoders.row(outSchema)
+
+    val processor = new StatefulProcessor[Int, Row, Row] {
+      @transient private var parent: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+      @transient private var seen: org.apache.spark.sql.streaming.MapState[Long, Boolean] = _
+      @transient private var seqCtr: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        parent = getHandle.getMapState[Long, Long]("parent",
+          Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+        seen = getHandle.getMapState[Long, Boolean]("seen",
+          Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+        seqCtr = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+      }
+
+      private def find(x: Long): Long = {
+        var r = x
+        while (parent.containsKey(r)) r = parent.getValue(r)
+        var c = x
+        while (c != r) {
+          val next = parent.getValue(c)
+          if (next != r) parent.updateValue(c, r)
+          c = next
+        }
+        r
+      }
+
+      override def handleInputRows(key: Int, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var seq = if (seqCtr.exists()) seqCtr.get() else 0L
+        def emit(id: Long, change: String, canonical: Long): Unit = {
+          out += Row(id, change, canonical, seq)
+          seq += 1
+        }
+        rows.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          if (a == b) {
+            if (!seen.containsKey(a)) {
+              seen.updateValue(a, true)
+              val root = find(a)
+              emit(a, if (root == a) "keep" else "drop", root)
+            }
+          } else {
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              val lo = math.min(ra, rb)
+              val hi = math.max(ra, rb)
+              parent.updateValue(hi, lo)
+              emit(hi, "drop", lo)
+            }
+          }
+        }
+        seqCtr.update(seq)
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -110,7 +110,8 @@ object ScaleBench {
     // near-dup workload the copy construction deliberately plants
     val knownQueries = Set("lengthbatch_current", "ever_current", "deduplicate",
       "doc_minhash_pairs", "doc_neardup_dedup", "emb_neardup_pairs",
-      "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup")
+      "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
+      "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -240,6 +241,175 @@ object ScaleBench {
         .filter(col("change") === "keep").count()
       parts += (s""""incremental_neardup":{"survivors_stream":$survivors,""" +
         s""""increments":[${incJson.mkString(",")}]}""")
+    }
+    // 100×-scale streaming parity + state soak (VERDICT r7 ask #3): feed
+    // the FULL N× corpus (at copies=100: 500k docs, the r6 batch
+    // flagship) through NearDupStream in doc_id-ordered increments and
+    // record, per increment, docs/s and the growth of the RocksDB state
+    // (stateOperators.numRowsTotal + checkpoint dir bytes) — does the
+    // single-task index stage's throughput DRIFT as the index grows? —
+    // then assert final-survivor parity against one batch dedupByPairs
+    // run on the same corpus (set equality, not just counts).
+    if (wanted("neardup_stream_soak")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = docsSf1.select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val stream = MemoryStream[Row]
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_soak")
+      val q = graft.streaming.NearDupStream.nearDupStream(
+          stream.toDF(), "doc_id", "text", threshold = 0.2)
+        .writeStream.format("memory").queryName("soak_neardup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      def ckptBytes: Long = {
+        val s = java.nio.file.Files.walk(ckpt)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val ids = docsSf1.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 20
+      val span = (hi - lo + nInc) / nInc
+      val incJson = (0 until nInc).map { i =>
+        // collect per increment (not the whole 500k-doc corpus at once):
+        // the driver-side feed mirrors the Replay harness — measurement
+        // only; production reads a real source
+        val chunk = src.filter(col("doc_id") >= lo + i * span &&
+          col("doc_id") < lo + (i + 1) * span).orderBy("doc_id").collect()
+        val t0 = System.nanoTime()
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(-1L)
+        f"""{"inc":$i,"docs":${chunk.length},"sec":$sec%.2f,""" +
+          f""""docs_per_sec":${chunk.length / sec}%.0f,""" +
+          f""""state_rows":$stateRows,"ckpt_mb":${ckptBytes / 1048576.0}%.1f}"""
+      }
+      val streamKept = spark.table("soak_neardup")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").cache()
+      val nStream = streamKept.count()
+      q.stop()
+      val batchKept = graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",
+        graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2))
+        .select("doc_id").cache()
+      val nBatch = batchKept.count()
+      val symDiff = streamKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(streamKept).count()
+      streamKept.unpersist(); batchKept.unpersist()
+      parts += (s""""neardup_stream_soak":{"survivors_stream":$nStream,""" +
+        s""""survivors_batch":$nBatch,"sym_diff":$symDiff,""" +
+        s""""increments":[${incJson.mkString(",")}]}""")
+    }
+    // Band-sharded near-dup path (VERDICT r7 ask #4): can the split —
+    // stage A candidate-gen+verify PARALLEL across band-code shards,
+    // stage B a tiny ids-only union-find — beat the monolith's
+    // single-task ceiling? The two stages run as two queries bridged by
+    // the collected edge set (Spark doesn't chain two update-mode
+    // transformWithState ops; production bridges via a replayable log).
+    // Measured: per-stage wall time and docs/s on the N× corpus, and
+    // final-survivor parity (set equality) against batch dedupByPairs.
+    // The pipelined deployment rate is bounded by the slower stage:
+    // docs/s_pipelined = nDocs / max(secA, secB).
+    if (wanted("neardup_sharded")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // stage A runs 32 RocksDB stores (one per shuffle partition) that
+      // each commit per micro-batch; changelog checkpointing replaces the
+      // per-commit full snapshot with a delta — the knob that matters
+      // when state per batch grows ×bands (toggle to measure its weight)
+      if (sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true").toBoolean)
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      val src = docsSf1.select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val encA: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      // stage A: docs → verified ids-only edges, band-sharded
+      val msA = MemoryStream[Row]
+      val qA = graft.streaming.NearDupStream.shardedEdges(
+          msA.toDF(), "doc_id", "text", threshold = 0.2)
+        .writeStream.format("memory").queryName("shard_edges")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_shardA").toString)
+        .start()
+      val rows = src.orderBy("doc_id").collect()
+      val nDocs = rows.length
+      val nInc = 10
+      val per = nDocs / nInc
+      val t0 = System.nanoTime()
+      (0 until nInc).foreach { i =>
+        msA.addData(rows.slice(i * per, if (i == nInc - 1) nDocs else (i + 1) * per).toSeq)
+        qA.processAllAvailable()
+      }
+      val secA = (System.nanoTime() - t0) / 1e9
+      val edges = spark.table("shard_edges")
+        .select(col("a"), col("b")).as[(Long, Long)](Encoders.product[(Long, Long)])
+        .collect()
+      qA.stop()
+      // stage B: markers + edges → keep/drop change log (ids only)
+      implicit val encB: org.apache.spark.sql.Encoder[(Long, Long)] =
+        Encoders.product[(Long, Long)]
+      val msB = MemoryStream[(Long, Long)]
+      val qB = graft.streaming.NearDupStream.unionFindStage(
+          msB.toDF().toDF("a", "b"))
+        .writeStream.format("memory").queryName("shard_verdicts")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_shardB").toString)
+        .start()
+      val markers = rows.map(r => (r.getLong(0), r.getLong(0)))
+      val t1 = System.nanoTime()
+      msB.addData(markers.toSeq)
+      msB.addData(edges.toSeq)
+      qB.processAllAvailable()
+      val secB = (System.nanoTime() - t1) / 1e9
+      val streamKept = spark.table("shard_verdicts")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").cache()
+      val nKept = streamKept.count()
+      qB.stop()
+      val batchKept = graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",
+        graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2))
+        .select("doc_id").cache()
+      val nBatch = batchKept.count()
+      val symDiff = streamKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(streamKept).count()
+      streamKept.unpersist(); batchKept.unpersist()
+      val pipelined = nDocs / math.max(secA, secB)
+      parts += (f""""neardup_sharded":{"docs":$nDocs,"edges":${edges.length},""" +
+        f""""stage_a_sec":$secA%.2f,"stage_a_docs_per_sec":${nDocs / secA}%.0f,""" +
+        f""""stage_b_sec":$secB%.2f,"stage_b_rows_per_sec":${(markers.length + edges.length) / secB}%.0f,""" +
+        f""""pipelined_docs_per_sec":$pipelined%.0f,""" +
+        f""""survivors_stream":$nKept,"survivors_batch":$nBatch,"sym_diff":$symDiff}""")
+    }
+    // Adversarial lengthBatch regime (VERDICT r7 ask #6): with key
+    // cardinality ≈ event count the boundary-interval summary does NOT
+    // compress — every interval holds ~n distinct keys — so the serial
+    // phase B walks ~events/n intervals × n keys, the documented worst
+    // case that had never been measured. Same operator, same n=40, keys
+    // rewritten to be (nearly) all-distinct; compare wall time to the
+    // 150-key regime (the `lengthbatch_current` row above).
+    if (wanted("lengthbatch_distinct_keys")) parts += timed("lengthbatch_distinct_keys") {
+      val distinctKeyed = evSf1.withColumn("user_id",
+        concat(lit("u"), col("event_id")))
+      graft.operators.UniqueOps.lengthBatch(distinctKeyed, Seq("user_id"),
+        "event_id", 40).current.count()
     }
     // Skew probe for the pair-verify joins (VERDICT r6 ask #7): the
     // verify joins key on id_a/id_b, so a doc with many candidate pairs

@@ -236,6 +236,39 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 > r0, s"multi-probe recall $r1 not above single-probe $r0")
   }
 
+  test("ivfTopK recall@20 floor — the quality gate a refactor must not break") {
+    // Deterministic planted-clique corpus (the ScaleBench §round-6
+    // construction at spec scale): 5 copies of the 500 sf0.001 vectors,
+    // one coordinate scaled per copy, so each original vector becomes a
+    // near-identical 5-clique (the high-similarity regime) while the
+    // truth tail holds genuine low-similarity neighbors. Everything is
+    // seed-free and the Lloyd pass is fixed-point-deterministic, so the
+    // measured recall is STABLE — this is a gate, not a flaky sample:
+    // measured 0.735 at 64 cells / 8 probes (~1/8 of the corpus scanned
+    // per query; the ScaleBench 10× config, which measured 0.757 there).
+    // Floor 0.70: any dip below is a real quality change in cell
+    // assignment/Lloyd/probing, not sampling noise.
+    val copies = 5
+    val maxVec = embs.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1
+    val corpus = (0 until copies).map { i =>
+      embs.select(
+        (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"), (x, p) =>
+           when(p === lit((i - 1) % 64), (x * lit(1.0 + 0.05 * i)).cast("float"))
+             .otherwise(x))).as("embedding"))
+    }.reduce(_ unionByName _).cache()
+    val queries = corpus.filter(col("vec_id") % 97 === 0).cache()
+    val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 20)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 20,
+      nCells = 64, nProbe = 8, lloydIters = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect ivf).size.toDouble / truth.size
+    assert(recall >= 0.70, s"IVF recall@20 $recall below the 0.70 quality floor")
+    info(s"measured IVF recall@20 = $recall")
+  }
+
   test("embeddingNearDupPairs: exact verify (subset of truth), banded recall, clone detection") {
     // ground truth: all pairs with cosine >= 0.4 (brute force on 500 vecs)
     val a = embs.select(col("vec_id").as("id_a"), col("embedding").as("va"))

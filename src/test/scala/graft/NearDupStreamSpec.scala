@@ -134,6 +134,48 @@ class NearDupStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(perDoc.values.forall(_ <= 2))
   }
 
+  private def withRocks[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("sharded two-stage path: stage-A edges equal batch pairs, stage-B survivors equal batch") {
+    val docs = Seq(
+      Doc(1, words(0, 10)), Doc(2, words(5, 15)), Doc(3, words(10, 20)),
+      Doc(4, words(0, 8) + " " + words(10, 18)),
+      Doc(5, "completely unrelated content here nothing shared with others at all"),
+      Doc(6, "completely unrelated content here nothing shared with anyone at all"),
+      Doc(7, ""), Doc(8, "zz yy"))
+    val bp = batchPairs(docs).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // stage A: band-sharded verified-edge generation (append change log)
+    val edges = withRocks {
+      Replay.replay(spark, docs.toDF(), "doc_id", 1, "append")(sdf =>
+        NearDupStream.shardedEdges(sdf, "doc_id", "text",
+          bands = BANDS, rowsPerBand = RPB, threshold = THR, md5Family = true))
+        .cache()
+    }
+    val es = edges.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(es === bp, s"sharded edge set $es != batch pair set $bp")
+    // stage B: doc markers (each before any edge touching the doc) + edges
+    val feed = docs.map(d => (d.doc_id, d.doc_id, d.doc_id * 2)) ++
+      es.toSeq.map { case (a, b) => (a, b, math.max(a, b) * 2 + 1) }
+    val log = withRocks {
+      Replay.replay(spark, feed.toDF("a", "b", "ord"), "ord", 1, "update")(sdf =>
+        NearDupStream.unionFindStage(sdf)).cache()
+    }
+    val batchKept = llm.TextDedup.dedupByPairs(docs.toDF(), "doc_id", batchPairs(docs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors(log) === batchKept)
+    // and the sharded survivors equal the monolith's on the same corpus
+    assert(survivors(log) === survivors(runStream(docs)))
+  }
+
   test("bucket saturation is observable: filling arrival emits a telemetry row") {
     // a boilerplate family larger than maxBucket: identical texts share
     // every band bucket, so each of the 16 band buckets fills at the
