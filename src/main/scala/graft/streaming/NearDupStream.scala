@@ -167,6 +167,14 @@ object NearDupStream {
           out += Row(id, change, canonical, seq, bucket)
           seq += 1
         }
+        // micro-batch-local memo of decoded shingle sets: clique members
+        // arriving in the same batch re-verify against the same stored
+        // docs, and each arrival's own set serves later arrivals — one
+        // RocksDB read + decode per distinct doc per batch. Memory is
+        // bounded by the batch the framework already materializes below
+        // (rows.toSeq), so the memo adds a same-order overlay, not a new
+        // scaling term.
+        val decoded = scala.collection.mutable.HashMap.empty[Long, Set[String]]
         rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
           val id = r.getLong(0)
           val mySh = r.getSeq[String](1)
@@ -195,30 +203,58 @@ object NearDupStream {
                   emit(id, "saturated", maxBucket.toLong, code)
               }
             }
-            // 2. exact-Jaccard verify against the stored shingle sets
+            // 2. exact-Jaccard verify, grouped by live component root.
+            // The union-find only needs ONE verified edge per existing
+            // component, so each root group is scanned only until its
+            // first match: an arrival into a near-dup clique of size k
+            // pays one shingle read instead of k. (The measured source of
+            // the soak decay — BASELINE.md round-8: candidate lists grow
+            // with cluster size in the clique regime.) A group with no
+            // matching member is still scanned fully, so the connected
+            // relation equals the ungrouped loop's: d joins component C
+            // iff some candidate in C passes the Jaccard threshold.
             val mySet = mySh.toSet
-            var dRoot = id
+            val roots = scala.collection.mutable.HashMap.empty[Long, Long]
+            val groups = scala.collection.mutable.LinkedHashMap
+              .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
             cand.foreach { c =>
-              val cSet = docSh.getValue(c).toSet
-              val inter = mySet.count(cSet)
-              val jac = if (inter == 0) 0.0
-                        else inter.toDouble / (mySet.size + cSet.size - inter)
-              if (jac >= threshold) {
-                // 3. union with the verified match (min-label merge)
-                val rc = find(c)
-                if (rc != dRoot) {
-                  val lo = math.min(rc, dRoot)
-                  val hi = math.max(rc, dRoot)
-                  parent.updateValue(hi, lo)
-                  // a pre-existing root demoted by this merge was last
-                  // emitted "keep" — retract it (hi == id means the
-                  // arriving doc itself, whose verdict is emitted below)
-                  if (hi != id) emit(hi, "drop", lo)
-                  dRoot = lo
+              val rc = roots.getOrElseUpdate(c, find(c))
+              groups.getOrElseUpdate(rc,
+                scala.collection.mutable.ArrayBuffer.empty[Long]) += c
+            }
+            // find(id), not id: an at-least-once redelivery of an indexed
+            // doc must keep its existing component, not fork a new one
+            var dRoot = find(id)
+            groups.foreach { case (r0, members) =>
+              // r0 stays this group's live root for the whole arrival:
+              // groups have pairwise-distinct roots, and merges only fold
+              // groups into d's component, never into each other's
+              if (r0 != dRoot) {
+                var matched = false
+                val it = members.iterator
+                while (!matched && it.hasNext) {
+                  val c = it.next()
+                  val cSet = decoded.getOrElseUpdate(c, docSh.getValue(c).toSet)
+                  val inter = mySet.count(cSet)
+                  val jac = if (inter == 0) 0.0
+                            else inter.toDouble / (mySet.size + cSet.size - inter)
+                  if (jac >= threshold) {
+                    // 3. union with the verified component (min-label merge)
+                    matched = true
+                    val lo = math.min(r0, dRoot)
+                    val hi = math.max(r0, dRoot)
+                    parent.updateValue(hi, lo)
+                    // a pre-existing root demoted by this merge was last
+                    // emitted "keep" — retract it (hi == id means the
+                    // arriving doc itself, whose verdict is emitted below)
+                    if (hi != id) emit(hi, "drop", lo)
+                    dRoot = lo
+                  }
                 }
               }
             }
             docSh.updateValue(id, mySh.toArray)
+            decoded.update(id, mySet)
             if (dRoot == id) emit(id, "keep", id) else emit(id, "drop", dRoot)
           }
         }
