@@ -416,6 +416,33 @@ object SparkEntry {
     // The md5 hash family end-to-end keeps the oracle computable; the cap
     // never bites at verification scale (max bucket 10 at sf0.1), so the
     // streamed pair relation IS the batch pair relation.
+    // STREAMING INCREMENTAL EMBEDDING NEAR-DUP DEDUP — the vector twin of
+    // doc_neardup_stream_replay: replay the embeddings table in vec_id
+    // order through NearDupStream.embNearDupStream (banded hyperplane LSH
+    // index + exact-cosine verify + min-rooted union-find, same change
+    // log); final survivors (latest change == "keep") must hash-match the
+    // recursive-CTE closure over the SAME pair relation the
+    // emb_neardup_pairs oracle checks (groups=8, planesPerGroup=4,
+    // threshold=0.4 — the low-similarity configuration this corpus
+    // needs, see emb_neardup_pairs).
+    "emb_neardup_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val log = streaming.Replay.replay(s, emb, "vec_id", 1000, "update")(sdf =>
+          streaming.NearDupStream.embNearDupStream(sdf, "vec_id", "embedding",
+            threshold = 0.4, groups = 8, planesPerGroup = 4))
+        log.groupBy(col("vec_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+          .select("vec_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "doc_neardup_stream_replay" -> ((s, d) => {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
@@ -654,6 +681,7 @@ object SparkEntry {
       "emb_ann_lsh" -> embAnnOracle,
       "emb_ann_ivf" -> embIvfOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
+      "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "mm_features" -> mmFeaturesOracle,
       // streaming replays verify against the batch twins' semantics:
       // everStream's accumulated CHANGE LOG holds every event once as
@@ -1122,7 +1150,7 @@ object SparkEntry {
     * distinct pairs; one exact cosine verify. Output ids only (the cosine
     * double is representation-sensitive, like knn's sim).
     */
-  private def embNearDupOracle: String = {
+  private def embNearDupPairCtes: String = {
     val groups = 8; val ppg = 4
     val ps = llm.Similarity.planes(groups * ppg, 64)
     def codeExpr(g: Int): String = (0 until ppg).map { i =>
@@ -1132,7 +1160,7 @@ object SparkEntry {
          |  THEN ${1L << i}::BIGINT ELSE 0::BIGINT END""".stripMargin
     }.mkString("\n + ")
     val codeCase = (0 until groups).map(g => s"WHEN $g THEN ${codeExpr(g)}").mkString("\n  ")
-    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+    s"""e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
        |b AS (SELECT id, band, CASE band $codeCase END AS code
        |  FROM e CROSS JOIN (SELECT unnest([${(0 until groups).mkString(", ")}]) AS band) g),
        |ok AS (SELECT band, code FROM b GROUP BY band, code
@@ -1141,9 +1169,32 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
        |  FROM ib a JOIN ib b2 ON a.band = b2.band AND a.code = b2.code AND a.id < b2.id),
        |s AS (SELECT id_a, id_b, ${duckCosine("pa.v", "pb.v")} AS cos
-       |  FROM cand JOIN e pa ON pa.id = cand.id_a JOIN e pb ON pb.id = cand.id_b)
-       |SELECT id_a, id_b FROM s WHERE cos >= 0.4""".stripMargin
+       |  FROM cand JOIN e pa ON pa.id = cand.id_a JOIN e pb ON pb.id = cand.id_b),
+       |ep AS (SELECT id_a, id_b FROM s WHERE cos >= 0.4)""".stripMargin
   }
+
+  private def embNearDupOracle: String =
+    s"""WITH $embNearDupPairCtes
+       |SELECT id_a, id_b FROM ep""".stripMargin
+
+  /** Survivors of the STREAMING embedding near-dup operator: the same
+    * recursive-CTE closure as docNeardupDedupOracle, over the
+    * emb_neardup_pairs relation — survivors = min id per connected
+    * component + isolated vectors.
+    */
+  private def embNearDupStreamOracle: String =
+    s"""WITH RECURSIVE $embNearDupPairCtes,
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM ep
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM ep),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin
 
   /** DuckDB mirror of Similarity.ivfTopK (nCells=16, nProbe=4, k=10,
     * lloydIters=1): anchor centroids = the 16 lowest-vec_id rows; corpus

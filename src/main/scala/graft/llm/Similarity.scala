@@ -60,7 +60,7 @@ object Similarity {
     * signs are bit-identical to any engine computing double(x)*double(y)
     * in the same order (the DuckDB oracles embed the same constants).
     */
-  private def bandCodes(v: Column, ps: Array[Array[Double]], planesPerGroup: Int): Column =
+  private[graft] def bandCodes(v: Column, ps: Array[Array[Double]], planesPerGroup: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(graft.functions.VecBandCodes(
       org.apache.spark.sql.GraftColumnBridge.expression(v),
       ps.map(_.toSeq).toSeq, planesPerGroup))
@@ -74,7 +74,7 @@ object Similarity {
     * collapse to bucket 0 — a wrong-width corpus would otherwise return
     * zero pairs / one giant bucket instead of erroring.
     */
-  private def requireDim(v: Column, dim: Int): Column =
+  private[graft] def requireDim(v: Column, dim: Int): Column =
     when(size(v) === dim, v).otherwise(raise_error(concat(
       lit(s"embedding dimension mismatch: expected $dim, got "), size(v).cast("string"))))
 

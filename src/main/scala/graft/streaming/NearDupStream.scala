@@ -106,6 +106,66 @@ object NearDupStream {
     build(sdf, idCol, textCol, shingleN, bands, rowsPerBand, threshold, maxBucket,
       md5Family = false)
 
+  /** Streaming incremental near-dup over EMBEDDINGS — the vector-space
+    * twin of `nearDupStream`, completing the family the batch tier pairs
+    * (`TextDedup.minhashPairs` / `Similarity.embeddingNearDupPairs`).
+    * Same architecture end-to-end: distributed banded hyperplane LSH
+    * codes upstream (`Similarity.bandCodes`, the fused VecBandCodes
+    * loop), then the single-keyed stateful index — band buckets, stored
+    * vectors, min-rooted union-find — with the exact-cosine verify
+    * replacing the exact-Jaccard verify. The verify math mirrors
+    * `VecCosine` term-for-term (double products accumulated left to
+    * right, zero-norm → 0.0), so a streamed verdict equals the batch
+    * pipeline's on the same pair, and the candidate relation (shared
+    * band bucket) equals the batch self-join's below `maxBucket`: final
+    * survivors hash-match the recursive-CTE closure over the SAME DuckDB
+    * pair oracle as `emb_neardup_pairs` (`emb_neardup_stream_replay`).
+    * Null embeddings become vector-less "keep"s (never candidates —
+    * batch parity: a null vector joins no pairs); wrong-width vectors
+    * raise loudly upstream (`requireDim`), matching the batch path.
+    */
+  def embNearDupStream(sdf: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.8, groups: Int = 8,
+                       planesPerGroup: Int = 8, dim: Int = 64,
+                       seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val allPlanes = graft.llm.Similarity.planes(groups * planesPerGroup, dim, seed)
+    val v0 = coalesce(col(vecCol).cast("array<float>"),
+      array().cast("array<float>"))
+    val checked = when(size(v0) === 0, v0)
+      .otherwise(graft.llm.Similarity.requireDim(v0, dim))
+    // band codes carry their band index ("g:code") — the same code in two
+    // different bands is NOT a collision, exactly the batch join's
+    // (band, code) composite key
+    val codes = zip_with(
+      graft.llm.Similarity.bandCodes(checked.cast("array<double>"), allPlanes, planesPerGroup),
+      sequence(lit(0), lit(groups - 1)),
+      (c, g) => concat(g.cast("string"), lit(":"), c.cast("string")))
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+      checked.as("v"), codes.as("codes"))
+      .where(col("id").isNotNull)
+    val thr = threshold
+    buildCore[Array[Float], Array[Float]](prepared, idCol, maxBucket,
+      extract = r => r.getSeq[Float](1).toArray,
+      isEmpty = _.isEmpty,
+      decode = identity,
+      simOk = (a, b) => {
+        val m = a.length
+        if (m != b.length) false
+        else {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < m) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          val cos = if (na == 0.0 || nb == 0.0) 0.0
+                    else dot / (math.sqrt(na) * math.sqrt(nb))
+          cos >= thr
+        }
+      })
+  }
+
   private def build(sdf: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, bands: Int, rowsPerBand: Int,
                     threshold: Double, maxBucket: Int,
@@ -120,6 +180,32 @@ object NearDupStream {
     val prepared = sdf.select(col(idCol).cast("long").as("id"),
       sh.as("sh"), codes.as("codes"))
       .where(col("id").isNotNull)
+    val thr = threshold
+    buildCore[Array[String], Set[String]](prepared, idCol, maxBucket,
+      extract = r => r.getSeq[String](1).toArray,
+      isEmpty = _.isEmpty,
+      decode = _.toSet,
+      simOk = (mySet, cSet) => {
+        val inter = mySet.count(cSet)
+        val jac = if (inter == 0) 0.0
+                  else inter.toDouble / (mySet.size + cSet.size - inter)
+        jac >= thr
+      })
+  }
+
+  /** The shared stateful index: band-bucket candidate generation, stored
+    * per-doc payloads for the exact verify, and the min-rooted union-find
+    * change log. Generic over the payload: `P` is what each doc stores in
+    * state (shingle hashes / float vector, kryo-serialized), `D` its
+    * decoded in-memory form for `simOk` — the one place the text and
+    * vector operators differ. `prepared` must be (id: long, payload: P,
+    * codes: array<string>); an empty payload (zero elements) means "never
+    * a candidate": the doc keeps immediately and is not indexed.
+    */
+  private def buildCore[P: scala.reflect.ClassTag, D](
+      prepared: DataFrame, idCol: String, maxBucket: Int,
+      extract: Row => P, isEmpty: P => Boolean, decode: P => D,
+      simOk: (D, D) => Boolean): DataFrame = {
     val prepSchema = prepared.schema
     val rowEnc = Encoders.row(prepSchema)
     val outSchema = new org.apache.spark.sql.types.StructType()
@@ -130,18 +216,30 @@ object NearDupStream {
 
     val processor = new StatefulProcessor[Int, Row, Row] {
       @transient private var bandIdx: org.apache.spark.sql.streaming.MapState[String, Array[Long]] = _
-      @transient private var docSh: org.apache.spark.sql.streaming.MapState[Long, Array[String]] = _
+      @transient private var docSh: org.apache.spark.sql.streaming.MapState[Long, P] = _
       @transient private var parent: org.apache.spark.sql.streaming.MapState[Long, Long] = _
       @transient private var seqCtr: org.apache.spark.sql.streaming.ValueState[Long] = _
+      // single-component bucket summary: code present ⇒ every member of
+      // that bucket is in ONE component, value = a member of it (a root
+      // hint; find() repairs staleness after external merges). The
+      // invariant is MONOTONE-STABLE — union-find never splits — so a
+      // bucket marked single stays single until an arrival joins it
+      // unconnected (then the key is removed: "mixed"). Buckets in the
+      // boilerplate/clique regime stay single forever, making arrivals
+      // O(bands) — one find + at most one verify per bucket — instead of
+      // O(members); mixed buckets keep the exact grouped scan.
+      @transient private var bucketRoot: org.apache.spark.sql.streaming.MapState[String, Long] = _
 
       override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
         bandIdx = getHandle.getMapState[String, Array[Long]]("bandIdx",
           Encoders.STRING, Encoders.kryo[Array[Long]], TTLConfig.NONE)
-        docSh = getHandle.getMapState[Long, Array[String]]("docSh",
-          Encoders.scalaLong, Encoders.kryo[Array[String]], TTLConfig.NONE)
+        docSh = getHandle.getMapState[Long, P]("docSh",
+          Encoders.scalaLong, Encoders.kryo[P], TTLConfig.NONE)
         parent = getHandle.getMapState[Long, Long]("parent",
           Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
         seqCtr = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+        bucketRoot = getHandle.getMapState[String, Long]("bucketRoot",
+          Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
       }
 
       // min-rooted union-find over the parent MapState; absent key = root.
@@ -167,32 +265,66 @@ object NearDupStream {
           out += Row(id, change, canonical, seq, bucket)
           seq += 1
         }
-        // micro-batch-local memo of decoded shingle sets: clique members
+        // micro-batch-local memo of decoded payloads: clique members
         // arriving in the same batch re-verify against the same stored
-        // docs, and each arrival's own set serves later arrivals — one
-        // RocksDB read + decode per distinct doc per batch. Memory is
+        // docs, and each arrival's own payload serves later arrivals —
+        // one RocksDB read + decode per distinct doc per batch. Memory is
         // bounded by the batch the framework already materializes below
         // (rows.toSeq), so the memo adds a same-order overlay, not a new
         // scaling term.
-        val decoded = scala.collection.mutable.HashMap.empty[Long, Set[String]]
+        val decoded = scala.collection.mutable.HashMap.empty[Long, D]
         rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
           val id = r.getLong(0)
-          val mySh = r.getSeq[String](1)
+          val myP = extract(r)
           val myCodes = r.getSeq[String](2)
-          if (mySh.isEmpty) {
-            emit(id, "keep", id) // no shingles → never a candidate (batch parity)
+          if (isEmpty(myP)) {
+            emit(id, "keep", id) // no payload → never a candidate (batch parity)
           } else {
-            // 1. bucket lookups: collect candidates, index this doc
-            val cand = scala.collection.mutable.LinkedHashSet.empty[Long]
+            val myD = decode(myP)
+            // find(id), not id: an at-least-once redelivery of an indexed
+            // doc must keep its existing component, not fork a new one
+            var dRoot = find(id)
+            // min-label merge of d's component with a verified component
+            // root r0; a pre-existing root demoted by the merge was last
+            // emitted "keep" — retract it (hi == id means the arriving
+            // doc itself, whose verdict is emitted below)
+            def connect(r0: Long): Unit = {
+              val lo = math.min(r0, dRoot)
+              val hi = math.max(r0, dRoot)
+              parent.updateValue(hi, lo)
+              if (hi != id) emit(hi, "drop", lo)
+              dRoot = lo
+            }
+            // exact-similarity verify against stored members IN ORDER
+            // until the first match connects d to component r0 — the
+            // connected relation is unchanged by stopping early (d joins
+            // r0's component iff SOME shared-bucket member passes), only
+            // the witness differs
+            def scanUntilMatch(members: Array[Long], r0: Long): Boolean = {
+              var matched = false
+              var i = 0
+              while (!matched && i < members.length) {
+                val cD = decoded.getOrElseUpdate(members(i),
+                  decode(docSh.getValue(members(i))))
+                if (simOk(myD, cD)) { matched = true; connect(r0) }
+                i += 1
+              }
+              matched
+            }
+            // 1. bucket pass: one point-read per band (getValue null =
+            // bucket absent — array-valued state, so the null is
+            // unambiguous, unlike the boxed-Long parent map which keeps
+            // containsKey to avoid null-unboxing); index d (cap +
+            // saturation telemetry), resolve SINGLE-COMPONENT buckets on
+            // the spot — one find + at most one member scan — and defer
+            // mixed buckets' members to the grouped fallback below.
+            val mixedCand = scala.collection.mutable.LinkedHashSet.empty[Long]
+            val newlySingle = scala.collection.mutable.ArrayBuffer.empty[String]
             myCodes.distinct.foreach { code =>
-              // one point-read per band: getValue returns null when the
-              // bucket doesn't exist yet (array-valued state, so the null
-              // is unambiguous — unlike the boxed-Long parent map, which
-              // keeps containsKey to avoid null-unboxing)
               val cur0 = bandIdx.getValue(code)
               val cur = if (cur0 == null) Array.empty[Long] else cur0
-              cur.foreach(cand += _)
-              if (cur.length < maxBucket) {
+              val indexed = cur.length < maxBucket
+              if (indexed) {
                 bandIdx.updateValue(code, cur :+ id)
                 // "no silent caps" (PairsWithStats parity): the arrival
                 // that FILLS a bucket emits one telemetry row — from here
@@ -202,59 +334,45 @@ object NearDupStream {
                 if (cur.length + 1 == maxBucket)
                   emit(id, "saturated", maxBucket.toLong, code)
               }
+              if (cur.isEmpty) {
+                if (indexed) newlySingle += code // a one-doc bucket is single
+              } else if (bucketRoot.containsKey(code)) {
+                val r = find(bucketRoot.getValue(code))
+                if (r == dRoot) ()             // already connected; still single
+                else if (scanUntilMatch(cur, r)) () // merged in; still single
+                // d joined the bucket without connecting → mixed from now
+                // on (conservative: a later merge through another band
+                // could re-unify it, but mixed stays exact, just slower).
+                // A saturated arrival (not indexed) leaves members — and
+                // the invariant — untouched.
+                else if (indexed) bucketRoot.removeKey(code)
+              } else cur.foreach(mixedCand += _)
             }
-            // 2. exact-Jaccard verify, grouped by live component root.
-            // The union-find only needs ONE verified edge per existing
-            // component, so each root group is scanned only until its
-            // first match: an arrival into a near-dup clique of size k
-            // pays one shingle read instead of k. (The measured source of
-            // the soak decay — BASELINE.md round-8: candidate lists grow
-            // with cluster size in the clique regime.) A group with no
-            // matching member is still scanned fully, so the connected
-            // relation equals the ungrouped loop's: d joins component C
-            // iff some candidate in C passes the Jaccard threshold.
-            val mySet = mySh.toSet
-            val roots = scala.collection.mutable.HashMap.empty[Long, Long]
-            val groups = scala.collection.mutable.LinkedHashMap
-              .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-            cand.foreach { c =>
-              val rc = roots.getOrElseUpdate(c, find(c))
-              groups.getOrElseUpdate(rc,
-                scala.collection.mutable.ArrayBuffer.empty[Long]) += c
-            }
-            // find(id), not id: an at-least-once redelivery of an indexed
-            // doc must keep its existing component, not fork a new one
-            var dRoot = find(id)
-            groups.foreach { case (r0, members) =>
-              // r0 stays this group's live root for the whole arrival:
-              // groups have pairwise-distinct roots, and merges only fold
-              // groups into d's component, never into each other's
-              if (r0 != dRoot) {
-                var matched = false
-                val it = members.iterator
-                while (!matched && it.hasNext) {
-                  val c = it.next()
-                  val cSet = decoded.getOrElseUpdate(c, docSh.getValue(c).toSet)
-                  val inter = mySet.count(cSet)
-                  val jac = if (inter == 0) 0.0
-                            else inter.toDouble / (mySet.size + cSet.size - inter)
-                  if (jac >= threshold) {
-                    // 3. union with the verified component (min-label merge)
-                    matched = true
-                    val lo = math.min(r0, dRoot)
-                    val hi = math.max(r0, dRoot)
-                    parent.updateValue(hi, lo)
-                    // a pre-existing root demoted by this merge was last
-                    // emitted "keep" — retract it (hi == id means the
-                    // arriving doc itself, whose verdict is emitted below)
-                    if (hi != id) emit(hi, "drop", lo)
-                    dRoot = lo
-                  }
-                }
+            // 2. mixed-bucket fallback: exact verify grouped by live
+            // component root. The union-find only needs ONE verified edge
+            // per existing component, so each root group is scanned only
+            // until its first match; a group with no matching member is
+            // scanned fully, so the connected relation equals the naive
+            // all-candidates loop's.
+            if (mixedCand.nonEmpty) {
+              val roots = scala.collection.mutable.HashMap.empty[Long, Long]
+              val groups = scala.collection.mutable.LinkedHashMap
+                .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+              mixedCand.foreach { c =>
+                val rc = roots.getOrElseUpdate(c, find(c))
+                groups.getOrElseUpdate(rc,
+                  scala.collection.mutable.ArrayBuffer.empty[Long]) += c
+              }
+              groups.foreach { case (r0, members) =>
+                // r0 stays this group's live root for the whole arrival:
+                // groups have pairwise-distinct roots, and merges only
+                // fold groups into d's component, never into each other's
+                if (r0 != dRoot) scanUntilMatch(members.toArray, r0)
               }
             }
-            docSh.updateValue(id, mySh.toArray)
-            decoded.update(id, mySet)
+            docSh.updateValue(id, myP)
+            decoded.update(id, myD)
+            newlySingle.foreach(code => bucketRoot.updateValue(code, id))
             if (dRoot == id) emit(id, "keep", id) else emit(id, "drop", dRoot)
           }
         }

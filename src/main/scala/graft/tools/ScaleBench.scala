@@ -111,7 +111,8 @@ object ScaleBench {
     val knownQueries = Set("lengthbatch_current", "ever_current", "deduplicate",
       "doc_minhash_pairs", "doc_neardup_dedup", "emb_neardup_pairs",
       "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
-      "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded")
+      "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
+      "emb_neardup_stream_soak")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -397,6 +398,69 @@ object ScaleBench {
         f""""stage_b_sec":$secB%.2f,"stage_b_rows_per_sec":${(markers.length + edges.length) / secB}%.0f,""" +
         f""""pipelined_docs_per_sec":$pipelined%.0f,""" +
         f""""survivors_stream":$nKept,"survivors_batch":$nBatch,"sym_diff":$symDiff}""")
+    }
+    // Streaming EMBEDDING near-dup at N× — the vector twin of
+    // neardup_stream_soak, in the production high-similarity regime the
+    // copy construction plants (each original vector becomes a
+    // `copies`-clique at cosine ~0.999 under the 0.9 threshold): feed
+    // the N× embeddings through NearDupStream.embNearDupStream in
+    // vec_id-ordered increments, record vecs/s + state growth, then
+    // assert final-survivor set equality against batch
+    // dedupByPairs(embeddingNearDupPairs) on the same corpus.
+    if (wanted("emb_neardup_stream_soak")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = embSf1.select(col("vec_id"), col("embedding"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val stream = MemoryStream[Row]
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_embsoak")
+      val q = graft.streaming.NearDupStream.embNearDupStream(
+          stream.toDF(), "vec_id", "embedding", threshold = 0.9)
+        .writeStream.format("memory").queryName("soak_emb_neardup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      val ids = embSf1.agg(min(col("vec_id")).cast("long"),
+        max(col("vec_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 10
+      val span = (hi - lo + nInc) / nInc
+      val incJson = (0 until nInc).map { i =>
+        val chunk = src.filter(col("vec_id") >= lo + i * span &&
+          col("vec_id") < lo + (i + 1) * span).orderBy("vec_id").collect()
+        val t0 = System.nanoTime()
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(-1L)
+        f"""{"inc":$i,"vecs":${chunk.length},"sec":$sec%.2f,""" +
+          f""""vecs_per_sec":${chunk.length / sec}%.0f,"state_rows":$stateRows}"""
+      }
+      val streamKept = spark.table("soak_emb_neardup")
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("vec_id").cache()
+      val nStream = streamKept.count()
+      q.stop()
+      val pws = graft.llm.Similarity.embeddingNearDupPairsWithStats(
+        embSf1, "vec_id", "embedding", threshold = 0.9)
+      val batchKept = graft.llm.TextDedup.dedupByPairs(embSf1, "vec_id", pws.pairs)
+        .select("vec_id").cache()
+      val nBatch = batchKept.count()
+      val nDropped = pws.droppedBuckets.count()
+      val symDiff = streamKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(streamKept).count()
+      streamKept.unpersist(); batchKept.unpersist(); pws.unpersist()
+      parts += (s""""emb_neardup_stream_soak":{"survivors_stream":$nStream,""" +
+        s""""survivors_batch":$nBatch,"sym_diff":$symDiff,""" +
+        s""""batch_dropped_buckets":$nDropped,""" +
+        s""""increments":[${incJson.mkString(",")}]}""")
     }
     // Adversarial lengthBatch regime (VERDICT r7 ask #6): with key
     // cardinality ≈ event count the boundary-interval summary does NOT
