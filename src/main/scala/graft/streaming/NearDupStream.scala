@@ -20,7 +20,9 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *  - The stateful stage is `transformWithState` (Spark 4 arbitrary
   *    state, RocksDB-backed — call `UniqueStreams.useRocksDBStateStore`
   *    first) holding the incremental index as three MapStates:
-  *      bandIdx : band-code → doc-id list (the LSH bucket index)
+  *      bandIdx : band-code → [single-component hint | -1, doc-ids...]
+  *                (the LSH bucket index; slot 0 summarizes whether all
+  *                members are one component — see buildCore)
   *      docSh   : doc-id → shingle-hash set (for the exact-Jaccard verify)
   *      parent  : doc-id → parent doc-id (min-rooted union-find forest;
   *                a doc absent from the map is a component root)
@@ -219,18 +221,20 @@ object NearDupStream {
       @transient private var docSh: org.apache.spark.sql.streaming.MapState[Long, P] = _
       @transient private var parent: org.apache.spark.sql.streaming.MapState[Long, Long] = _
       @transient private var seqCtr: org.apache.spark.sql.streaming.ValueState[Long] = _
-      // single-component bucket summary: code present ⇒ every member of
-      // that bucket is in ONE component, value = a member of it (a root
-      // hint; find() repairs staleness after external merges). The
-      // invariant is MONOTONE-STABLE — union-find never splits — so a
-      // bucket marked single stays single until an arrival joins it
-      // unconnected (then the key is removed: "mixed"). Buckets in the
-      // boilerplate/clique regime stay single forever, making arrivals
-      // O(bands) — one find + at most one verify per bucket — instead of
-      // O(members); mixed buckets keep the exact grouped scan.
-      @transient private var bucketRoot: org.apache.spark.sql.streaming.MapState[String, Long] = _
 
       override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        // bandIdx value layout: slot 0 is the bucket's single-component
+        // summary — a member id serving as root hint (find() repairs
+        // staleness after external merges), or -1 for "mixed" — and
+        // slots 1.. are the member ids. Inlining the summary into the
+        // array we read and rewrite anyway costs ZERO extra state
+        // operations. "Single" (every member in one component) is
+        // MONOTONE-STABLE — union-find never splits — so a bucket flips
+        // to mixed only when an arrival joins it unconnected; buckets in
+        // the boilerplate/clique regime stay single forever, making
+        // arrivals O(bands) — one find + at most one verify per bucket —
+        // instead of O(members). Mixed buckets keep the exact grouped
+        // scan.
         bandIdx = getHandle.getMapState[String, Array[Long]]("bandIdx",
           Encoders.STRING, Encoders.kryo[Array[Long]], TTLConfig.NONE)
         docSh = getHandle.getMapState[Long, P]("docSh",
@@ -238,8 +242,6 @@ object NearDupStream {
         parent = getHandle.getMapState[Long, Long]("parent",
           Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
         seqCtr = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
-        bucketRoot = getHandle.getMapState[String, Long]("bucketRoot",
-          Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
       }
 
       // min-rooted union-find over the parent MapState; absent key = root.
@@ -299,10 +301,12 @@ object NearDupStream {
             // until the first match connects d to component r0 — the
             // connected relation is unchanged by stopping early (d joins
             // r0's component iff SOME shared-bucket member passes), only
-            // the witness differs
-            def scanUntilMatch(members: Array[Long], r0: Long): Boolean = {
+            // the witness differs. `from` skips the summary slot when
+            // scanning a raw bucket array.
+            def scanUntilMatch(members: scala.collection.IndexedSeq[Long],
+                               from: Int, r0: Long): Boolean = {
               var matched = false
-              var i = 0
+              var i = from
               while (!matched && i < members.length) {
                 val cD = decoded.getOrElseUpdate(members(i),
                   decode(docSh.getValue(members(i))))
@@ -319,34 +323,47 @@ object NearDupStream {
             // the spot — one find + at most one member scan — and defer
             // mixed buckets' members to the grouped fallback below.
             val mixedCand = scala.collection.mutable.LinkedHashSet.empty[Long]
-            val newlySingle = scala.collection.mutable.ArrayBuffer.empty[String]
             myCodes.distinct.foreach { code =>
-              val cur0 = bandIdx.getValue(code)
-              val cur = if (cur0 == null) Array.empty[Long] else cur0
-              val indexed = cur.length < maxBucket
-              if (indexed) {
-                bandIdx.updateValue(code, cur :+ id)
-                // "no silent caps" (PairsWithStats parity): the arrival
-                // that FILLS a bucket emits one telemetry row — from here
-                // on this bucket stops indexing, so batch parity and
-                // arrival-order insensitivity no longer hold for its
-                // band. id = the filling doc, canonical = the cap.
-                if (cur.length + 1 == maxBucket)
-                  emit(id, "saturated", maxBucket.toLong, code)
+              val cur = bandIdx.getValue(code)
+              if (cur == null) {
+                if (maxBucket > 0) {
+                  bandIdx.updateValue(code, Array(id, id)) // single, members {id}
+                  if (maxBucket == 1) emit(id, "saturated", 1L, code)
+                }
+              } else {
+                val hint = cur(0)
+                val nMembers = cur.length - 1
+                val indexed = nMembers < maxBucket
+                var stillSingle = hint >= 0
+                if (hint >= 0) {
+                  val r = find(hint)
+                  if (r == dRoot) ()                      // already connected
+                  else if (scanUntilMatch(cur, 1, r)) ()  // merged in
+                  // d joins the bucket without connecting → mixed from
+                  // here on (conservative: a later merge through another
+                  // band could re-unify it, but mixed stays exact, just
+                  // slower). A saturated arrival (not indexed) leaves
+                  // members — and the invariant — untouched.
+                  else stillSingle = false
+                } else {
+                  var i = 1
+                  while (i < cur.length) { mixedCand += cur(i); i += 1 }
+                }
+                if (indexed) {
+                  val next = new Array[Long](cur.length + 1)
+                  System.arraycopy(cur, 0, next, 0, cur.length)
+                  next(0) = if (stillSingle) hint else -1L
+                  next(cur.length) = id
+                  bandIdx.updateValue(code, next)
+                  // "no silent caps" (PairsWithStats parity): the arrival
+                  // that FILLS a bucket emits one telemetry row — from
+                  // here on this bucket stops indexing, so batch parity
+                  // and arrival-order insensitivity no longer hold for
+                  // its band. id = the filling doc, canonical = the cap.
+                  if (nMembers + 1 == maxBucket)
+                    emit(id, "saturated", maxBucket.toLong, code)
+                }
               }
-              if (cur.isEmpty) {
-                if (indexed) newlySingle += code // a one-doc bucket is single
-              } else if (bucketRoot.containsKey(code)) {
-                val r = find(bucketRoot.getValue(code))
-                if (r == dRoot) ()             // already connected; still single
-                else if (scanUntilMatch(cur, r)) () // merged in; still single
-                // d joined the bucket without connecting → mixed from now
-                // on (conservative: a later merge through another band
-                // could re-unify it, but mixed stays exact, just slower).
-                // A saturated arrival (not indexed) leaves members — and
-                // the invariant — untouched.
-                else if (indexed) bucketRoot.removeKey(code)
-              } else cur.foreach(mixedCand += _)
             }
             // 2. mixed-bucket fallback: exact verify grouped by live
             // component root. The union-find only needs ONE verified edge
@@ -367,12 +384,11 @@ object NearDupStream {
                 // r0 stays this group's live root for the whole arrival:
                 // groups have pairwise-distinct roots, and merges only
                 // fold groups into d's component, never into each other's
-                if (r0 != dRoot) scanUntilMatch(members.toArray, r0)
+                if (r0 != dRoot) scanUntilMatch(members, 0, r0)
               }
             }
             docSh.updateValue(id, myP)
             decoded.update(id, myD)
-            newlySingle.foreach(code => bucketRoot.updateValue(code, id))
             if (dRoot == id) emit(id, "keep", id) else emit(id, "drop", dRoot)
           }
         }

@@ -407,7 +407,14 @@ object ScaleBench {
     // vec_id-ordered increments, record vecs/s + state growth, then
     // assert final-survivor set equality against batch
     // dedupByPairs(embeddingNearDupPairs) on the same corpus.
-    if (wanted("emb_neardup_stream_soak")) {
+    // Run at planesPerGroup=8 (the query default: ~n/256 collisions per
+    // bucket — every arrival pays one verify per colliding component, so
+    // the rate decays ~1/n) AND planesPerGroup=12 (the sizing lever the
+    // scaladoc prescribes: ~n/4096 per bucket — same parity, collisions
+    // and decay cut ~16×). Band-collision probability for a true
+    // ~0.999-cosine clique pair stays ≈1 at both widths, so parity holds
+    // at both; only the random-collision load changes.
+    if (wanted("emb_neardup_stream_soak")) (Seq(8, 12)).foreach { ppg =>
       import org.apache.spark.sql.{Encoders, Row}
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -417,9 +424,11 @@ object ScaleBench {
       implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
       val stream = MemoryStream[Row]
       val ckpt = java.nio.file.Files.createTempDirectory("ckpt_embsoak")
+      val sink = s"soak_emb_neardup_ppg$ppg"
       val q = graft.streaming.NearDupStream.embNearDupStream(
-          stream.toDF(), "vec_id", "embedding", threshold = 0.9)
-        .writeStream.format("memory").queryName("soak_emb_neardup")
+          stream.toDF(), "vec_id", "embedding", threshold = 0.9,
+          planesPerGroup = ppg)
+        .writeStream.format("memory").queryName(sink)
         .outputMode("update")
         .option("checkpointLocation", ckpt.toString)
         .start()
@@ -441,7 +450,7 @@ object ScaleBench {
         f"""{"inc":$i,"vecs":${chunk.length},"sec":$sec%.2f,""" +
           f""""vecs_per_sec":${chunk.length / sec}%.0f,"state_rows":$stateRows}"""
       }
-      val streamKept = spark.table("soak_emb_neardup")
+      val streamKept = spark.table(sink)
         .groupBy(col("vec_id"))
         .agg(max_by(col("change"), col("upd_seq")).as("change"))
         .filter(col("change") === "keep")
@@ -449,7 +458,7 @@ object ScaleBench {
       val nStream = streamKept.count()
       q.stop()
       val pws = graft.llm.Similarity.embeddingNearDupPairsWithStats(
-        embSf1, "vec_id", "embedding", threshold = 0.9)
+        embSf1, "vec_id", "embedding", threshold = 0.9, planesPerGroup = ppg)
       val batchKept = graft.llm.TextDedup.dedupByPairs(embSf1, "vec_id", pws.pairs)
         .select("vec_id").cache()
       val nBatch = batchKept.count()
@@ -457,7 +466,7 @@ object ScaleBench {
       val symDiff = streamKept.exceptAll(batchKept).count() +
         batchKept.exceptAll(streamKept).count()
       streamKept.unpersist(); batchKept.unpersist(); pws.unpersist()
-      parts += (s""""emb_neardup_stream_soak":{"survivors_stream":$nStream,""" +
+      parts += (s""""emb_neardup_stream_soak_ppg$ppg":{"survivors_stream":$nStream,""" +
         s""""survivors_batch":$nBatch,"sym_diff":$symDiff,""" +
         s""""batch_dropped_buckets":$nDropped,""" +
         s""""increments":[${incJson.mkString(",")}]}""")
