@@ -460,6 +460,31 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // CHECKPOINT-RESTART for the streaming near-dup operator (the
+    // ever_restart_stream_replay pattern applied to the round's
+    // centerpiece): the replay is killed at the halfway chunk boundary
+    // and restarted from its checkpoint — offset recovery plus RocksDB
+    // restore of ALL FOUR states (band index with inlined
+    // single-component summaries, payload store, union-find forest, seq
+    // counter) — and the accumulated change log must still reduce to the
+    // batch survivor set (same closure oracle as the uninterrupted row).
+    "doc_neardup_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val log = streaming.Replay.replayWithRestart(s, docs, "doc_id", 100)(sdf =>
+          streaming.NearDupStream.nearDupStreamMd5(sdf, "doc_id", "text"))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "externaltimebatch_timeout_replay" -> ((s, d) => {
       val events = ev(s, d)
       val tagged = events
@@ -673,6 +698,7 @@ object SparkEntry {
       "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
       // the streaming operator's final survivors = the batch CC survivors
       "doc_neardup_stream_replay" -> docNeardupDedupOracle,
+      "doc_neardup_restart_stream_replay" -> docNeardupDedupOracle,
       // ... and its emitted union-find edges reproduce the batch clusters
       "doc_neardup_clusters_stream_replay" -> docNeardupClustersOracle,
       "doc_simhash_md5" -> docSimhashMd5Oracle,

@@ -117,6 +117,25 @@ class EmbNearDupStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("mid-stream kill + checkpoint restart preserves the survivor set") {
+    // one vector per micro-batch, query killed at the halfway chunk and
+    // restarted from its checkpoint: RocksDB restore of the band index
+    // (with inlined single-component summaries), the kryo'd float-vector
+    // payload store, and the union-find forest must all round-trip
+    val vecs = Seq(
+      Vec(1, at(0)), Vec(2, at(20)), Vec(3, at(40)),
+      Vec(4, Array(0f, 0f, 1f, 0f)), Vec(5, Array(0f, 0f, 0.97f, 0.243f)),
+      Vec(6, at(60)))
+    val expected = batchSurvivors(vecs)
+    val log = withRocks {
+      Replay.replayWithRestart(spark, vecs.toDF(), "vec_id", 1)(sdf =>
+        NearDupStream.embNearDupStream(sdf, "vec_id", "embedding",
+          threshold = THR, groups = GROUPS, planesPerGroup = PPG, dim = DIM))
+        .cache()
+    }
+    assert(survivors(log) === expected)
+  }
+
   test("wrong-width embedding fails the query loudly (requireDim parity with batch)") {
     val vecs = Seq(Vec(1, at(0)), Vec(2, Array(1f, 0f, 0f))) // 3-wide in a dim=4 stream
     val e = intercept[Exception] { runStream(vecs).count() }
