@@ -416,6 +416,28 @@ object SparkEntry {
     // The md5 hash family end-to-end keeps the oracle computable; the cap
     // never bites at verification scale (max bucket 10 at sf0.1), so the
     // streamed pair relation IS the batch pair relation.
+    // ... and the embedding stream's final CLUSTER STRUCTURE (the vector
+    // analog of doc_neardup_clusters_stream_replay): every drop row is a
+    // union-find edge (vec → root at emission time); connected components
+    // over those edges — later demotions connect superseded roots onward
+    // — must equal the recursive-CTE closure over the emb_neardup_pairs
+    // relation, min label per component.
+    "emb_neardup_clusters_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val log = streaming.Replay.replay(s, Tables.embeddings(s, d), "vec_id", 1000,
+          "update")(sdf => streaming.NearDupStream.embNearDupStream(sdf, "vec_id",
+            "embedding", threshold = 0.4, groups = 8, planesPerGroup = 4))
+        val edges = log.filter(col("change") === "drop")
+          .select(col("vec_id").as("id_a"), col("canonical").as("id_b"))
+        llm.TextDedup.nearDupClusters(edges).withColumnRenamed("id", "vec_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // STREAMING INCREMENTAL EMBEDDING NEAR-DUP DEDUP — the vector twin of
     // doc_neardup_stream_replay: replay the embeddings table in vec_id
     // order through NearDupStream.embNearDupStream (banded hyperplane LSH
@@ -708,6 +730,7 @@ object SparkEntry {
       "emb_ann_ivf" -> embIvfOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
+      "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "mm_features" -> mmFeaturesOracle,
       // streaming replays verify against the batch twins' semantics:
       // everStream's accumulated CHANGE LOG holds every event once as
@@ -1208,6 +1231,22 @@ object SparkEntry {
     * emb_neardup_pairs relation — survivors = min id per connected
     * component + isolated vectors.
     */
+  /** Min-label connected components over the emb_neardup_pairs relation
+    * (pair members only, like docNeardupClustersOracle).
+    */
+  private def embNearDupClustersOracle: String =
+    s"""WITH RECURSIVE $embNearDupPairCtes,
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM ep
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM ep),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT id AS vec_id, cluster_id FROM cc""".stripMargin
+
   private def embNearDupStreamOracle: String =
     s"""WITH RECURSIVE $embNearDupPairCtes,
        |nodes AS (SELECT DISTINCT id FROM (
