@@ -112,7 +112,7 @@ object ScaleBench {
       "doc_minhash_pairs", "doc_neardup_dedup", "emb_neardup_pairs",
       "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
-      "emb_neardup_stream_soak")
+      "emb_neardup_stream_soak", "neardup_stream_shuffled")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -407,6 +407,58 @@ object ScaleBench {
     // vec_id-ordered increments, record vecs/s + state growth, then
     // assert final-survivor set equality against batch
     // dedupByPairs(embeddingNearDupPairs) on the same corpus.
+    // Arrival-order insensitivity AT SCALE (the NearDupStreamSpec claim,
+    // pinned at fixture scale, measured here on the N× corpus): feed the
+    // SAME corpus in a deterministic pseudo-random order — sorted by
+    // xxhash64(doc_id), which interleaves the copies so clique members
+    // arrive scattered — and assert the final survivor set still equals
+    // the in-order batch pipeline's. Candidate pairs are discovered at
+    // the SECOND member's arrival whichever that is, and min-rooted
+    // unions make the final forest order-free (below the bucket cap);
+    // retroactive demotions are exercised heavily on this order (a
+    // clique's min id often arrives mid-clique).
+    if (wanted("neardup_stream_shuffled")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = docsSf1.select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val stream = MemoryStream[Row]
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_shuf")
+      val q = graft.streaming.NearDupStream.nearDupStream(
+          stream.toDF(), "doc_id", "text", threshold = 0.2)
+        .writeStream.format("memory").queryName("shuf_neardup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      val all = src.orderBy(xxhash64(col("doc_id"))).collect()
+      val t0 = System.nanoTime()
+      val per = math.max(1, all.length / 20)
+      all.grouped(per).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val streamKept = spark.table("shuf_neardup")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").cache()
+      val nStream = streamKept.count()
+      q.stop()
+      val batchKept = graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",
+        graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2))
+        .select("doc_id").cache()
+      val nBatch = batchKept.count()
+      val symDiff = streamKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(streamKept).count()
+      streamKept.unpersist(); batchKept.unpersist()
+      parts += (f""""neardup_stream_shuffled":{"docs":${all.length},"sec":$sec%.1f,""" +
+        f""""docs_per_sec":${all.length / sec}%.0f,""" +
+        f""""survivors_stream":$nStream,"survivors_batch":$nBatch,"sym_diff":$symDiff}""")
+    }
     // Run at planesPerGroup=8 (the query default: ~n/256 collisions per
     // bucket — every arrival pays one verify per colliding component, so
     // the rate decays ~1/n) AND planesPerGroup=12 (the sizing lever the
@@ -414,7 +466,15 @@ object ScaleBench {
     // and decay cut ~16×). Band-collision probability for a true
     // ~0.999-cosine clique pair stays ≈1 at both widths, so parity holds
     // at both; only the random-collision load changes.
-    if (wanted("emb_neardup_stream_soak")) (Seq(8, 12)).foreach { ppg =>
+    // Code widths via SPARK_GRAFT_EMB_SOAK_PPG (default "8,12"): the
+    // 100×-copies run passes 16 — the scaladoc rule's width for 200k
+    // vectors (~3 random collisions/bucket; clique-pair band recall at
+    // cosine ~0.999 is ~0.795 per band, miss-all ~0.205^8 ≈ 3e-6, and
+    // parity is exact at ANY width since stream and batch share the
+    // same bucketing by construction).
+    if (wanted("emb_neardup_stream_soak"))
+      sys.env.getOrElse("SPARK_GRAFT_EMB_SOAK_PPG", "8,12")
+        .split(",").map(_.trim.toInt).toSeq.foreach { ppg =>
       import org.apache.spark.sql.{Encoders, Row}
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
