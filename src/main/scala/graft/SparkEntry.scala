@@ -416,6 +416,27 @@ object SparkEntry {
     // The md5 hash family end-to-end keeps the oracle computable; the cap
     // never bites at verification scale (max bucket 10 at sf0.1), so the
     // streamed pair relation IS the batch pair relation.
+    // STREAMING CONTINUOUS ANN RETRIEVAL (graft.streaming.AnnStream):
+    // replay the embeddings in vec_id order; per arriving vector, the
+    // top-10 cosine neighbors among the vectors arrived SO FAR from the
+    // same multi-probe hyperplane LSH index annTopK builds (nPlanes=8,
+    // hamming-1 probes). Under the id-ordered feed "so far" is exactly
+    // corpus_id < query_id, so the full output hash-matches the batch
+    // ANN oracle with that restriction — every arrival's retrieval
+    // result, not just a fixed query set. sim excluded like emb_ann_lsh
+    // (ranks compared; the doubles are representation-sensitive).
+    "emb_ann_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try
+        streaming.Replay.replay(s, Tables.embeddings(s, d), "vec_id", 1000,
+          "append")(sdf => streaming.AnnStream.annStream(sdf, "vec_id", "embedding"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ... and the embedding stream's final CLUSTER STRUCTURE (the vector
     // analog of doc_neardup_clusters_stream_replay): every drop row is a
     // union-find edge (vec → root at emission time); connected components
@@ -731,6 +752,7 @@ object SparkEntry {
       "emb_neardup_pairs" -> embNearDupOracle,
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
+      "emb_ann_stream_replay" -> embAnnStreamOracle,
       "mm_features" -> mmFeaturesOracle,
       // streaming replays verify against the batch twins' semantics:
       // everStream's accumulated CHANGE LOG holds every event once as
@@ -1147,6 +1169,35 @@ object SparkEntry {
        |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
        |       * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)))) AS sim
        |  FROM c JOIN pr USING (bucket) WHERE corpus_id <> query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** DuckDB mirror of AnnStream.annStream (nPlanes=8, dim=64, seed=42,
+    * k=10): the embAnnOracle formulation with EVERY vector as a query
+    * and the corpus restricted to earlier arrivals
+    * (corpus_id < query_id) — the id-ordered replay's "arrived so far".
+    */
+  private def embAnnStreamOracle: String = {
+    val ps = llm.Similarity.planes(8, 64)
+    def bucketExpr(v: String): String = ps.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(list_zip($v, $arr::DOUBLE[]),
+         |    p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0
+         |  THEN (1::BIGINT << $i) ELSE 0::BIGINT END""".stripMargin
+    }.mkString("\n + ")
+    val probes = "b0" +: (0 until 8).map(i => s"xor(b0, ${1L << i}::BIGINT)")
+    s"""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+       |    ${bucketExpr("embedding")} AS bucket FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |    ${bucketExpr("embedding")} AS b0 FROM embeddings),
+       |pr AS (SELECT query_id, qv, unnest([${probes.mkString(", ")}]) AS bucket FROM q0),
+       |s AS (SELECT query_id, corpus_id,
+       |    list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
+       |       * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)))) AS sim
+       |  FROM c JOIN pr USING (bucket) WHERE corpus_id < query_id)
        |SELECT query_id, corpus_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
        |FROM s QUALIFY rank <= 10""".stripMargin

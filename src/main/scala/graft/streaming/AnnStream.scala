@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Streaming CONTINUOUS ANN retrieval — the incremental form of
+  * `Similarity.annTopK`: per arriving vector, the top-k cosine neighbors
+  * among the vectors arrived SO FAR, from the same multi-probe
+  * hyperplane-LSH index the batch operator builds (nPlanes sign bits,
+  * own bucket + all hamming-1 probes). The retrieval analog of what
+  * `NearDupStream` is to `dedupByPairs`: the batch operator answers one
+  * query set against a fixed corpus; this operator keeps the index warm
+  * and answers every arrival against the growing corpus — the
+  * "index continuously, retrieve at ingest" shape of a training-data
+  * pipeline (near-dup lookup, retrieval-augmented filtering) without
+  * re-running a batch job per increment.
+  *
+  * Architecture mirrors NearDupStream's split: the per-vector heavy work
+  * (the dim×nPlanes sign-bit bucket, `Similarity.lshBucket` — fused
+  * VecBandCodes) runs DISTRIBUTED upstream; the stateful stage holds
+  *   bucketIdx : bucket code → vec-id list
+  *   vecs      : vec-id → float vector (stored once; buckets carry ids)
+  * and per arrival reads its ≤ nPlanes+1 probe buckets, scores the
+  * candidates with the exact VecCosine double math (term-for-term: one
+  * left-fold loop of double products; zero norm → 0.0), and emits
+  * (query_id, corpus_id, rank) for the top k by (sim DESC, corpus_id) —
+  * the batch operator's exact rank policy, so the replayed output
+  * hash-matches a DuckDB oracle that restricts the batch ANN mirror to
+  * corpus_id < query_id (`emb_ann_stream_replay`). The arriving vector
+  * indexes itself AFTER scoring: a vec-id-ordered feed makes
+  * "arrived so far" exactly corpus_id < query_id, batch-deterministic
+  * regardless of micro-batch boundaries (in-batch arrivals are processed
+  * in id order against the already-updated in-batch index).
+  *
+  * Scale: candidates per arrival ≈ (nPlanes+1) × n / 2^nPlanes — the
+  * same per-query cost as the batch operator, governed by nPlanes (the
+  * corpus splits into 2^nPlanes buckets; size nPlanes ≈ log2(n /
+  * targetBucketSize) exactly like the batch scaladoc). The stateful
+  * stage is single-keyed like NearDupStream — here not because of any
+  * global merge (retrieval is per-arrival independent) but to keep one
+  * authoritative index; sharding BY BUCKET CODE is semantically clean
+  * for this operator (no cross-bucket state) and is the scale-out path
+  * when one task's lookup rate is the ceiling.
+  *
+  * Null/empty vectors emit nothing and are not indexed (they have no
+  * cosine to any query — the batch oracle's null rows fold out the same
+  * way); wrong-width vectors raise loudly upstream (`requireDim`).
+  */
+object AnnStream {
+
+  def annStream(sdf: DataFrame, idCol: String, vecCol: String,
+                k: Int = 10, nPlanes: Int = 8, dim: Int = 64,
+                seed: Long = 42L): DataFrame = {
+    val v0 = coalesce(col(vecCol).cast("array<float>"),
+      array().cast("array<float>"))
+    val bucket = when(size(v0) === 0, lit(null).cast("long"))
+      .otherwise(graft.llm.Similarity.lshBucket(v0, nPlanes, dim, seed))
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+      v0.as("v"), bucket.as("bucket"))
+      .where(col("id").isNotNull)
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("query_id", "long").add("corpus_id", "long").add("rank", "integer")
+    val outEnc = Encoders.row(outSchema)
+
+    val processor = new StatefulProcessor[Int, Row, Row] {
+      @transient private var bucketIdx: org.apache.spark.sql.streaming.MapState[Long, Array[Long]] = _
+      @transient private var vecs: org.apache.spark.sql.streaming.MapState[Long, Array[Float]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        bucketIdx = getHandle.getMapState[Long, Array[Long]]("bucketIdx",
+          Encoders.scalaLong, Encoders.kryo[Array[Long]], TTLConfig.NONE)
+        vecs = getHandle.getMapState[Long, Array[Float]]("vecs",
+          Encoders.scalaLong, Encoders.kryo[Array[Float]], TTLConfig.NONE)
+      }
+
+      // VecCosine term-for-term (double products, one left-fold loop,
+      // zero norm → 0.0) so ranks match the batch operator and oracle
+      private def cosine(a: Array[Float], b: Array[Float]): Double = {
+        val m = a.length
+        if (m != b.length) return 0.0
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < m) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+
+      override def handleInputRows(key: Int, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
+          val id = r.getLong(0)
+          val myV = r.getSeq[Float](1).toArray
+          if (myV.nonEmpty) {
+            val own = r.getLong(2)
+            // own bucket + every hamming-1 probe (distinct codes, so a
+            // stored vector appears under exactly one probe — no dups)
+            val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+            var p = -1
+            while (p < nPlanes) {
+              val code = if (p < 0) own else own ^ (1L << p)
+              val cur = bucketIdx.getValue(code)
+              if (cur != null) {
+                var i = 0
+                while (i < cur.length) {
+                  scored += ((cosine(myV, vecs.getValue(cur(i))), cur(i)))
+                  i += 1
+                }
+              }
+              p += 1
+            }
+            scored.sortBy { case (sim, cid) => (-sim, cid) }
+              .take(k).zipWithIndex.foreach { case ((_, cid), rk) =>
+                out += Row(id, cid, rk + 1)
+              }
+            val ownCur = bucketIdx.getValue(own)
+            bucketIdx.updateValue(own,
+              if (ownCur == null) Array(id) else ownCur :+ id)
+            vecs.updateValue(id, myV)
+          }
+        }
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
+}

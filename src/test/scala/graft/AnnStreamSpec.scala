@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.{AnnStream, Replay, UniqueStreams}
+
+/** Streaming continuous ANN retrieval vs the batch operator: for every
+  * arriving vector, the streamed top-k must equal `Similarity.annTopK`
+  * run on the PREFIX corpus (all earlier ids) with that vector as the
+  * only query — same planes, same probes, same (sim DESC, corpus_id)
+  * rank policy.
+  */
+class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val K = 3
+  private val PLANES = 4
+  private val DIM = 4
+
+  private def at(deg: Double, zw: Boolean = false): Array[Float] = {
+    val r = math.toRadians(deg)
+    if (zw) Array(0f, 0f, math.cos(r).toFloat, math.sin(r).toFloat)
+    else Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+  }
+
+  private val vecs = Seq(
+    Vec(1, at(0)), Vec(2, at(20)), Vec(3, at(40)), Vec(4, at(75)),
+    Vec(5, at(10, zw = true)), Vec(6, at(30, zw = true)), Vec(7, at(55, zw = true)),
+    Vec(8, at(130)), Vec(9, at(15)), Vec(10, at(42, zw = true)))
+
+  test("streamed top-k equals per-prefix batch annTopK for every arrival") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    val streamed =
+      try
+        Replay.replay(spark, vecs.toDF(), "vec_id", 1, "append")(sdf =>
+          AnnStream.annStream(sdf, "vec_id", "embedding",
+            k = K, nPlanes = PLANES, dim = DIM))
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    val expected = vecs.flatMap { q =>
+      val prefix = vecs.filter(_.vec_id < q.vec_id)
+      if (prefix.isEmpty) Seq.empty
+      else llm.Similarity.annTopK(prefix.toDF(), Seq(q).toDF(), "vec_id", "embedding",
+          k = K, nPlanes = PLANES, dim = DIM, probeHamming = 1)
+        .select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq
+    }.toSet
+    assert(expected.nonEmpty, "fixture drift: no prefix neighbors found at all")
+    assert(streamed === expected)
+  }
+
+  test("empty vector emits nothing and is not indexed") {
+    val withNull = vecs.take(3) ++ Seq(Vec(4, null)) ++ Seq(Vec(5, at(5)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    val streamed =
+      try
+        Replay.replay(spark, withNull.toDF(), "vec_id", 1, "append")(sdf =>
+          AnnStream.annStream(sdf, "vec_id", "embedding",
+            k = K, nPlanes = PLANES, dim = DIM))
+          .select("query_id", "corpus_id").as[(Long, Long)].collect().toSeq
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(!streamed.exists(_._1 == 4L), "null vector must not query")
+    assert(!streamed.exists(_._2 == 4L), "null vector must not be retrieved")
+  }
+}
