@@ -112,7 +112,8 @@ object ScaleBench {
       "doc_minhash_pairs", "doc_neardup_dedup", "emb_neardup_pairs",
       "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
-      "emb_neardup_stream_soak", "neardup_stream_shuffled")
+      "emb_neardup_stream_soak", "neardup_stream_shuffled",
+      "emb_ann_stream_soak")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -529,6 +530,52 @@ object ScaleBench {
       parts += (s""""emb_neardup_stream_soak_ppg$ppg":{"survivors_stream":$nStream,""" +
         s""""survivors_batch":$nBatch,"sym_diff":$symDiff,""" +
         s""""batch_dropped_buckets":$nDropped,""" +
+        s""""increments":[${incJson.mkString(",")}]}""")
+    }
+    // Continuous ANN retrieval throughput at N× (exactness is carried by
+    // the emb_ann_stream_replay oracle row at three scales; this row
+    // measures the rate and its nPlanes lever): per arrival the operator
+    // scores ~(nPlanes+1)·n/2^nPlanes candidates, so nPlanes=8 on a 20k
+    // corpus reads ~700 stored vectors per arrival while nPlanes=12
+    // reads ~65 — the same corpus-splitting rule as the batch scaladoc.
+    // Widths via SPARK_GRAFT_ANN_SOAK_PLANES (default "8,12").
+    if (wanted("emb_ann_stream_soak"))
+      sys.env.getOrElse("SPARK_GRAFT_ANN_SOAK_PLANES", "8,12")
+        .split(",").map(_.trim.toInt).toSeq.foreach { nPlanes =>
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = embSf1.select(col("vec_id"), col("embedding"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val stream = MemoryStream[Row]
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_annsoak")
+      val sink = s"soak_ann_p$nPlanes"
+      val q = graft.streaming.AnnStream.annStream(
+          stream.toDF(), "vec_id", "embedding", nPlanes = nPlanes)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      val ids = embSf1.agg(min(col("vec_id")).cast("long"),
+        max(col("vec_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 10
+      val span = (hi - lo + nInc) / nInc
+      val incJson = (0 until nInc).map { i =>
+        val chunk = src.filter(col("vec_id") >= lo + i * span &&
+          col("vec_id") < lo + (i + 1) * span).orderBy("vec_id").collect()
+        val t0 = System.nanoTime()
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        f"""{"inc":$i,"vecs":${chunk.length},"sec":$sec%.2f,""" +
+          f""""vecs_per_sec":${chunk.length / sec}%.0f}"""
+      }
+      val nRows = spark.table(sink).count()
+      q.stop()
+      parts += (s""""emb_ann_stream_soak_p$nPlanes":{"result_rows":$nRows,""" +
         s""""increments":[${incJson.mkString(",")}]}""")
     }
     // Adversarial lengthBatch regime (VERDICT r7 ask #6): with key
