@@ -247,6 +247,42 @@ object GraftSql {
           litStr(es(3), "vector column"), litLong(es(4), "k").toInt,
           nCells = litLong(es(5), "nCells").toInt,
           nProbe = litLong(es(6), "nProbe").toInt))
+      },
+      // ---- corpus-curation TVFs (llm.CorpusOps) —
+      // `graft_repetition(t, id, text)`,
+      // `graft_boilerplate_phrases(t, id, text, n, min_df)`,
+      // `graft_decontam(t, id, text, eval_mod, n)`,
+      // `graft_pack(t, id, text, shard, budget)`,
+      // `graft_sample(t, id, text, prefix)` (uniform md5-prefix sample),
+      // `graft_redact_pii(t, id, text)`
+      "graft_repetition" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.repetitionColumns(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column")))
+      },
+      "graft_boilerplate_phrases" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.boilerplatePhrases(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          n = litLong(es(3), "n").toInt, minDf = litLong(es(4), "min df").toInt))
+      },
+      "graft_decontam" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.decontaminate(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          evalMod = litLong(es(3), "eval modulus"), n = litLong(es(4), "n").toInt))
+      },
+      "graft_pack" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.packSequences(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          litStr(es(3), "shard column"), budget = litLong(es(4), "budget").toInt))
+      },
+      "graft_sample" -> { (es: Seq[Expression]) =>
+        val id = litStr(es(1), "id column")
+        plan(llm.CorpusOps.sampleByHash(tableArg(es.head), id,
+          litStr(es(2), "text column"), id /* stratum unused: uniform rate */,
+          Map.empty, litStr(es(3), "hex threshold prefix")))
+      },
+      "graft_redact_pii" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.redactPii(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column")))
       })
   }
 

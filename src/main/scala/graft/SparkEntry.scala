@@ -187,6 +187,26 @@ object SparkEntry {
         llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
           mirrorableDims = true),
         "doc_id")),
+    // ---- corpus-curation tier (llm.CorpusOps): the filter / packing /
+    // decontamination layer between dedup and training ----
+    "doc_repetition" -> ((s, d) =>
+      llm.CorpusOps.repetitionColumns(Tables.documents(s, d), "doc_id", "text")),
+    "doc_boilerplate_phrases" -> ((s, d) =>
+      llm.CorpusOps.boilerplatePhrases(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minDf = 5)),
+    "doc_decontam" -> ((s, d) =>
+      llm.CorpusOps.decontaminate(Tables.documents(s, d), "doc_id", "text",
+        evalMod = 50L, n = 5)),
+    "doc_pack" -> ((s, d) =>
+      llm.CorpusOps.packSequences(Tables.documents(s, d), "doc_id", "text",
+        "source", budget = 512)),
+    "doc_sample_md5" -> ((s, d) =>
+      llm.CorpusOps.sampleByHash(Tables.documents(s, d), "doc_id", "text", "lang",
+        Map("en" -> "1999"), defaultPrefix = "3333")),
+    "doc_pii_redact" -> ((s, d) =>
+      llm.CorpusOps.redactPii(
+        llm.CorpusOps.withSyntheticPii(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "pii_text")),
     // ---- streaming-vs-batch replay (graft.streaming) ----
     // Each feeds the events table through the Structured Streaming
     // operator via MemoryStream in arrival order and returns the sink —
@@ -407,6 +427,14 @@ object SparkEntry {
     "doc_exact_dedup_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 1000, "update")(sdf =>
         streaming.UniqueStreams.firstStream(sdf, Seq("text"), "doc_id"))),
+    // continuous sequence packing: per-shard running token offsets folded
+    // in arrival order equal the batch window-function packing when each
+    // shard's docs arrive in id order (which the id-ordered replay feeds)
+    "doc_pack_stream_replay" -> ((s, d) => {
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100, "update")(sdf =>
+        streaming.PackStream.packStream(sdf, "doc_id", "text", "source", budget = 512))
+    }),
     // STREAMING INCREMENTAL NEAR-DUP DEDUP (graft.streaming.NearDupStream):
     // replay the documents table in doc_id order through the incremental
     // band-code-index operator; a doc's latest change-log row is its live
@@ -736,6 +764,85 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "doc_quality" -> docQualityOracle,
       "doc_langid" -> docLangIdOracle,
+      // ---- corpus-curation tier mirrors (llm.CorpusOps). Tokenization =
+      // the established str_split_regex idiom; word n-grams via 1-based
+      // inclusive list slices; ratios are single double divisions of
+      // integer counts so values are bit-exact across engines.
+      "doc_repetition" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |b AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_words,
+          |  len(list_distinct(toks)) AS n_distinct,
+          |  list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+          |    i -> array_to_string(toks[i:i+1], ' ')) AS grams
+          |  FROM t),
+          |w AS (SELECT doc_id, max(cnt) AS top_word_cnt FROM (
+          |  SELECT doc_id, w, count(*) AS cnt
+          |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w)
+          |  GROUP BY doc_id),
+          |g AS (SELECT doc_id, max(cnt) AS top_bigram_cnt, sum(cnt) AS n_bigrams FROM (
+          |  SELECT doc_id, gr, count(*) AS cnt
+          |  FROM (SELECT doc_id, unnest(grams) AS gr FROM b) GROUP BY doc_id, gr)
+          |  GROUP BY doc_id)
+          |SELECT b.doc_id, n_words,
+          |  CASE WHEN n_words = 0 THEN 0.0
+          |    ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END AS dup_word_frac,
+          |  CASE WHEN n_words = 0 THEN 0.0
+          |    ELSE CAST(coalesce(top_word_cnt, 0) AS DOUBLE) / n_words END AS top_word_frac,
+          |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+          |    ELSE CAST(top_bigram_cnt AS DOUBLE) / n_bigrams END AS top_bigram_frac
+          |FROM b
+          |LEFT JOIN w ON b.doc_id = w.doc_id
+          |LEFT JOIN g ON b.doc_id = g.doc_id""".stripMargin,
+      "doc_boilerplate_phrases" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(
+          |    generate_series(1, greatest(len(toks) - 2, 0)),
+          |    i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM t)
+          |SELECT gram, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_cnt
+          |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 5""".stripMargin,
+      "doc_decontam" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(toks) - 4, 0)),
+          |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram FROM t),
+          |e AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g WHERE doc_id % 50 = 0),
+          |h AS (SELECT g.doc_id,
+          |    count(DISTINCT g.gram) AS n_hit_grams,
+          |    count(DISTINCT e.eval_id) AS n_eval_docs
+          |  FROM g JOIN e USING (gram) WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(n_hit_grams, 0) AS n_hit_grams,
+          |  coalesce(n_eval_docs, 0) AS n_eval_docs,
+          |  coalesce(n_hit_grams, 0) > 0 AS contaminated
+          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+          |WHERE d.doc_id % 50 <> 0""".stripMargin,
+      "doc_pack" -> docPackOracle,
+      "doc_pack_stream_replay" -> docPackOracle,
+      "doc_sample_md5" ->
+        """SELECT doc_id, text, lang, source, n_chars FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
+          |  CASE WHEN lang = 'en' THEN '1999' ELSE '3333' END""".stripMargin,
+      "doc_pii_redact" ->
+        """WITH p AS (SELECT doc_id,
+          |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |    || '@mail.example.com or call +1-555-'
+          |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' AS pii_text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(pii_text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+          |  CAST(len(regexp_extract_all(pii_text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+          |  CAST(len(regexp_extract_all(pii_text,
+          |    '\+\d{1,3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones
+          |FROM p""".stripMargin,
       "doc_minhash_pairs_md5" -> docMinhashMd5Oracle,
       "doc_neardup_clusters_md5" -> docNeardupClustersOracle,
       "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
@@ -959,6 +1066,23 @@ object SparkEntry {
           |FROM s QUALIFY rank <= 10""".stripMargin,
     )
   }
+
+  /** DuckDB mirror of llm.CorpusOps.packSequences (budget 512, sharded by
+    * `source`): the same BPE-ish token count as doc_text_stats, a
+    * per-shard cumulative-sum window, and floor-division bin assignment.
+    * Shared by the batch row and the streaming replay row — the streaming
+    * operator's per-shard running fold in id order IS this window.
+    */
+  private def docPackOracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_tok
+      |  FROM documents)
+      |SELECT doc_id, source, n_tok,
+      |  CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) AS tok_offset,
+      |  CAST(floor(CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) / 512) AS BIGINT) AS bin_id
+      |FROM t
+      |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
 
   /** DuckDB mirror of llm.TextAnalysis.qualityColumns: same stopword list
     * (embedded as a SQL array literal), same left-associated arithmetic so

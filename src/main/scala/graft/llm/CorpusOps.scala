@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a large-scale training-data pipeline —
+  * the filter/packing/decontamination layer that sits between the dedup
+  * tier (`TextDedup`) and training: within-document repetition metrics
+  * (the Gopher/MassiveText-style quality rules), a corpus-level
+  * boilerplate-phrase catalog, eval-set decontamination, deterministic
+  * hash sampling, PII redaction, and concat-and-chunk sequence packing.
+  *
+  * Design for 100 TB:
+  *  - Every per-doc metric is either a pure Catalyst projection (no
+  *    shuffle) or an explode → partial-aggregating `groupBy` keyed by
+  *    (doc, gram) — map-side combine keeps the shuffle proportional to
+  *    the DISTINCT gram set, not the token stream.
+  *  - `decontaminate` broadcasts the eval-set gram index: eval sets are
+  *    tiny (thousands of docs) next to the corpus, so the contamination
+  *    join is a broadcast hash join — the train side never shuffles.
+  *  - `packSequences` windows PER SHARD (`shardCol`), the way packing is
+  *    actually run (each input shard becomes its own sequence stream);
+  *    the global-order variant would serialize, the sharded one scales
+  *    with shard count.
+  *  - `sampleByHash` is a stateless filter on an md5 prefix — no
+  *    coordination, reproducible across engines and re-runs, and
+  *    composable with any downstream op (the standard "salt-free
+  *    deterministic sample" trick).
+  */
+object CorpusOps {
+
+  /** Within-document repetition metrics (the cheap degenerate-text
+    * filters applied before dedup): duplicate-word fraction, most-common
+    * word fraction, and most-common word-bigram fraction. High values
+    * flag keyword-stuffed / generated / boilerplate pages.
+    *
+    * Two explode+groupBy passes keyed by (doc, token) — partial
+    * aggregation collapses repeats before the shuffle, so shuffle volume
+    * is bounded by distinct tokens per doc, not doc length.
+    */
+  def repetitionColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), TextDedup.tokenize(col(textCol)).as("toks"))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+    val topWord = base
+      .select(col(idCol), explode(col("toks")).as("w"))
+      .groupBy(idCol, "w").count()
+      .groupBy(idCol).agg(max("count").as("top_word_cnt"))
+    val topBigram = base
+      .select(col(idCol), explode(TextDedup.shingles(col("toks"), 2)).as("g"))
+      .groupBy(idCol, "g").count()
+      .groupBy(idCol).agg(max("count").as("top_bigram_cnt"),
+        sum("count").as("n_bigrams"))
+    base
+      .join(topWord, Seq(idCol), "left")
+      .join(topBigram, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") === 0, 0.0d)
+          .otherwise((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        when(col("n_words") === 0, 0.0d)
+          .otherwise(coalesce(col("top_word_cnt"), lit(0L)).cast("double") / col("n_words"))
+          .as("top_word_frac"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0d)
+          .otherwise(col("top_bigram_cnt").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+  }
+
+  /** Corpus-level boilerplate-phrase catalog: word n-grams appearing in
+    * at least `minDf` DISTINCT documents, with their document frequency
+    * and total occurrence count. Real pipelines compute exactly this
+    * relation to build boilerplate/stop-phrase filter lists (and its
+    * head is what line-dedup removes). One explode → one two-phase
+    * aggregate; the HAVING-style filter prunes the long tail before
+    * anything is collected.
+    */
+  def boilerplatePhrases(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, minDf: Int = 5): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextDedup.shingles(TextDedup.tokenize(col(textCol)), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count_distinct(col("id")).as("doc_freq"), count(lit(1)).as("total_cnt"))
+      .filter(col("doc_freq") >= minDf)
+
+  /** Eval-set decontamination: flag training documents sharing at least
+    * one word `n`-gram with any eval-set document (the GPT-3/PaLM-style
+    * n-gram overlap rule). The eval set here is selected by id
+    * (`id % evalMod == 0`) to stay self-contained on the test tables; a
+    * production call passes a real benchmark table in its place.
+    *
+    * The eval gram index is `broadcast()` — eval sets are tiny relative
+    * to the corpus, so contamination is a broadcast hash join against a
+    * train side that is only (id, gram) pairs after column pruning; the
+    * 100 TB corpus never shuffles.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    evalMod: Long = 50, n: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        TextDedup.shingles(TextDedup.tokenize(col(textCol)), n))).as("gram"))
+    val evalGrams = grams.filter(col("id") % evalMod === 0)
+      .select(col("gram"), col("id").as("eval_id")).distinct()
+    val hits = grams.filter(col("id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("id")
+      .agg(count_distinct(col("gram")).as("n_hit_grams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+    df.filter(col(idCol) % evalMod =!= 0)
+      .select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Concat-and-chunk sequence packing — assign each document its token
+    * offset and training-sequence id as if the shard's documents were
+    * concatenated in `idCol` order and chopped into `budget`-token
+    * sequences (how autoregressive training data is actually packed).
+    * Windowed PER SHARD (`shardCol`): each shard is an independent
+    * sequence stream, so the cumulative sum parallelizes across shards
+    * instead of forcing a global order.
+    *
+    * Token counts use the BPE-ish segmentation of
+    * `TextAnalysis.tokenCounts` (`\w+|[^\w\s]` matches).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(shardCol),
+        regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")).as("n_tok"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("tok_offset") / budget))
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the first 4 hex
+    * chars of md5(id ":" text) fall below the stratum's threshold prefix
+    * (e.g. "1999" ≈ 10%, "3333" ≈ 20%). Engine- and run-independent —
+    * the same rows are kept on any engine, any partitioning, any re-run
+    * — which is what makes hash sampling the standard for reproducible
+    * corpus ablations. Pure filter: no shuffle, no state.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, textCol: String,
+                   stratCol: String, prefixByStrat: Map[String, String],
+                   defaultPrefix: String): DataFrame = {
+    val key = substring(
+      md5(concat(col(idCol).cast("string"), lit(":"), col(textCol))), 1, 4)
+    val thr = prefixByStrat.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPrefix): Column) { case (acc, (k, v)) =>
+        when(col(stratCol) === k, lit(v)).otherwise(acc)
+      }
+    df.filter(key < thr)
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+
+  /** Append a deterministic synthetic email + phone to each document —
+    * the test tables contain no PII, so verification enriches them with
+    * known-shape contacts first (the enrichment is part of the verified
+    * query on BOTH engines, making the redaction regexes' cross-engine
+    * parity the thing under test).
+    */
+  def withSyntheticPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("pii_text", concat(col(textCol),
+      lit(" contact user"), col(idCol).cast("string"),
+      lit("@mail.example.com or call +1-555-"),
+      lpad((col(idCol) % 10000).cast("string"), 4, "0"), lit(" today")))
+
+  /** PII redaction: replace emails and international-format phone
+    * numbers with typed placeholder tokens, and count the redactions
+    * (the audit column a compliance pass needs). Pure projection —
+    * codegen'd `regexp_replace`/`regexp_count`, no shuffle.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"))
+}

@@ -67,9 +67,15 @@ object TextDedup {
     */
   def shingles(toks: Column, n: Int): Column = {
     val t = toks
-    transform(
-      sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(t, i, lit(n))))
+    // the when-guard is load-bearing: Spark's sequence(1, 0) is the
+    // DESCENDING [1, 0] (not empty, unlike DuckDB's generate_series), so
+    // a doc with fewer than n tokens would reach slice with start=0 and
+    // throw — short docs must yield an empty shingle array instead
+    val cnt = size(t) - (n - 1)
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
   /** MinHash signature: k independent 64-bit min-hashes of the shingle

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.CorpusOps
+
+/** Behavioral suite for the corpus-curation tier (llm.CorpusOps) + the
+  * streaming packing twin: known-answer fixtures for each metric, and
+  * streaming-vs-batch packing equality (incl. kill+restart) on the
+  * sf0.001 documents table.
+  */
+class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("repetitionColumns: known-answer fixture") {
+    val df = Seq(
+      (1L, "a a b"),          // 3 words, 2 distinct; top word a=2; bigrams {a a, a b}
+      (2L, "x"),              // single word: no bigrams
+      (3L, ""),               // empty: all zeros
+      (4L, "p q p q p q")     // 6 words; top word p=3; bigrams p q=3, q p=2 → 3/5
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.repetitionColumns(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_words", "dup_word_frac", "top_word_frac", "top_bigram_frac")
+      .as[(Int, Double, Double, Double)].collect()
+    assert(r(0) === ((3, 1.0 / 3, 2.0 / 3, 0.5)))
+    assert(r(1) === ((1, 0.0, 1.0, 0.0)))
+    assert(r(2) === ((0, 0.0, 0.0, 0.0)))
+    assert(r(3) === ((6, 4.0 / 6, 3.0 / 6, 3.0 / 5)))
+  }
+
+  test("boilerplatePhrases: document frequency counts multi-doc phrases once per doc") {
+    val df = Seq(
+      (1L, "the same boilerplate footer here"),
+      (2L, "the same boilerplate footer there"),
+      (3L, "the same boilerplate footer the same boilerplate footer"), // twice in one doc
+      (4L, "entirely different content words")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.boilerplatePhrases(df, "doc_id", "text", n = 3, minDf = 3)
+      .as[(String, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    // "the same boilerplate" and "same boilerplate footer": df=3 (doc 3 counted once), total 4
+    assert(r("the same boilerplate") === ((3L, 4L)))
+    assert(r("same boilerplate footer") === ((3L, 4L)))
+    // everything else is below minDf
+    assert(r.size === 2)
+  }
+
+  test("decontaminate flags train docs sharing an n-gram with the eval set") {
+    // evalMod=2: even ids are the eval set
+    val df = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),       // eval
+      (4L, "one two three four five six"),               // eval
+      (1L, "xx alpha beta gamma delta epsilon yy"),      // shares a 5-gram with doc 2
+      (3L, "totally disjoint text with no overlap at all"),
+      (5L, "one two three four five and then some")      // shares a 5-gram with doc 4
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.decontaminate(df, "doc_id", "text", evalMod = 2L, n = 5)
+      .as[(Long, Long, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(r.keySet === Set(1L, 3L, 5L)) // only train docs are emitted
+    assert(r(1L)._4 && r(1L)._2 === 1L && r(1L)._3 === 1L)
+    assert(!r(3L)._4 && r(3L)._2 === 0L)
+    assert(r(5L)._4 && r(5L)._2 === 1L && r(5L)._3 === 1L)
+  }
+
+  test("packSequences: per-shard concat-and-chunk offsets and bins") {
+    // shard A: 300+300+300 tokens → offsets 0,300,600 → bins 0,0,1 (budget 512)
+    // shard B independent: offsets restart at 0
+    val mk = (n: Int) => Array.fill(n)("w").mkString(" ")
+    val df = Seq(
+      (1L, "A", mk(300)), (2L, "A", mk(300)), (3L, "A", mk(300)),
+      (10L, "B", mk(600)), (11L, "B", mk(10))
+    ).toDF("doc_id", "source", "text")
+    val r = CorpusOps.packSequences(df, "doc_id", "text", "source", budget = 512)
+      .orderBy("doc_id").select("doc_id", "n_tok", "tok_offset", "bin_id")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(r.toSeq === Seq((1L, 300, 0L, 0L), (2L, 300, 300L, 0L), (3L, 300, 600L, 1L),
+      (10L, 600, 0L, 0L), (11L, 10, 600L, 1L)))
+  }
+
+  test("sampleByHash is deterministic and monotone in the threshold prefix") {
+    val a = CorpusOps.sampleByHash(docs, "doc_id", "text", "lang",
+      Map("en" -> "1999"), "3333").select("doc_id").as[Long].collect().toSet
+    val b = CorpusOps.sampleByHash(docs, "doc_id", "text", "lang",
+      Map("en" -> "1999"), "3333").select("doc_id").as[Long].collect().toSet
+    assert(a === b) // engine-/run-independent
+    val wider = CorpusOps.sampleByHash(docs, "doc_id", "text", "lang",
+      Map("en" -> "3333"), "6666").select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(wider)) // stricter prefix is a subset of the looser one
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("redactPii replaces synthetic emails and phones and counts them") {
+    val enriched = CorpusOps.withSyntheticPii(docs.limit(20), "doc_id", "text")
+    val r = CorpusOps.redactPii(enriched, "doc_id", "pii_text")
+    val rows = r.select("redacted", "n_emails", "n_phones").as[(String, Int, Int)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (red, ne, np) =>
+      assert(ne === 1 && np === 1)
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
+      assert(!red.contains("@") && !red.contains("+1-555-"))
+    }
+  }
+
+  test("packStream equals batch packSequences on the sf0.001 corpus") {
+    streaming.UniqueStreams.useRocksDBStateStore(spark)
+    val batch = CorpusOps.packSequences(docs, "doc_id", "text", "source", budget = 512)
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    val streamed = streaming.Replay.replay(spark, docs, "doc_id", 100, "update")(sdf =>
+      streaming.PackStream.packStream(sdf, "doc_id", "text", "source", budget = 512))
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("packStream survives kill+restart with identical assignments") {
+    streaming.UniqueStreams.useRocksDBStateStore(spark)
+    val batch = CorpusOps.packSequences(docs, "doc_id", "text", "source", budget = 512)
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    val streamed = streaming.Replay.replayWithRestart(spark, docs, "doc_id", 100)(sdf =>
+      streaming.PackStream.packStream(sdf, "doc_id", "text", "source", budget = 512))
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+}

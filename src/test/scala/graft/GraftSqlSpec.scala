@@ -175,6 +175,43 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(ivf === Seq(1L))
   }
 
+  test("corpus-curation TVFs pin to the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_corpus_tvf")
+    val packSql = spark.sql(
+      "SELECT * FROM graft_pack('docs_corpus_tvf', 'doc_id', 'text', 'source', 512)")
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    val packApi = llm.CorpusOps.packSequences(docs, "doc_id", "text", "source", 512)
+      .as[(Long, String, Int, Long, Long)].collect().toSet
+    assert(packSql === packApi)
+    val repSql = spark.sql(
+      "SELECT doc_id, top_bigram_frac FROM graft_repetition('docs_corpus_tvf', 'doc_id', 'text')")
+      .as[(Long, Double)].collect().toSet
+    val repApi = llm.CorpusOps.repetitionColumns(docs, "doc_id", "text")
+      .select(col("doc_id"), col("top_bigram_frac"))
+      .as[(Long, Double)].collect().toSet
+    assert(repSql === repApi)
+    val sampleSql = spark.sql(
+      "SELECT doc_id FROM graft_sample('docs_corpus_tvf', 'doc_id', 'text', '2000')")
+      .as[Long].collect().toSet
+    val sampleApi = llm.CorpusOps.sampleByHash(docs, "doc_id", "text", "doc_id",
+      Map.empty, "2000").select("doc_id").as[Long].collect().toSet
+    assert(sampleSql === sampleApi && sampleSql.nonEmpty)
+    val decontamRows = spark.sql(
+      "SELECT count(*) FROM graft_decontam('docs_corpus_tvf', 'doc_id', 'text', 50, 5)")
+      .as[Long].head()
+    assert(decontamRows === docs.filter(col("doc_id") % 50 =!= 0).count())
+    val phrases = spark.sql(
+      "SELECT count(*) FROM graft_boilerplate_phrases('docs_corpus_tvf', 'doc_id', 'text', 3, 5)")
+      .as[Long].head()
+    assert(phrases > 0)
+    val red = spark.sql(
+      "SELECT n_emails FROM graft_redact_pii('docs_corpus_tvf', 'doc_id', 'text') LIMIT 1")
+      .as[Int].head()
+    assert(red === 0) // raw corpus has no emails; the op still runs from SQL
+  }
+
   test("simhash from SQL equals simhash from the Scala API") {
     val viaSql = spark.sql("SELECT graft_simhash(graft_tokenize('alpha beta gamma'))")
       .as[Long].head()
