@@ -64,6 +64,12 @@ object TextDedup {
     * fewer than n tokens. (slice beats per-position element_at here:
     * ANSI-mode index checks on element_at cost more than the short array
     * copies for small n.)
+    *
+    * PERFORMANCE: pass `toks` as a PROJECTED COLUMN (attribute), not an
+    * inline expression like `tokenize(col("text"))` — the lambda below
+    * references `toks` per array element, and Spark evaluates a non-
+    * attribute argument on every reference (one full tokenize regexp pass
+    * PER GRAM; measured ~15× slowdown at sf0.1 in boilerplatePhrases).
     */
   def shingles(toks: Column, n: Int): Column = {
     val t = toks

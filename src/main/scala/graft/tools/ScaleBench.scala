@@ -113,7 +113,7 @@ object ScaleBench {
       "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
-      "emb_ann_stream_soak")
+      "emb_ann_stream_soak", "corpus_curation")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -149,6 +149,37 @@ object ScaleBench {
       graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",
         graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2))
         .count()
+    }
+    // corpus-curation tier at N×: every op is explode+partial-agg,
+    // broadcast join, window-per-shard, or pure projection — all expected
+    // ~linear in docs. Measured wall + shuffle MB each; the decontam eval
+    // side (ids % 50 == 0) grows with the corpus but stays broadcast-sized
+    // at any realistic eval:train ratio.
+    if (wanted("corpus_curation")) {
+      parts += timed("doc_repetition_scale") {
+        graft.llm.CorpusOps.repetitionColumns(docsSf1, "doc_id", "text").count()
+      }
+      parts += timed("doc_boilerplate_phrases_scale") {
+        graft.llm.CorpusOps.boilerplatePhrases(docsSf1, "doc_id", "text",
+          n = 3, minDf = 5).count()
+      }
+      parts += timed("doc_decontam_scale") {
+        graft.llm.CorpusOps.decontaminate(docsSf1, "doc_id", "text",
+          evalMod = 50L, n = 5).count()
+      }
+      parts += timed("doc_pack_scale") {
+        graft.llm.CorpusOps.packSequences(docsSf1, "doc_id", "text",
+          "source", budget = 512).count()
+      }
+      parts += timed("doc_sample_scale") {
+        graft.llm.CorpusOps.sampleByHash(docsSf1, "doc_id", "text", "lang",
+          Map("en" -> "1999"), "3333").count()
+      }
+      parts += timed("doc_pii_redact_scale") {
+        graft.llm.CorpusOps.redactPii(
+          graft.llm.CorpusOps.withSyntheticPii(docsSf1, "doc_id", "text"),
+          "doc_id", "pii_text").count()
+      }
     }
     val embSf1 = spark.read.parquet(embPath)
     var embDropped = -1L
