@@ -31,12 +31,20 @@ object Bench {
     // parquet reader classes (measured: the alphabetically-first query was
     // otherwise charged ~1.5-2 s of framework warm-up its plan doesn't own)
     spark.range(1000).selectExpr("sum(id)").collect()
-    locally {
+    // the warm-up must NEVER kill the run: in round 8 a driver-side testdata
+    // regeneration changed events.ts's parquet type and the resulting
+    // AnalysisException here (outside any per-query guard) zeroed the whole
+    // round's bench record. Warm-up is best-effort; a failure here surfaces
+    // as the same per-query errors the guarded loop below would record.
+    try {
       import org.apache.spark.sql.functions._
       val ev = Tables.events(spark, sfDir).limit(5000)
       ev.groupBy("user_id")
         .agg(max_by(struct(ev.columns.map(col): _*), col("event_id")).as("r"))
         .groupBy("r.event_type").count().count()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Benchmark = production paths: registered queries plus the xxhash64

@@ -207,6 +207,15 @@ object SparkEntry {
       llm.CorpusOps.redactPii(
         llm.CorpusOps.withSyntheticPii(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "pii_text")),
+    // ---- duplicated-span detection/removal (ExactSubstr-style dedup,
+    // Lee et al. 2021; llm.TextDedup.duplicateSpans) — string gram keys
+    // here for DuckDB parity, xxhash64 production twins in benchQueries
+    "doc_dup_spans" -> ((s, d) =>
+      llm.TextDedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 5, minCount = 2)),
+    "doc_dup_span_removal" -> ((s, d) =>
+      llm.TextDedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 5, minCount = 2)),
     // ---- streaming-vs-batch replay (graft.streaming) ----
     // Each feeds the events table through the Structured Streaming
     // operator via MemoryStream in arrival order and returns the sink —
@@ -605,6 +614,14 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram", "fp_full")),
+    // production span dedup: 8-byte xxhash64 gram keys in the shuffle
+    // instead of gram strings (the `queries` twins carry the oracle)
+    "doc_dup_spans_xx" -> ((s, d) =>
+      llm.TextDedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 5, minCount = 2, hashedKeys = true)),
+    "doc_dup_span_removal_xx" -> ((s, d) =>
+      llm.TextDedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 5, minCount = 2, hashedKeys = true)),
     // production float-feature path (the `queries` entry is the
     // integer-lane checked twin); same key so the bench metric keeps
     // measuring the production shape across rounds
@@ -828,6 +845,54 @@ object SparkEntry {
         """SELECT doc_id, text, lang, source, n_chars FROM documents
           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
           |  CASE WHEN lang = 'en' THEN '1999' ELSE '3333' END""".stripMargin,
+      // k=5 duplicated-span detection: every 5-token window occurring >=2
+      // times corpus-wide, overlapping windows merged per doc
+      // (gaps-and-islands on a running max of inclusive span ends)
+      "doc_dup_spans" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+          |      FROM t, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)),
+          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |h AS (SELECT doc_id, i - 1 AS s, i + 3 AS e FROM g
+          |      WHERE gram IN (SELECT gram FROM dup)),
+          |m AS (SELECT doc_id, s, e,
+          |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+          |      FROM h),
+          |isl AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+          |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+          |  max(e) - min(s) + 1 AS span_tokens
+          |FROM isl GROUP BY doc_id, island""".stripMargin,
+      "doc_dup_span_removal" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+          |      FROM t, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)),
+          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          |h AS (SELECT doc_id, i - 1 AS s, i + 3 AS e FROM g
+          |      WHERE gram IN (SELECT gram FROM dup)),
+          |m AS (SELECT doc_id, s, e,
+          |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+          |      FROM h),
+          |isl AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+          |sp AS (SELECT doc_id, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, island),
+          |cov AS (SELECT DISTINCT doc_id, p FROM sp, unnest(generate_series(ss, ee)) AS v(p)),
+          |tok AS (SELECT doc_id, j, toks[j] AS w FROM t, unnest(generate_series(1, len(toks))) AS u(j)),
+          |kept AS (SELECT tok.doc_id, j, w FROM tok LEFT JOIN cov
+          |           ON tok.doc_id = cov.doc_id AND tok.j - 1 = cov.p WHERE cov.p IS NULL),
+          |ktxt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS clean_text FROM kept GROUP BY doc_id),
+          |ndup AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+          |SELECT t.doc_id, len(t.toks) AS n_tokens,
+          |  coalesce(ndup.n_dup_tokens, 0) AS n_dup_tokens,
+          |  coalesce(ktxt.clean_text, '') AS clean_text
+          |FROM t LEFT JOIN ndup ON t.doc_id = ndup.doc_id
+          |       LEFT JOIN ktxt ON t.doc_id = ktxt.doc_id""".stripMargin,
       "doc_pii_redact" ->
         """WITH p AS (SELECT doc_id,
           |  text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact,
@@ -551,5 +552,109 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     PairsWithStats(pairs, dropped, cached = Seq(withSh))
+  }
+
+  /** Duplicated-SPAN detection — the within-document flip side of
+    * document-level dedup (the "ExactSubstr" operation of Lee et al.,
+    * *Deduplicating Training Data Makes Language Models Better*, 2021):
+    * find the maximal token ranges of each document whose content also
+    * occurs elsewhere in the corpus, rather than deciding whole documents
+    * are duplicates. The published algorithm builds a corpus-wide suffix
+    * array; that is inherently sequential and memory-resident, so this
+    * engine uses the shuffle-friendly equivalent for a fixed minimum
+    * length `k`:
+    *
+    *  1. every position contributes its k-token window (one gram row per
+    *     token — `posexplode` over [[shingles]]);
+    *  2. a window is *duplicated* when the identical k-token sequence
+    *     occurs at least `minCount` times corpus-wide (same doc or not);
+    *  3. per document, overlapping duplicated windows merge into maximal
+    *     spans (gaps-and-islands over a running max of span ends).
+    *
+    * Coverage guarantee: any duplicated substring of length ≥ k is fully
+    * covered by duplicated k-windows at every offset inside it, so each
+    * such substring lies inside one reported span — the same spans the
+    * suffix-array method reports for threshold k, computed with two
+    * key-partitioned shuffles instead of a global sort.
+    *
+    * 100 TB design: the gram relation shuffles once on the gram key for
+    * the occurrence count (map-side partial aggregation collapses
+    * boilerplate repeats pre-shuffle) and once for the hits join; with
+    * `hashedKeys=true` the key is `xxhash64(gram)` — an 8-byte shuffle
+    * key instead of a ~6-word string, the production variant (collision
+    * odds at 64 bits are negligible against corpus gram counts; the
+    * string-key form exists for cross-engine oracle parity). A
+    * mega-duplicated gram (site boilerplate) is ONE aggregate row and
+    * each of its occurrences joins that single row — no pair explosion
+    * anywhere, unlike candidate-pair dedup. The island merge windows over
+    * (doc, position): per-doc data, orders of magnitude smaller than the
+    * gram stream.
+    *
+    * Output: one row per maximal span — (id, span_start, span_end
+    * inclusive token positions, span_tokens) — 0-based over [[tokenize]]
+    * positions.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, minCount: Int = 2,
+                     hashedKeys: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+    // toks projected before the gram lambda (per-element re-evaluation
+    // hazard documented on shingles)
+    val grams0 = toks.select(col("id"),
+      posexplode(shingles(col("toks"), k)).as(Seq("pos", "gram")))
+    val grams = (if (hashedKeys) grams0.withColumn("gkey", xxhash64(col("gram")))
+                 else grams0.withColumn("gkey", col("gram"))).drop("gram")
+    val dupKeys = grams.groupBy("gkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("gkey")
+    val hits = grams.join(dupKeys, Seq("gkey"))
+      .select(col("id"), col("pos").cast("long").as("s"),
+        (col("pos") + (k - 1)).cast("long").as("e"))
+    val byPos = Window.partitionBy("id").orderBy("s")
+    val prevMax = Window.partitionBy("id").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("brk",
+        when(col("s") > coalesce(max("e").over(prevMax), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(byPos))
+      .groupBy(col("id"), col("island"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Span REMOVAL — rewrite each document's token stream with every
+    * duplicated span (per [[duplicateSpans]]) cut out, the actual dedup
+    * transformation Lee et al. apply before training. Operates on the
+    * normalized token stream (the same [[tokenize]] view all corpus ops
+    * share), so `clean_text` is normalized text.
+    *
+    * The spans relation is grouped to one small array per affected doc
+    * and joined back on the id key; the cut itself is a higher-order
+    * `filter` with position index against that array — pure codegen
+    * projection, the 100 TB corpus body crosses the span join partitioned
+    * by id only (and most docs carry a NULL span array through a left
+    * join, costing nothing).
+    *
+    * Output: (id, n_tokens, n_dup_tokens, clean_text).
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, minCount: Int = 2,
+                           hashedKeys: Boolean = false): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minCount, hashedKeys)
+      .groupBy(col(idCol).as("id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    df.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + sp("e") - sp("s") + 1).as("n_dup_tokens"),
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => !exists(col("spans"),
+            sp => i.cast("long") >= sp("s") && i.cast("long") <= sp("e"))))
+          .as("clean_text"))
   }
 }
