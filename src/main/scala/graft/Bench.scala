@@ -79,7 +79,15 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // noop sink, NOT count(): a bare count(*) lets Catalyst prune
+          // the payload — unique-keyed left joins are eliminated whole
+          // (doc_dup_span_removal's entire span computation, decontam's
+          // contamination join) and pure projections collapse to a row
+          // count of the scan. The noop write iterates every column of
+          // every row with no serialization, so the measured time is the
+          // full operator, matching what Verify's parquet dump executes.
+          // (Gate values re-recorded round 9 for the harness change.)
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             false

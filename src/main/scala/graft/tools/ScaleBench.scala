@@ -113,7 +113,7 @@ object ScaleBench {
       "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
-      "emb_ann_stream_soak", "corpus_curation")
+      "emb_ann_stream_soak", "corpus_curation", "dup_spans")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -179,6 +179,26 @@ object ScaleBench {
         graft.llm.CorpusOps.redactPii(
           graft.llm.CorpusOps.withSyntheticPii(docsSf1, "doc_id", "text"),
           "doc_id", "pii_text").count()
+      }
+    }
+    // span dedup at N×: the copy construction duplicates every doc body
+    // N times (copies differ only in the appended variant token), so
+    // nearly every 5-window is duplicated — the WORST-case regime for
+    // this operator (hit stream ≈ gram stream). Linear-ish wall here
+    // means the pipeline has no duplication-fraction-sensitive blowup.
+    if (wanted("dup_spans")) {
+      parts += timed("doc_dup_spans_xx_scale") {
+        graft.llm.TextDedup.duplicateSpans(docsSf1, "doc_id", "text", k = 5,
+          minCount = 2, hashedKeys = true).count()
+      }
+      parts += timed("doc_dup_span_removal_xx_scale") {
+        // NOT count(): the spans side is unique on the join key, so
+        // Catalyst legally eliminates the whole left join (and with it
+        // the entire span computation) under a bare count(*) — aggregate
+        // over the rewritten text so the op actually runs
+        graft.llm.TextDedup.removeDuplicateSpans(docsSf1, "doc_id", "text", k = 5,
+          minCount = 2, hashedKeys = true)
+          .agg(sum(length(col("clean_text")))).head().getLong(0)
       }
     }
     val embSf1 = spark.read.parquet(embPath)
