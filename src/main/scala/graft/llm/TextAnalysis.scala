@@ -32,21 +32,39 @@ object TextAnalysis {
     * Returns a `pred_lang` string column.
     */
   def langId(text: Column): Column = {
+    // One token pass computing ALL per-language counts into an int array,
+    // then argmax = first index of the max. The previous form folded a
+    // when-chain over four per-language `aggregate` scores; each fold
+    // step nests the running best TWICE (condition + else), so the score
+    // expressions — a full tokenize + token scan each — were duplicated
+    // up to ~8× in the final tree (measured 3.67 s at sf0.1 under the
+    // payload-forcing bench; this form: one count pass referenced twice).
+    // Semantics preserved exactly: the fold started from ("en", -1) with
+    // a strict `>`, which is first-max over the alphabetical language
+    // order — identical to array_position's first-occurrence rule.
+    val langs = stopwords.keys.toSeq.sorted
     val toks = TextDedup.tokenize(text)
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (l, ws) => (l, hitsSafe(toks, ws)) }
-    val best = scores.foldLeft((lit("en"), lit(-1))) { case ((bl, bs), (l, s)) =>
-      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(cjkRatio(text) > 0.25, "zh").otherwise(best._1)
+    val counts = aggregate(toks, array(langs.map(_ => lit(0)): _*),
+      (acc, t) => array(langs.zipWithIndex.map { case (l, i) =>
+        element_at(acc, i + 1) +
+          when(array_contains(typedLit(stopwords(l)), t), 1).otherwise(0)
+      }: _*))
+    val pred = element_at(typedLit(langs),
+      array_position(counts, array_max(counts)).cast("int"))
+    when(cjkRatio(text) > 0.25, "zh").otherwise(pred)
   }
 
   /** Quality features + a composite score in [0,1]: length band, alpha
     * ratio, punctuation ratio, stopword ratio, mean token length band —
     * the standard cheap pre-filters before expensive model scoring.
     */
-  def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
+  def qualityColumns(df0: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = TextDedup.tokenize(t)
+    // tokens staged as an attribute: three consumers below (count,
+    // stopword hits, mean length) would each re-run the tokenize regexp
+    // from an inline expression
+    val df = df0.withColumn("__q_toks", TextDedup.tokenize(t))
+    val toks = col("__q_toks")
     val nTok = size(toks)
     val alpha = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
     val punct = length(regexp_replace(t, "[\\p{L}\\p{Nd}\\s]", "")).cast("double")
@@ -65,6 +83,7 @@ object TextAnalysis {
             + col("alpha_ratio") * 0.3
             + (lit(1.0d) - least(col("punct_ratio") * 4, lit(1.0d))) * 0.2
             + least(col("stopword_ratio") * 3, lit(1.0d)) * 0.2)))
+      .drop("__q_toks")
   }
 
   /** Token counts: whitespace tokens and a BPE-ish segmentation count
