@@ -216,6 +216,23 @@ object SparkEntry {
     "doc_dup_span_removal" -> ((s, d) =>
       llm.TextDedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
         k = 5, minCount = 2)),
+    // streaming incremental span detection: final (max-upd_seq) spans per
+    // doc after replaying the corpus must hash-match the SAME DuckDB
+    // oracle as the batch row — retroactive promotions included
+    "doc_dup_spans_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val log = streaming.Replay.replay(s, Tables.documents(s, d), "doc_id",
+          100, "update")(sdf =>
+          streaming.DupSpanStream.dupSpanStream(sdf, "doc_id", "text", k = 5))
+        streaming.DupSpanStream.latestSpans(log, "doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ---- streaming-vs-batch replay (graft.streaming) ----
     // Each feeds the events table through the Structured Streaming
     // operator via MemoryStream in arrival order and returns the sink —
@@ -847,25 +864,10 @@ object SparkEntry {
           |  CASE WHEN lang = 'en' THEN '1999' ELSE '3333' END""".stripMargin,
       // k=5 duplicated-span detection: every 5-token window occurring >=2
       // times corpus-wide, overlapping windows merged per doc
-      // (gaps-and-islands on a running max of inclusive span ends)
-      "doc_dup_spans" ->
-        """WITH t AS (SELECT doc_id,
-          |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
-          |  FROM documents),
-          |g AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
-          |      FROM t, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)),
-          |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-          |h AS (SELECT doc_id, i - 1 AS s, i + 3 AS e FROM g
-          |      WHERE gram IN (SELECT gram FROM dup)),
-          |m AS (SELECT doc_id, s, e,
-          |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
-          |      FROM h),
-          |isl AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
-          |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
-          |  max(e) - min(s) + 1 AS span_tokens
-          |FROM isl GROUP BY doc_id, island""".stripMargin,
+      // (gaps-and-islands on a running max of inclusive span ends).
+      // The streaming replay's final (max-upd_seq) spans share the oracle.
+      "doc_dup_spans" -> docDupSpansOracle,
+      "doc_dup_spans_stream_replay" -> docDupSpansOracle,
       "doc_dup_span_removal" ->
         """WITH t AS (SELECT doc_id,
           |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
@@ -1180,6 +1182,29 @@ object SparkEntry {
        |    + least(stopword_ratio * 3, 1.0) * 0.2) AS quality_score
        |FROM f""".stripMargin
   }
+
+  /** DuckDB mirror of TextDedup.duplicateSpans (k=5, minCount=2): window
+    * occurrences → corpus-wide dup filter → per-doc gaps-and-islands
+    * merge. Shared by the batch row and the streaming replay row.
+    */
+  private val docDupSpansOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, i, array_to_string(toks[i:i+4], ' ') AS gram
+      |      FROM t, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |h AS (SELECT doc_id, i - 1 AS s, i + 3 AS e FROM g
+      |      WHERE gram IN (SELECT gram FROM dup)),
+      |m AS (SELECT doc_id, s, e,
+      |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+      |      FROM h),
+      |isl AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+      |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+      |  max(e) - min(s) + 1 AS span_tokens
+      |FROM isl GROUP BY doc_id, island""".stripMargin
 
   /** DuckDB mirror of llm.TextAnalysis.langId: per-language stopword hit
     * counts (same lists, multiset semantics) and the same fold order —
