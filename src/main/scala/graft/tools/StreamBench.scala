@@ -100,8 +100,33 @@ object StreamBench {
       q.stop()
       nDocs / secs
     }
+    // incremental duplicated-span throughput (docs/s): same corpus shape
+    // as the near-dup row — family docs share their 24-word body, so the
+    // gram index sees constant promote/hit traffic (every family doc
+    // after the first re-emits spans), the operator's heavy regime
+    val dupSpanRate = {
+      implicit val denc: org.apache.spark.sql.Encoder[DocEv] = Encoders.product[DocEv]
+      val ms = MemoryStream[DocEv]
+      val q = graft.streaming.DupSpanStream
+        .dupSpanStream(ms.toDF(), "doc_id", "text", k = 5, hashedKeys = true)
+        .writeStream.format("memory").queryName("sb_dupspan")
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("sb_dupspan").toString)
+        .start()
+      val all = (0 until nDocs).map(i => DocEv(i.toLong, docText(i)))
+      val per = nDocs / 10
+      val t0 = System.nanoTime()
+      (0 until 10).foreach { b =>
+        val hi = if (b == 9) nDocs else (b + 1) * per
+        ms.addData(all.slice(b * per, hi))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      nDocs / secs
+    }
     val qs = results.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"}}""")
+    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}}""")
     spark.stop()
   }
 }
