@@ -207,6 +207,12 @@ object SparkEntry {
       llm.CorpusOps.redactPii(
         llm.CorpusOps.withSyntheticPii(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "pii_text")),
+    // CCNet-style line dedup over the deterministically multi-lined
+    // corpus (string keys for DuckDB parity; xxhash64 twin in benchQueries)
+    "doc_line_dedup" -> ((s, d) =>
+      llm.CorpusOps.lineDedup(
+        llm.CorpusOps.withSyntheticLines(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "lines_text", minDf = 3)),
     // ---- duplicated-span detection/removal (ExactSubstr-style dedup,
     // Lee et al. 2021; llm.TextDedup.duplicateSpans) — string gram keys
     // here for DuckDB parity, xxhash64 production twins in benchQueries
@@ -631,6 +637,11 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       llm.TextAnalysis.fingerprint(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram", "fp_full")),
+    // production line dedup: xxhash64 line keys (CCNet dedups on hashes)
+    "doc_line_dedup_xx" -> ((s, d) =>
+      llm.CorpusOps.lineDedup(
+        llm.CorpusOps.withSyntheticLines(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "lines_text", minDf = 3, hashedKeys = true)),
     // production span dedup: 8-byte xxhash64 gram keys in the shuffle
     // instead of gram strings (the `queries` twins carry the oracle)
     "doc_dup_spans_xx" -> ((s, d) =>
@@ -862,6 +873,33 @@ object SparkEntry {
         """SELECT doc_id, text, lang, source, n_chars FROM documents
           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
           |  CASE WHEN lang = 'en' THEN '1999' ELSE '3333' END""".stripMargin,
+      // CCNet-style line dedup over the synthetic-lines corpus: drop lines
+      // appearing in >= 3 distinct docs; mirror reproduces the
+      // withSyntheticLines framing (header rotation + shared footer)
+      "doc_line_dedup" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |p AS (SELECT doc_id,
+          |  (['subscribe to our newsletter today', 'click here to read more',
+          |    'copyright acme corporation', 'share this article on social media'])[CAST(doc_id % 4 + 1 AS INT)]
+          |  || chr(10) ||
+          |  array_to_string(list_transform(
+          |    generate_series(1, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1)),
+          |    i -> array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')), chr(10))
+          |  || chr(10) || 'all rights reserved' AS lines_text
+          |  FROM t),
+          |s AS (SELECT doc_id, str_split(lines_text, chr(10)) AS ls FROM p),
+          |l AS (SELECT doc_id, j, ls[j] AS line FROM s, unnest(generate_series(1, len(ls))) AS u(j)),
+          |dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+          |dr AS (SELECT doc_id, count(*) AS n_dropped FROM l
+          |       WHERE line IN (SELECT line FROM dup) GROUP BY doc_id),
+          |kt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS clean_text FROM l
+          |       WHERE line NOT IN (SELECT line FROM dup) GROUP BY doc_id)
+          |SELECT s.doc_id, len(s.ls) AS n_lines, coalesce(dr.n_dropped, 0) AS n_dropped,
+          |  coalesce(kt.clean_text, '') AS clean_text
+          |FROM s LEFT JOIN dr ON s.doc_id = dr.doc_id
+          |       LEFT JOIN kt ON s.doc_id = kt.doc_id""".stripMargin,
       // k=5 duplicated-span detection: every 5-token window occurring >=2
       // times corpus-wide, overlapping windows merged per doc
       // (gaps-and-islands on a running max of inclusive span ends).

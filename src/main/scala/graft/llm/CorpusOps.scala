@@ -178,6 +178,69 @@ object CorpusOps {
       lit("@mail.example.com or call +1-555-"),
       lpad((col(idCol) % 10000).cast("string"), 4, "0"), lit(" today")))
 
+  /** Deterministic multi-line reshaping for line-level ops: the driver
+    * corpora are single-line, so (same pattern as [[withSyntheticPii]] /
+    * `Multimodal.withSyntheticMedia`) each doc's tokens are folded into
+    * `lineWords`-token lines and framed by boilerplate — a per-doc-id
+    * header from a 4-entry rotation plus a footer shared by every doc —
+    * giving line dedup real cross-document duplicate-line traffic.
+    * Pure projection; mirrored in SQL by the oracle.
+    */
+  def withSyntheticLines(df: DataFrame, idCol: String, textCol: String,
+                         lineWords: Int = 10, out: String = "lines_text"): DataFrame = {
+    val headers = array(
+      lit("subscribe to our newsletter today"),
+      lit("click here to read more"),
+      lit("copyright acme corporation"),
+      lit("share this article on social media"))
+    df.withColumn("__l_toks", TextDedup.tokenize(col(textCol)))
+      .withColumn(out, concat_ws("\n",
+        element_at(headers, (col(idCol) % 4 + 1).cast("int")),
+        concat_ws("\n", transform(
+          sequence(lit(1), greatest(
+            ceil(size(col("__l_toks")).cast("double") / lineWords).cast("int"), lit(1))),
+          i => concat_ws(" ", slice(col("__l_toks"), (i - 1) * lineWords + 1, lit(lineWords))))),
+        lit("all rights reserved")))
+      .drop("__l_toks")
+  }
+
+  /** CCNet-style LINE-level dedup — the standard boilerplate-removal pass
+    * between span dedup and doc dedup in a training pipeline: drop every
+    * line whose exact content appears in at least `minDf` DISTINCT
+    * documents (headers, footers, cookie banners, nav text), keep
+    * everything else in order. Output: (id, n_lines, n_dropped,
+    * clean_text).
+    *
+    * Same 100 TB shape as `TextDedup.duplicateSpans`: one line row per
+    * newline (posexplode), a doc-frequency aggregate whose map-side
+    * combine collapses the boilerplate mass pre-shuffle, a
+    * key-partitioned join back (never all-pairs — a line shared by a
+    * million docs is ONE aggregate row), and a per-doc positions array
+    * driving a higher-order filter rebuild. `hashedKeys=true` runs the
+    * frequency/join key as `xxhash64(line)` — fixed 8-byte shuffle keys,
+    * the production form (CCNet itself dedups on line hashes).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDf: Int = 3, hashedKeys: Boolean = false): DataFrame = {
+    val keyOf: Column => Column = if (hashedKeys) (l: Column) => xxhash64(l) else identity
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("id"), col("pos"), keyOf(col("line")).as("lkey"))
+    val dup = lines.groupBy("lkey")
+      .agg(count_distinct(col("id")).as("df_cnt"))
+      .filter(col("df_cnt") >= minDf).select("lkey")
+    val drops = lines.join(dup, Seq("lkey"))
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__lines"))
+      .join(drops, Seq("id"), "left")
+      .withColumn("__drop_pos", coalesce(col("__drop_pos"), array().cast("array<int>")))
+      .select(col("id").as(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__drop_pos")).cast("long").as("n_dropped"),
+        concat_ws("\n", filter(col("__lines"),
+          (_, i) => !array_contains(col("__drop_pos"), i))).as("clean_text"))
+  }
+
   /** PII redaction: replace emails and international-format phone
     * numbers with typed placeholder tokens, and count the redactions
     * (the audit column a compliance pass needs). Pure projection —

@@ -180,6 +180,13 @@ object ScaleBench {
           graft.llm.CorpusOps.withSyntheticPii(docsSf1, "doc_id", "text"),
           "doc_id", "pii_text").count()
       }
+      parts += timed("doc_line_dedup_scale") {
+        // aggregate over the payload (count-star would prune the rebuild)
+        graft.llm.CorpusOps.lineDedup(
+          graft.llm.CorpusOps.withSyntheticLines(docsSf1, "doc_id", "text"),
+          "doc_id", "lines_text", minDf = 3, hashedKeys = true)
+          .agg(sum(length(col("clean_text"))) + sum(col("n_dropped"))).head().getLong(0)
+      }
     }
     // span dedup at N×: the copy construction duplicates every doc body
     // N times (copies differ only in the appended variant token), so

@@ -123,4 +123,46 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, String, Int, Long, Long)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("lineDedup drops exactly the lines shared by >= minDf docs, in-order rebuild") {
+    val docs = Seq(
+      (1L, "shared header\nunique one\nshared footer"),
+      (2L, "shared header\nunique two\nshared footer"),
+      (3L, "shared header\nunique three\nshared footer"),
+      (4L, "solo header\nunique four\nshared footer")).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "unique one"),
+      (2L, 3L, 2L, "unique two"),
+      (3L, 3L, 2L, "unique three"),
+      (4L, 3L, 1L, "solo header\nunique four")))
+  }
+
+  test("lineDedup: within-doc repeats count once toward doc frequency; duplicate positions both drop") {
+    val docs = Seq(
+      (1L, "dup line\nmiddle\ndup line"),
+      (2L, "dup line\nother"),
+      (3L, "dup line\nthird")).toDF("doc_id", "text")
+    val out = CorpusOps.lineDedup(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // "dup line" appears in 3 distinct docs -> dropped everywhere,
+    // including BOTH its positions in doc 1
+    assert(out == Seq(
+      (1L, 3L, 2L, "middle"),
+      (2L, 2L, 1L, "other"),
+      (3L, 2L, 1L, "third")))
+  }
+
+  test("lineDedup hashedKeys production form equals the string-key form") {
+    val docs = CorpusOps.withSyntheticLines(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val a = CorpusOps.lineDedup(docs, "doc_id", "lines_text", minDf = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val b = CorpusOps.lineDedup(docs, "doc_id", "lines_text", minDf = 3, hashedKeys = true)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_._3 >= 2),
+      "every doc must drop at least its injected header and footer")
+  }
 }
