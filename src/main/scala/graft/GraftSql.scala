@@ -283,6 +283,24 @@ object GraftSql {
       "graft_redact_pii" -> { (es: Seq[Expression]) =>
         plan(llm.CorpusOps.redactPii(tableArg(es.head),
           litStr(es(1), "id column"), litStr(es(2), "text column")))
+      },
+      // `graft_dup_spans(t, id, text, k, min_count)` — ExactSubstr-style
+      // duplicated-span detection; `graft_dup_span_removal(...)` the cut;
+      // `graft_line_dedup(t, id, text, min_df)` — CCNet line dedup
+      "graft_dup_spans" -> { (es: Seq[Expression]) =>
+        plan(llm.TextDedup.duplicateSpans(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          k = litInt(es(3), "k"), minCount = litInt(es(4), "min count")))
+      },
+      "graft_dup_span_removal" -> { (es: Seq[Expression]) =>
+        plan(llm.TextDedup.removeDuplicateSpans(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          k = litInt(es(3), "k"), minCount = litInt(es(4), "min count")))
+      },
+      "graft_line_dedup" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.lineDedup(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          minDf = litInt(es(3), "min doc frequency")))
       })
   }
 

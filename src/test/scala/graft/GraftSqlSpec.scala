@@ -212,6 +212,34 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(red === 0) // raw corpus has no emails; the op still runs from SQL
   }
 
+  test("span and line dedup TVFs from SQL equal the Scala API") {
+    val docs = Seq(
+      (1L, "a b c d e unique1\nshared trailer line"),
+      (2L, "pre2 a b c d e\nshared trailer line"),
+      (3L, "other words entirely here now\nshared trailer line"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("docs_span_tvf")
+    val spansSql = spark.sql(
+      "SELECT * FROM graft_dup_spans('docs_span_tvf', 'doc_id', 'text', 3, 2)")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val spansApi = llm.TextDedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spansSql === spansApi && spansSql.nonEmpty)
+    val remSql = spark.sql(
+      "SELECT * FROM graft_dup_span_removal('docs_span_tvf', 'doc_id', 'text', 3, 2)")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val remApi = llm.TextDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(remSql === remApi)
+    val ldSql = spark.sql(
+      "SELECT * FROM graft_line_dedup('docs_span_tvf', 'doc_id', 'text', 3)")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val ldApi = llm.CorpusOps.lineDedup(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(ldSql === ldApi && ldApi.forall(_._3 == 1L),
+      "every doc should drop exactly the shared trailer line")
+  }
+
   test("simhash from SQL equals simhash from the Scala API") {
     val viaSql = spark.sql("SELECT graft_simhash(graft_tokenize('alpha beta gamma'))")
       .as[Long].head()
