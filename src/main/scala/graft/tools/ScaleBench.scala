@@ -113,7 +113,8 @@ object ScaleBench {
       "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
-      "emb_ann_stream_soak", "corpus_curation", "dup_spans")
+      "emb_ann_stream_soak", "corpus_curation", "dup_spans",
+      "dupspan_stream_soak")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -370,6 +371,66 @@ object ScaleBench {
       streamKept.unpersist(); batchKept.unpersist()
       parts += (s""""neardup_stream_soak":{"survivors_stream":$nStream,""" +
         s""""survivors_batch":$nBatch,"sym_diff":$symDiff,""" +
+        s""""increments":[${incJson.mkString(",")}]}""")
+    }
+    // Incremental span-detection soak at N×: docs/s drift as the gram
+    // index grows + RocksDB state size per increment, closed by exact
+    // set parity of the final (max-upd_seq) spans against the batch
+    // operator on the same corpus — the DupSpanStream twin of the
+    // near-dup soak above.
+    if (wanted("dupspan_stream_soak")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = docsSf1.select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val stream = MemoryStream[Row]
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_spansoak")
+      val q = graft.streaming.DupSpanStream.dupSpanStream(
+          stream.toDF(), "doc_id", "text", k = 5, hashedKeys = true)
+        .writeStream.format("memory").queryName("soak_dupspan")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      def ckptBytes: Long = {
+        val s = java.nio.file.Files.walk(ckpt)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val ids = docsSf1.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 20
+      val span = (hi - lo + nInc) / nInc
+      val incJson = (0 until nInc).map { i =>
+        val chunk = src.filter(col("doc_id") >= lo + i * span &&
+          col("doc_id") < lo + (i + 1) * span).orderBy("doc_id").collect()
+        val t0 = System.nanoTime()
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(-1L)
+        f"""{"inc":$i,"docs":${chunk.length},"sec":$sec%.2f,""" +
+          f""""docs_per_sec":${chunk.length / sec}%.0f,""" +
+          f""""state_rows":$stateRows,"ckpt_mb":${ckptBytes / 1048576.0}%.1f}"""
+      }
+      val streamSpans = graft.streaming.DupSpanStream
+        .latestSpans(spark.table("soak_dupspan"), "doc_id").cache()
+      val nStream = streamSpans.count()
+      q.stop()
+      val batchSpans = graft.llm.TextDedup.duplicateSpans(docsSf1, "doc_id", "text",
+        k = 5, hashedKeys = true).cache()
+      val nBatch = batchSpans.count()
+      val symDiff = streamSpans.exceptAll(batchSpans).count() +
+        batchSpans.exceptAll(streamSpans).count()
+      streamSpans.unpersist(); batchSpans.unpersist()
+      parts += (s""""dupspan_stream_soak":{"spans_stream":$nStream,""" +
+        s""""spans_batch":$nBatch,"sym_diff":$symDiff,""" +
         s""""increments":[${incJson.mkString(",")}]}""")
     }
     // Band-sharded near-dup path (VERDICT r7 ask #4): can the split —
