@@ -213,6 +213,29 @@ object SparkEntry {
       llm.CorpusOps.lineDedup(
         llm.CorpusOps.withSyntheticLines(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "lines_text", minDf = 3)),
+    // the dropped-line relation + its streaming twin (insert-only change
+    // log with retroactive promotion), both on the same oracle
+    "doc_dup_lines" -> ((s, d) =>
+      llm.CorpusOps.duplicateLines(
+        llm.CorpusOps.withSyntheticLines(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", "lines_text", minDf = 3)),
+    "doc_dup_lines_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try
+        streaming.Replay.replay(s,
+          llm.CorpusOps.withSyntheticLines(Tables.documents(s, d), "doc_id", "text")
+            .select("doc_id", "lines_text"),
+          "doc_id", 100, "update")(sdf =>
+          streaming.LineDedupStream.lineDedupStream(sdf, "doc_id", "lines_text",
+            minDf = 3))
+          .select(col("doc_id"), col("pos"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ---- duplicated-span detection/removal (ExactSubstr-style dedup,
     // Lee et al. 2021; llm.TextDedup.duplicateSpans) — string gram keys
     // here for DuckDB parity, xxhash64 production twins in benchQueries
@@ -873,6 +896,10 @@ object SparkEntry {
         """SELECT doc_id, text, lang, source, n_chars FROM documents
           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
           |  CASE WHEN lang = 'en' THEN '1999' ELSE '3333' END""".stripMargin,
+      // dropped-line relation (and its streaming replay): 0-based (doc,
+      // pos) of every line appearing in >= 3 distinct docs
+      "doc_dup_lines" -> docDupLinesOracle,
+      "doc_dup_lines_stream_replay" -> docDupLinesOracle,
       // CCNet-style line dedup over the synthetic-lines corpus: drop lines
       // appearing in >= 3 distinct docs; mirror reproduces the
       // withSyntheticLines framing (header rotation + shared footer)
@@ -1220,6 +1247,28 @@ object SparkEntry {
        |    + least(stopword_ratio * 3, 1.0) * 0.2) AS quality_score
        |FROM f""".stripMargin
   }
+
+  /** DuckDB mirror of CorpusOps.duplicateLines over withSyntheticLines
+    * (minDf=3): the 0-based dropped-line positions. Shared by the batch
+    * row and the streaming replay row.
+    */
+  private val docDupLinesOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |  (['subscribe to our newsletter today', 'click here to read more',
+      |    'copyright acme corporation', 'share this article on social media'])[CAST(doc_id % 4 + 1 AS INT)]
+      |  || chr(10) ||
+      |  array_to_string(list_transform(
+      |    generate_series(1, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1)),
+      |    i -> array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')), chr(10))
+      |  || chr(10) || 'all rights reserved' AS lines_text
+      |  FROM t),
+      |s AS (SELECT doc_id, str_split(lines_text, chr(10)) AS ls FROM p),
+      |l AS (SELECT doc_id, j, ls[j] AS line FROM s, unnest(generate_series(1, len(ls))) AS u(j)),
+      |dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+      |SELECT doc_id, j - 1 AS pos FROM l WHERE line IN (SELECT line FROM dup)""".stripMargin
 
   /** DuckDB mirror of TextDedup.duplicateSpans (k=5, minCount=2): window
     * occurrences → corpus-wide dup filter → per-doc gaps-and-islands

@@ -204,6 +204,25 @@ object CorpusOps {
       .drop("__l_toks")
   }
 
+  /** The dropped-line RELATION under CCNet line dedup: one row per (doc,
+    * position) whose line content appears in at least `minDf` distinct
+    * documents — the change-log form of [[lineDedup]] (which rebuilds the
+    * text), and the batch parity target for the streaming twin
+    * (`streaming.LineDedupStream`). Same plan shape minus the rebuild.
+    */
+  def duplicateLines(df: DataFrame, idCol: String, textCol: String,
+                     minDf: Int = 3, hashedKeys: Boolean = false): DataFrame = {
+    val keyOf: Column => Column = if (hashedKeys) (l: Column) => xxhash64(l) else identity
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("id"), col("pos"), keyOf(col("line")).as("lkey"))
+    val dup = lines.groupBy("lkey")
+      .agg(count_distinct(col("id")).as("df_cnt"))
+      .filter(col("df_cnt") >= minDf).select("lkey")
+    lines.join(dup, Seq("lkey"))
+      .select(col("id").as(idCol), col("pos").cast("long").as("pos"))
+  }
+
   /** CCNet-style LINE-level dedup — the standard boilerplate-removal pass
     * between span dedup and doc dedup in a training pipeline: drop every
     * line whose exact content appears in at least `minDf` DISTINCT
