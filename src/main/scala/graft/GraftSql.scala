@@ -301,6 +301,11 @@ object GraftSql {
         plan(llm.CorpusOps.lineDedup(tableArg(es.head),
           litStr(es(1), "id column"), litStr(es(2), "text column"),
           minDf = litInt(es(3), "min doc frequency")))
+      },
+      "graft_dup_lines" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.duplicateLines(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          minDf = litInt(es(3), "min doc frequency")))
       })
   }
 

@@ -238,6 +238,12 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(ldSql === ldApi && ldApi.forall(_._3 == 1L),
       "every doc should drop exactly the shared trailer line")
+    val dlSql = spark.sql(
+      "SELECT * FROM graft_dup_lines('docs_span_tvf', 'doc_id', 'text', 3)")
+      .as[(Long, Long)].collect().toSet
+    val dlApi = llm.CorpusOps.duplicateLines(docs, "doc_id", "text", minDf = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(dlSql === dlApi && dlSql.nonEmpty)
   }
 
   test("simhash from SQL equals simhash from the Scala API") {
