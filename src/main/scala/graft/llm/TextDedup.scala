@@ -639,8 +639,19 @@ object TextDedup {
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 5, minCount: Int = 2,
-                           hashedKeys: Boolean = false): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, k, minCount, hashedKeys)
+                           hashedKeys: Boolean = false): DataFrame =
+    removeSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, k, minCount, hashedKeys))
+
+  /** Span removal against an ALREADY-COMPUTED spans relation (shape of
+    * [[duplicateSpans]]: id, span_start, span_end inclusive) — lets a
+    * pipeline that materialized/cached the detection output (or filtered
+    * it, e.g. only spans ≥ N tokens) pay for it once instead of
+    * recomputing the whole gram pipeline inside the removal.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  spansDf: DataFrame): DataFrame = {
+    val spans = spansDf
       .groupBy(col(idCol).as("id"))
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("spans"))

@@ -69,6 +69,26 @@ class DupSpanSpec extends AnyFunSuite with SparkTestSession {
     assert(spansOf(df, minCount = 2).nonEmpty)
   }
 
+  test("removeSpans over a precomputed (and filtered) spans relation") {
+    val df = docs(
+      1L -> "a b c KEEP1 ONLY1 d e f g h",
+      2L -> "a b c KEEP2 ONLY2 d e f g h")
+    val spans = TextDedup.duplicateSpans(df, "doc_id", "text", k = 3)
+    // same relation → same result as the one-shot form
+    val viaPre = TextDedup.removeSpans(df, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    val oneShot = TextDedup.removeDuplicateSpans(df, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    assert(viaPre == oneShot)
+    // filtered relation: only cut spans of >= 4 tokens (keeps the 3-token prefix run)
+    val filtered = TextDedup.removeSpans(df, "doc_id", "text",
+      spans.filter($"span_tokens" >= 4))
+      .as[(Long, Long, Long, String)].collect().sorted.toSeq
+    assert(filtered == Seq(
+      (1L, 10L, 5L, "a b c keep1 only1"),
+      (2L, 10L, 5L, "a b c keep2 only2")))
+  }
+
   test("xxhash64 production keys produce identical spans and removal to string keys") {
     // real-ish corpus slice so the parity check covers merge + removal paths
     val df = Tables.documents(spark, "/root/testdata/sf0.001")
