@@ -380,3 +380,94 @@ case class VecCosine(left: Expression, right: Expression)
          |""".stripMargin
     })
 }
+
+/** Fused min-hash over character n-grams of a string: min over all
+  * char positions i of xxhash64 of the `gramChars`-character substring
+  * starting at i (windows = max(numChars - gramChars + 1, 1); a
+  * shorter-than-gram string hashes once whole) — the winnowing-lite
+  * fingerprint (`TextAnalysis.fingerprint`) in ONE generated pass over
+  * the UTF8 bytes. Identical values to the HOF form
+  * `array_min(transform(sequence(...), i => xxhash64(substr(s, i, n))))`:
+  * `substr` slices by character, so the loop first walks the byte
+  * boundaries of each code point (one pass, `numBytesForFirstByte`) and
+  * then hashes byte ranges in place — no per-window UTF8String
+  * allocation, no hash-array materialization (the HOF form allocates
+  * both per position; measured the dominant cost of `doc_fingerprint`).
+  */
+case class XxMinCharGramHash(child: Expression, gramChars: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(gramChars > 0, s"gram width must be positive, got $gramChars")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xx_min_char_gram_hash"
+  override protected def withNewChildInternal(newChild: Expression): XxMinCharGramHash =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numChars()
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val bnd = new Array[Int](n + 1)
+    var bi = 0
+    var cnt = 0
+    while (bi < nb) {
+      bnd(cnt) = bi
+      cnt += 1
+      bi += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + bi))
+    }
+    bnd(n) = nb
+    val wins = math.max(n - (gramChars - 1), 1)
+    var minH = Long.MaxValue
+    var i = 0
+    while (i < wins) {
+      val endChar = math.min(i + gramChars, n)
+      val h = XXH64.hashUnsafeBytes(base, off + bnd(i), bnd(endChar) - bnd(i), 42L)
+      if (h < minH) minH = h
+      i += 1
+    }
+    minH
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = NativeHashExpressions.XXH
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val platform = "org.apache.spark.unsafe.Platform"
+      val n = ctx.freshName("n")
+      val nb = ctx.freshName("nb")
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      val bnd = ctx.freshName("bnd")
+      val bi = ctx.freshName("bi")
+      val cnt = ctx.freshName("cnt")
+      val wins = ctx.freshName("wins")
+      val minH = ctx.freshName("minH")
+      val i = ctx.freshName("i")
+      val ec = ctx.freshName("ec")
+      val h = ctx.freshName("h")
+      s"""
+         |final int $n = $c.numChars();
+         |final int $nb = $c.numBytes();
+         |final Object $base = $c.getBaseObject();
+         |final long $off = $c.getBaseOffset();
+         |final int[] $bnd = new int[$n + 1];
+         |int $bi = 0; int $cnt = 0;
+         |while ($bi < $nb) {
+         |  $bnd[$cnt++] = $bi;
+         |  $bi += $utf8.numBytesForFirstByte($platform.getByte($base, $off + $bi));
+         |}
+         |$bnd[$n] = $nb;
+         |int $wins = $n - ${gramChars - 1}; if ($wins < 1) $wins = 1;
+         |long $minH = Long.MAX_VALUE;
+         |for (int $i = 0; $i < $wins; $i++) {
+         |  int $ec = $i + $gramChars; if ($ec > $n) $ec = $n;
+         |  final long $h = $xxh.hashUnsafeBytes($base, $off + $bnd[$i], $bnd[$ec] - $bnd[$i], 42L);
+         |  if ($h < $minH) $minH = $h;
+         |}
+         |${ev.value} = $minH;
+         |""".stripMargin
+    })
+}

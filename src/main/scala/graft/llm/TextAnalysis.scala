@@ -115,10 +115,15 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{Nd}]+", " "))
     df.withColumn("__norm", norm)
+      // fused one-pass native expression (graft.functions.XxMinCharGramHash)
+      // — same values as the HOF form
+      // array_min(transform(sequence(1, len-7), i => xxhash64(substr(i, 8))))
+      // without the per-window substring + hash-array allocation (equality
+      // pinned in NativeExprSpec; measured 1.99 s → see BASELINE round-9)
       .withColumn("fp_min_gram",
-        array_min(transform(
-          sequence(lit(1), greatest(length(col("__norm")) - 7, lit(1))),
-          i => xxhash64(col("__norm").substr(i, lit(8))))))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.XxMinCharGramHash(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__norm")), 8)))
       .withColumn("fp_full", xxhash64(col("__norm")))
       .drop("__norm")
   }

@@ -92,6 +92,33 @@ class NativeExprSpec extends AnyFunSuite with SparkTestSession {
     assert(byId(4L).isNullAt(1), "wrong width → null")
   }
 
+  test("XxMinCharGramHash: equals the HOF substr form; interpreted == codegen; multibyte") {
+    val strs = Seq(
+      (1L, "the quick brown fox jumps over"),
+      (2L, ""),                       // empty → one whole-string window
+      (3L, "short"),                  // shorter than the gram width
+      (4L, "exactly8"),               // exactly the gram width
+      (5L, "héllo wörld ünïcode ẞtr"),// multibyte: byte-boundary walk
+      (7L, "日本語のテキストです漢字かな")   // all multibyte
+    ).toDF("id", "s")
+    val fused = strs.select(col("id"),
+      c(XxMinCharGramHash(e(col("s")), 8)).as("h"))
+    // the HOF construction fingerprint() used before the fused expression
+    val hof = strs.select(col("id"),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col("s")) - 7, lit(1))),
+        i => xxhash64(col("s").substr(i, lit(8))))).as("h"))
+    assert(fused.orderBy("id").collect().toSeq === hof.orderBy("id").collect().toSeq,
+      "fused expression must equal the HOF substr form, incl. multibyte strings")
+    assertParity(fused)
+    // DOCUMENTED divergence on null input: the HOF form yields 42 (an
+    // artifact of xxhash64 null-skipping → hash of nothing at seed), the
+    // fused expression propagates null like every other unary expression
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    assert(nulls.select(c(XxMinCharGramHash(e(col("s")), 8))).head().isNullAt(0))
+    assertParity(nulls.select(col("id"), c(XxMinCharGramHash(e(col("s")), 8)).as("h")))
+  }
+
   test("VecCosine: interpreted == codegen incl. mismatch / null element / zero norm") {
     val pairs = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](-1.0, 0.5, 2.0)),
