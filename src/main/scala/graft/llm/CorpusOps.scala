@@ -30,43 +30,52 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Max multiplicity of any element in an array column: sort, then one
+    * run-length fold — the per-row form of "top count per group". Null-safe
+    * initial prev (eqNullSafe) so a legitimate first element never matches
+    * the seed; empty array → 0.
+    */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(sort_array(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
   /** Within-document repetition metrics (the cheap degenerate-text
     * filters applied before dedup): duplicate-word fraction, most-common
     * word fraction, and most-common word-bigram fraction. High values
     * flag keyword-stuffed / generated / boilerplate pages.
     *
-    * Two explode+groupBy passes keyed by (doc, token) — partial
-    * aggregation collapses repeats before the shuffle, so shuffle volume
-    * is bounded by distinct tokens per doc, not doc length.
+    * ZERO shuffles: "most common word per doc" is a per-row property, so
+    * it's computed as sort_array + a run-length fold ([[maxMultiplicity]])
+    * inside the projection — O(L log L) per doc in-line versus shuffling
+    * one (doc, token) row per token corpus-wide, which is what the
+    * original two explode+groupBy passes did (measured 1.31 s at sf0.1;
+    * at 100 TB the explode form's shuffle is the corpus itself, the fold
+    * form ships nothing).
     */
-  def repetitionColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df
-      .select(col(idCol), TextDedup.tokenize(col(textCol)).as("toks"))
-      .withColumn("n_words", size(col("toks")))
-      .withColumn("n_distinct", size(array_distinct(col("toks"))))
-    val topWord = base
-      .select(col(idCol), explode(col("toks")).as("w"))
-      .groupBy(idCol, "w").count()
-      .groupBy(idCol).agg(max("count").as("top_word_cnt"))
-    val topBigram = base
-      .select(col(idCol), explode(TextDedup.shingles(col("toks"), 2)).as("g"))
-      .groupBy(idCol, "g").count()
-      .groupBy(idCol).agg(max("count").as("top_bigram_cnt"),
-        sum("count").as("n_bigrams"))
-    base
-      .join(topWord, Seq(idCol), "left")
-      .join(topBigram, Seq(idCol), "left")
+  def repetitionColumns(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextDedup.tokenize(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        size(col("toks")).as("n_words"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        maxMultiplicity(col("toks")).as("top_word_cnt"))
+      .select(col(idCol), col("n_words"), col("n_distinct"), col("top_word_cnt"),
+        greatest(col("n_words") - 1, lit(0)).cast("long").as("n_bigrams"),
+        maxMultiplicity(TextDedup.shingles(col("toks"), 2)).as("top_bigram_cnt"))
       .select(col(idCol), col("n_words"),
         when(col("n_words") === 0, 0.0d)
           .otherwise((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
           .as("dup_word_frac"),
         when(col("n_words") === 0, 0.0d)
-          .otherwise(coalesce(col("top_word_cnt"), lit(0L)).cast("double") / col("n_words"))
+          .otherwise(col("top_word_cnt").cast("double") / col("n_words"))
           .as("top_word_frac"),
-        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0d)
+        when(col("n_bigrams") === 0, 0.0d)
           .otherwise(col("top_bigram_cnt").cast("double") / col("n_bigrams"))
           .as("top_bigram_frac"))
-  }
 
   /** Corpus-level boilerplate-phrase catalog: word n-grams appearing in
     * at least `minDf` DISTINCT documents, with their document frequency
