@@ -599,11 +599,19 @@ object TextDedup {
                      hashedKeys: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
     // toks projected before the gram lambda (per-element re-evaluation
-    // hazard documented on shingles)
-    val grams0 = toks.select(col("id"),
-      posexplode(shingles(col("toks"), k)).as(Seq("pos", "gram")))
-    val grams = (if (hashedKeys) grams0.withColumn("gkey", xxhash64(col("gram")))
-                 else grams0.withColumn("gkey", col("gram"))).drop("gram")
+    // hazard documented on shingles). The hashed path windows over
+    // shingleHashes (fused XxShingleHashes — no per-window string
+    // concatenation, LongType keys in the shuffle); equality is the only
+    // property the pipeline uses, so any injective-enough keying gives
+    // identical spans (pinned vs the string form by spec). Window
+    // positions align: both forms emit max(size - k + 1, 0) windows.
+    val grams =
+      if (hashedKeys)
+        toks.select(col("id"),
+          posexplode(shingleHashes(col("toks"), k)).as(Seq("pos", "gkey")))
+      else
+        toks.select(col("id"),
+          posexplode(shingles(col("toks"), k)).as(Seq("pos", "gkey")))
     val dupKeys = grams.groupBy("gkey").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount).select("gkey")
     val hits = grams.join(dupKeys, Seq("gkey"))

@@ -72,8 +72,13 @@ object DupSpanStream {
       .select(col(idCol).cast("long").as("id"),
         graft.llm.TextDedup.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
       .where(col("id").isNotNull)
-    val gramsC = graft.llm.TextDedup.shingles(col("toks"), k)
-    val keysC = if (hashedKeys) transform(gramsC, g => hex(xxhash64(g))) else gramsC
+    // hashed keys via the fused shingle hasher (no per-window string
+    // concatenation), rendered as strings for the MapState key type
+    val keysC =
+      if (hashedKeys)
+        transform(graft.llm.TextDedup.shingleHashes(col("toks"), k),
+          h => h.cast("string"))
+      else graft.llm.TextDedup.shingles(col("toks"), k)
     val prepared = prepared0.select(col("id"), keysC.as("gkeys"))
 
     val rowEnc = Encoders.row(prepared.schema)
