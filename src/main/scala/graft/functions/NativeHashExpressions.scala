@@ -471,3 +471,59 @@ case class XxMinCharGramHash(child: Expression, gramChars: Int)
          |""".stripMargin
     })
 }
+
+/** Shared primitive kernels callable from BOTH interpreted eval and
+  * generated code (the standard static-helper pattern for logic that
+  * doesn't inline well as a codegen template, e.g. a sort).
+  */
+object GraftExprHelpers {
+  /** Max multiplicity of any element of a string array: sort + one
+    * run-length pass, nulls counted as their own group. Empty → 0.
+    */
+  def maxRunLength(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    if (m == 0) return 0L
+    var nulls = 0L
+    val a = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) nulls += 1 else a.add(arr.getUTF8String(i))
+      i += 1
+    }
+    java.util.Collections.sort(a)
+    var best = nulls
+    var run = 0L
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    val it = a.iterator()
+    while (it.hasNext) {
+      val x = it.next()
+      run = if (prev != null && x.equals(prev)) run + 1 else 1L
+      if (run > best) best = run
+      prev = x
+    }
+    best
+  }
+}
+
+/** Max multiplicity of any element in a string array — the per-row form
+  * of "top count per group" (`CorpusOps.repetitionColumns`'s most-common
+  * word/bigram), as ONE compiled sort + run-length pass instead of the
+  * `aggregate` HOF fold whose lambda executes interpreted per element.
+  * Identical values to the fold (multiset max multiplicity; nulls form
+  * their own group); empty array → 0; null array → null.
+  */
+case class MaxRunLength(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "max_run_length"
+  override protected def withNewChildInternal(newChild: Expression): MaxRunLength =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    GraftExprHelpers.maxRunLength(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftExprHelpers.maxRunLength($c);")
+}

@@ -30,19 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Max multiplicity of any element in an array column: sort, then one
-    * run-length fold — the per-row form of "top count per group". Null-safe
-    * initial prev (eqNullSafe) so a legitimate first element never matches
-    * the seed; empty array → 0.
+  /** Max multiplicity of any element in an array column — the native
+    * one-pass expression (graft.functions.MaxRunLength: compiled sort +
+    * run-length; an `aggregate` HOF fold here runs its lambda interpreted
+    * per element). Empty array → 0.
     */
   private def maxMultiplicity(arr: Column): Column =
-    aggregate(sort_array(arr),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x <=> acc("prev"), acc("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MaxRunLength(
+        org.apache.spark.sql.GraftColumnBridge.expression(arr)))
 
   /** Within-document repetition metrics (the cheap degenerate-text
     * filters applied before dedup): duplicate-word fraction, most-common

@@ -119,6 +119,28 @@ class NativeExprSpec extends AnyFunSuite with SparkTestSession {
     assertParity(nulls.select(col("id"), c(XxMinCharGramHash(e(col("s")), 8)).as("h")))
   }
 
+  test("MaxRunLength: equals the sort+fold HOF form; interpreted == codegen") {
+    val arrs = Seq(
+      (1L, Seq("b", "a", "b", "c", "b", "a")),  // b×3
+      (2L, Seq.empty[String]),                   // → 0
+      (3L, Seq("x")),                            // → 1
+      (4L, Seq("a", null, "a", null, null)),     // nulls group: 3
+      (5L, null.asInstanceOf[Seq[String]]),      // null array → null
+      (6L, Seq("t", "t", "t", "t"))              // all equal
+    ).toDF("id", "a")
+    val fused = arrs.select(col("id"), c(MaxRunLength(e(col("a")))).as("m"))
+    val hof = arrs.select(col("id"),
+      aggregate(sort_array(col("a")),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x <=> acc("prev"), acc("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best")).as("m"))
+    assert(fused.orderBy("id").collect().toSeq === hof.orderBy("id").collect().toSeq)
+    assertParity(fused)
+  }
+
   test("VecCosine: interpreted == codegen incl. mismatch / null element / zero norm") {
     val pairs = Seq(
       (1L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](-1.0, 0.5, 2.0)),
