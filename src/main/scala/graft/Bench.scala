@@ -43,7 +43,10 @@ object Bench {
         .agg(max_by(struct(ev.columns.map(col): _*), col("event_id")).as("r"))
         .groupBy("r.event_type").count().count()
     } catch {
-      case e: Throwable =>
+      // NonFatal only: an OutOfMemoryError/StackOverflowError here means the
+      // JVM is already compromised — continuing would record misleading
+      // per-query timings, so fatal errors must propagate and fail the run
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -108,15 +111,22 @@ object Bench {
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_all":$qsAll,"reps":$reps,"errors":$es,"sf":"${esc(sfDir)}"}"""
-    println(json)
-    // the stdout line is tail-captured by the driver and has twice been
-    // truncated mid-array (BENCH_r06/r07 lost the alphabetically-first
-    // queries); the file is the self-contained primary record
+    // the full record (all repetitions) goes to the file; stdout gets a
+    // COMPACT line as the very LAST thing printed. The driver tail-captures
+    // only the final ~2 KB of stdout and has three times truncated the full
+    // line mid-array (BENCH_r06/r07 lost the first queries; BENCH_r09 parsed
+    // null) — so the parseable line must be small: per-query mins rounded to
+    // ms, no queries_all.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     System.err.println(s"bench json written to ${out.toAbsolutePath}")
+    def ms3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qsC = results.map { case (k, (v, _)) => s""""${esc(k)}":${ms3(v)}""" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qsC,"reps":$reps,"errors":$es,"sf":"${esc(sfDir)}"}"""
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
 }

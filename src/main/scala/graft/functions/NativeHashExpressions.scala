@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, ExpectsInputTypes, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Native (whole-stage-codegen) Catalyst expressions for the near-dup hot
   * path. The HOF forms (`transform`/`zip_with` lambdas) execute their
@@ -480,6 +481,75 @@ object GraftExprHelpers {
   /** Max multiplicity of any element of a string array: sort + one
     * run-length pass, nulls counted as their own group. Empty → 0.
     */
+  /** Cut spans out of a token array: normalize the (possibly overlapping,
+    * possibly out-of-range) span list to disjoint in-range intervals
+    * (sort by start, clamp to [0, |toks|-1], merge overlapping/adjacent),
+    * then one two-pointer walk over the tokens — O(tokens + spans log
+    * spans) per doc, vs the HOF form's O(tokens × spans) per-token
+    * `exists`. Returns (tokensRemoved, cleanText): the count is the
+    * number of token positions actually removed, so overlapping
+    * caller-supplied spans no longer double-count. Null tokens pass
+    * through the keep-filter and are skipped by concatWs, matching
+    * `concat_ws(" ", filter(...))`.
+    */
+  def cutSpans(toks: ArrayData, starts: ArrayData, ends: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val m = math.min(starts.numElements(), ends.numElements())
+    // clamp + drop empty/inverted/out-of-range; keep (start, idx)-encoded
+    // sort keys so one primitive long sort orders the pairs
+    val keys = new Array[Long](m)
+    val endArr = new Array[Long](m)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      if (!starts.isNullAt(i) && !ends.isNullAt(i)) {
+        var s = starts.getLong(i)
+        var e = ends.getLong(i)
+        if (s < 0) s = 0
+        if (e > n - 1) e = n - 1
+        if (s <= e) {
+          keys(cnt) = (s << 32) | cnt.toLong
+          endArr(cnt) = e
+          cnt += 1
+        }
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(keys, 0, cnt)
+    // merge overlapping/adjacent into disjoint sorted spans in-place
+    val ms = new Array[Long](cnt)
+    val me = new Array[Long](cnt)
+    var nm = 0
+    i = 0
+    while (i < cnt) {
+      val s = keys(i) >>> 32
+      val e = endArr((keys(i) & 0xffffffffL).toInt)
+      if (nm > 0 && s <= me(nm - 1) + 1) {
+        if (e > me(nm - 1)) me(nm - 1) = e
+      } else {
+        ms(nm) = s; me(nm) = e; nm += 1
+      }
+      i += 1
+    }
+    var removed = 0L
+    i = 0
+    while (i < nm) { removed += me(i) - ms(i) + 1; i += 1 }
+    val kept = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    var sp = 0
+    var t = 0
+    while (t < n) {
+      while (sp < nm && me(sp) < t) sp += 1
+      if (!(sp < nm && t >= ms(sp)))
+        kept.add(if (toks.isNullAt(t)) null else toks.getUTF8String(t))
+      t += 1
+    }
+    val clean = org.apache.spark.unsafe.types.UTF8String.concatWs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+      kept.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](kept.size())): _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](removed, clean))
+  }
+
   def maxRunLength(arr: ArrayData): Long = {
     val m = arr.numElements()
     if (m == 0) return 0L
@@ -526,4 +596,35 @@ case class MaxRunLength(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftExprHelpers.maxRunLength($c);")
+}
+
+/** Span removal over a token array (`TextDedup.removeSpans`'s kernel):
+  * given parallel start/end arrays (inclusive token positions, possibly
+  * overlapping or out of range — they are merged and clamped first),
+  * returns struct(n_dup_tokens, clean_text) where `n_dup_tokens` counts
+  * the token positions actually removed and `clean_text` is the
+  * space-joined survivors. One compiled two-pointer pass replaces the
+  * HOF form's per-token `exists` over the span array, whose cost is
+  * O(tokens × spans) per doc — quadratic on a pathological
+  * fully-fragmented doc.
+  */
+case class CutSpans(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_dup_tokens", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def prettyName: String = "cut_spans"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CutSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(toks: Any, starts: Any, ends: Any): Any =
+    GraftExprHelpers.cutSpans(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], ends.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c1, c2, c3) =>
+      s"${ev.value} = graft.functions.GraftExprHelpers.cutSpans($c1, $c2, $c3);")
 }

@@ -41,7 +41,11 @@ object TextAnalysis {
     // payload-forcing bench; this form: one count pass referenced twice).
     // Semantics preserved exactly: the fold started from ("en", -1) with
     // a strict `>`, which is first-max over the alphabetical language
-    // order — identical to array_position's first-occurrence rule.
+    // order — identical to array_position's first-occurrence rule. One
+    // deliberate divergence from the fold: on NULL text the fold's null
+    // comparisons kept the 'en' seed, while the argmax propagates NULL
+    // through counts/array_max/element_at — the coalesce below restores
+    // the fold's 'en' answer for NULL input.
     val langs = stopwords.keys.toSeq.sorted
     val toks = TextDedup.tokenize(text)
     val counts = aggregate(toks, array(langs.map(_ => lit(0)): _*),
@@ -51,7 +55,7 @@ object TextAnalysis {
       }: _*))
     val pred = element_at(typedLit(langs),
       array_position(counts, array_max(counts)).cast("int"))
-    when(cjkRatio(text) > 0.25, "zh").otherwise(pred)
+    when(cjkRatio(text) > 0.25, "zh").otherwise(coalesce(pred, lit("en")))
   }
 
   /** Quality features + a composite score in [0,1]: length band, alpha

@@ -656,24 +656,37 @@ object TextDedup {
     * pipeline that materialized/cached the detection output (or filtered
     * it, e.g. only spans ≥ N tokens) pay for it once instead of
     * recomputing the whole gram pipeline inside the removal.
+    *
+    * Caller-supplied spans need NOT be disjoint or in-range: they are
+    * merged (overlapping/adjacent) and clamped to the token range inside
+    * the [[graft.functions.CutSpans]] kernel, so `n_dup_tokens` is
+    * always the count of token positions actually removed (an
+    * overlapping input no longer double-counts), and the per-doc cost is
+    * O(tokens + spans log spans) — a two-pointer compiled pass, not the
+    * HOF per-token `exists` that degraded to O(tokens × spans) on a
+    * pathological fully-fragmented doc.
     */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
                   spansDf: DataFrame): DataFrame = {
+    // two parallel collect_lists in ONE aggregation pass see rows in the
+    // same order, so positions align; CutSpans sorts anyway
     val spans = spansDf
       .groupBy(col(idCol).as("id"))
-      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
-        .as("spans"))
+      .agg(collect_list(col("span_start").cast("long")).as("ss"),
+        collect_list(col("span_end").cast("long")).as("es"))
+    val cut = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CutSpans(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("toks")),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          coalesce(col("ss"), array().cast("array<bigint>"))),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          coalesce(col("es"), array().cast("array<bigint>")))))
     df.select(col(idCol).as("id"), tokenize(col(textCol)).as("toks"))
       .join(spans, Seq("id"), "left")
-      .withColumn("spans", coalesce(col("spans"),
-        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("cut", cut)
       .select(col("id").as(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
-        aggregate(col("spans"), lit(0L),
-          (acc, sp) => acc + sp("e") - sp("s") + 1).as("n_dup_tokens"),
-        concat_ws(" ", filter(col("toks"),
-          (_, i) => !exists(col("spans"),
-            sp => i.cast("long") >= sp("s") && i.cast("long") <= sp("e"))))
-          .as("clean_text"))
+        col("cut.n_dup_tokens").as("n_dup_tokens"),
+        col("cut.clean_text").as("clean_text"))
   }
 }

@@ -73,11 +73,12 @@ object DupSpanStream {
         graft.llm.TextDedup.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
       .where(col("id").isNotNull)
     // hashed keys via the fused shingle hasher (no per-window string
-    // concatenation), rendered as strings for the MapState key type
+    // concatenation), rendered as hex for the MapState key type — same
+    // encoding as LineDedupStream (≤16 chars vs up to 20 for decimal)
     val keysC =
       if (hashedKeys)
         transform(graft.llm.TextDedup.shingleHashes(col("toks"), k),
-          h => h.cast("string"))
+          h => hex(h))
       else graft.llm.TextDedup.shingles(col("toks"), k)
     val prepared = prepared0.select(col("id"), keysC.as("gkeys"))
 
@@ -182,6 +183,172 @@ object DupSpanStream {
     implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
     prepared.as(rowEnc)
       .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** GRAM-SHARDED stage A — the scale-out path past the monolith's
+    * single-task ceiling (~1,120 docs/s flat, BASELINE.md round-9),
+    * following the `NearDupStream.shardedEdges`/`unionFindStage`
+    * precedent. The monolith serializes promotion AND span merging in
+    * one task because it keys everything to one Int; but unlike the
+    * near-dup union-find, NOTHING here is corpus-global: gram promotion
+    * is per-gram-local and span merging is per-doc-local — the operator
+    * shards end-to-end.
+    *
+    * Stage A keys `transformWithState` by the gram itself (posexplode →
+    * groupByKey(gkey)), so each gram's occurrence list is its own state
+    * row and the promotion work spreads across all cores. Per-gram state
+    * is TINY and bounded: at most `minCount - 1` stored (doc, pos) pairs
+    * before promotion, then the zero-length sentinel — so the duplicate-
+    * occurrence guard scan is O(minCount), and a redelivered occurrence
+    * is idempotent (stored ones are skipped; post-promotion re-hits
+    * re-emit, which stage B's distinct-merge absorbs). Output: the HIT
+    * log (id, pos) — every (doc, window-start) now known duplicated,
+    * including the retroactive stored ones released at promotion.
+    * Append-mode (hits are never retracted).
+    *
+    * Spark 4.1 does not chain two update-mode `transformWithState`
+    * operators in one query, so stage B runs as a second query bridged
+    * by a replayable log of stage-A hits (memory table in the harnesses;
+    * files/kafka in production) — the same deployment shape as the
+    * sharded near-dup pair.
+    */
+  def shardedGramHits(sdf: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, minCount: Int = 2,
+                      hashedKeys: Boolean = false): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2 for the incremental index, got $minCount")
+    val prepared0 = sdf
+      .select(col(idCol).cast("long").as("id"),
+        graft.llm.TextDedup.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+      .where(col("id").isNotNull)
+    val keysC =
+      if (hashedKeys)
+        transform(graft.llm.TextDedup.shingleHashes(col("toks"), k), h => hex(h))
+      else graft.llm.TextDedup.shingles(col("toks"), k)
+    val prepared = prepared0
+      .select(col("id"), posexplode(keysC).as(Seq("pos", "gkey")))
+      .select(col("gkey"), col("id"), col("pos").cast("long").as("pos"))
+
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, "long").add("pos", "long")
+    val outEnc = Encoders.row(outSchema)
+    val mc = minCount
+
+    val processor = new StatefulProcessor[String, Row, Row] {
+      @transient private var occS: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        occS = getHandle.getValueState[Array[Long]]("occ",
+          Encoders.kryo[Array[Long]], TTLConfig.NONE)
+
+      override def handleInputRows(gkey: String, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        // deterministic processing order within the batch → deterministic
+        // retroactive-release order per gram
+        rows.toSeq.sortBy(r => (r.getLong(1), r.getLong(2))).foreach { r =>
+          val id = r.getLong(1)
+          val pos = r.getLong(2)
+          val occ = occS.get() // null = first occurrence of this gram
+          if (occ == null) {
+            occS.update(Array(id, pos))
+          } else if (occ.length == 0) {
+            out += Row(id, pos) // promoted: O(1) from here on
+          } else {
+            // idempotence guard: a redelivered stored occurrence must not
+            // inflate the count (scan bounded by minCount-1 entries)
+            var dup = false
+            var i = 0
+            while (i < occ.length && !dup) {
+              dup = occ(i) == id && occ(i + 1) == pos
+              i += 2
+            }
+            if (!dup) {
+              if (occ.length / 2 + 1 >= mc) {
+                var j = 0
+                while (j < occ.length) { out += Row(occ(j), occ(j + 1)); j += 2 }
+                out += Row(id, pos)
+                occS.update(Array.emptyLongArray)
+              } else {
+                val next = new Array[Long](occ.length + 2)
+                System.arraycopy(occ, 0, next, 0, occ.length)
+                next(occ.length) = id
+                next(occ.length + 1) = pos
+                occS.update(next)
+              }
+            }
+          }
+        }
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Sharded stage B — doc-keyed span merge over the stage-A hit log.
+    * Keys by document id (every doc's island merge is independent), so
+    * this stage scales out too: per doc-key state is the sorted hit-
+    * position array plus a per-doc update counter. Emits the monolith's
+    * REPLACE-BY-DOC change log: whenever a doc's hit set grows, its full
+    * merged span list re-emits under one fresh per-doc `upd_seq` (the
+    * live view — [[latestSpans]] — partitions by doc, so a per-doc
+    * counter carries the same semantics as the monolith's global one).
+    * Duplicate hits from stage-A redelivery merge away in the distinct
+    * union.
+    */
+  def spanMergeStage(hits: DataFrame, idCol: String, k: Int = 5): DataFrame = {
+    val prepared = hits.select(col(idCol).cast("long").as("id"),
+      col("pos").cast("long").as("pos"))
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add(idCol, "long").add("span_start", "long").add("span_end", "long")
+      .add("upd_seq", "long")
+    val outEnc = Encoders.row(outSchema)
+    val kk = k
+
+    val processor = new StatefulProcessor[Long, Row, Row] {
+      @transient private var hitsS: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+      @transient private var seqS: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        hitsS = getHandle.getValueState[Array[Long]]("hits",
+          Encoders.kryo[Array[Long]], TTLConfig.NONE)
+        seqS = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+      }
+
+      override def handleInputRows(d: Long, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val prev = { val v = hitsS.get(); if (v == null) Array.emptyLongArray else v }
+        val added = rows.map(_.getLong(1)).toArray
+        val all = (prev ++ added).distinct.sorted
+        if (all.length == prev.length) Iterator.empty // nothing new: no supersession
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val seq = if (seqS.exists()) seqS.get() else 0L
+          hitsS.update(all)
+          var i = 0
+          while (i < all.length) {
+            val s = all(i)
+            var e = s + (kk - 1)
+            var j = i + 1
+            while (j < all.length && all(j) <= e) { e = all(j) + (kk - 1); j += 1 }
+            out += Row(d, s, e, seq)
+            i = j
+          }
+          seqS.update(seq + 1)
+          out.iterator
+        }
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .transformWithState[Row](processor, TimeMode.None(), OutputMode.Update())
   }
 

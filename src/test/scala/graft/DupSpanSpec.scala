@@ -89,6 +89,37 @@ class DupSpanSpec extends AnyFunSuite with SparkTestSession {
       (2L, 10L, 5L, "a b c keep2 only2")))
   }
 
+  test("removeSpans merges overlapping caller spans: n_dup_tokens counts actual removals") {
+    import spark.implicits._
+    val df = docs(1L -> "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
+    // overlapping [1,4] + [3,6], adjacent [8,9], and an out-of-range [7,99]
+    val spans = Seq((1L, 1L, 4L), (1L, 3L, 6L), (1L, 8L, 9L), (1L, 7L, 99L))
+      .toDF("doc_id", "span_start", "span_end")
+    val r = TextDedup.removeSpans(df, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // merged disjoint cover = [1,6] ∪ [7,9] → 6 + 3 = 9 removed, only t0 kept
+    assert(r == Seq((1L, 10L, 9L, "t0")))
+    // unmerged naive sum would have been 4+4+2+93 = 103 — the old double-count
+  }
+
+  test("pathological fully-fragmented doc: many alternating spans stay linear") {
+    import spark.implicits._
+    // 20k tokens, every even position its own 1-token span → 10k spans on one doc
+    val toks = (0 until 20000).map(i => s"w$i").mkString(" ")
+    val df = docs(1L -> toks)
+    val spans = (0 until 20000 by 2).map(p => (1L, p.toLong, p.toLong))
+      .toDF("doc_id", "span_start", "span_end")
+    val t0 = System.nanoTime()
+    val r = TextDedup.removeSpans(df, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r.head._2 == 20000L && r.head._3 == 10000L)
+    assert(r.head._4 == (1 until 20000 by 2).map(i => s"w$i").mkString(" "))
+    // the old per-token exists was O(tokens × spans) = 2×10^8 interpreted
+    // lambda steps for this doc; the two-pointer kernel is O(tokens)
+    assert(secs < 30.0, f"pathological doc took $secs%.1f s — kernel regressed to quadratic?")
+  }
+
   test("xxhash64 production keys produce identical spans and removal to string keys") {
     // real-ish corpus slice so the parity check covers merge + removal paths
     val df = Tables.documents(spark, "/root/testdata/sf0.001")

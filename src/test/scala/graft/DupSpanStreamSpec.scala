@@ -114,6 +114,78 @@ class DupSpanStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  private def withRocks[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("sharded two-stage path: gram-sharded hits + doc-keyed merge equal monolith and batch") {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val docs = Seq(
+      Doc(1, "a b c d e f one"),
+      Doc(2, "two a b c d e f"),
+      Doc(3, "g h i j three k l"),
+      Doc(4, "four g h i j m k l"),
+      Doc(5, "a b c g h i five"),
+      Doc(6, "a b c a b c within"))
+    val expected = batchSpans(docs)
+    assert(expected.nonEmpty)
+    // stage A: per-gram promotion, append-mode hit log
+    val hits = withRocks {
+      Replay.replay(spark, docs.toDF(), "doc_id", 1, "append")(sdf =>
+        DupSpanStream.shardedGramHits(sdf, "doc_id", "text", k = K)).cache()
+    }
+    // the hit set must equal the batch operator's duplicated windows
+    val batchHits = {
+      val toks = docs.toDF().select($"doc_id",
+        TextDedup.tokenize($"text").as("toks"))
+      val grams = toks.select($"doc_id",
+        org.apache.spark.sql.functions.posexplode(
+          TextDedup.shingles($"toks", K)).as(Seq("pos", "g")))
+      val dup = grams.groupBy("g").count().filter($"count" >= 2).select("g")
+      grams.join(dup, "g").select($"doc_id", $"pos".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(hits.select("doc_id", "pos").as[(Long, Long)].collect().toSet == batchHits)
+    // stage B: doc-keyed island merge over the bridged hit log
+    val feed = hits.withColumn("ord", monotonically_increasing_id())
+    val log = withRocks {
+      Replay.replay(spark, feed, "ord", 3, "update")(sdf =>
+        DupSpanStream.spanMergeStage(sdf.drop("ord"), "doc_id", k = K)).cache()
+    }
+    assert(latest(log) == expected, "sharded spans diverged from batch")
+    // and from the monolith on the same corpus
+    assert(latest(log) == latest(runStream(docs)))
+  }
+
+  test("sharded path, hashed production keys, real corpus slice: parity with batch") {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "text").as[Doc].collect().toSeq
+    val expected = TextDedup.duplicateSpans(docs.toDF(), "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val hits = withRocks {
+      Replay.replay(spark, docs.toDF(), "doc_id", 25, "append")(sdf =>
+        DupSpanStream.shardedGramHits(sdf, "doc_id", "text", k = 5,
+          hashedKeys = true)).cache()
+    }
+    val feed = hits.withColumn("ord", monotonically_increasing_id())
+    val log = withRocks {
+      Replay.replay(spark, feed, "ord", 500, "update")(sdf =>
+        DupSpanStream.spanMergeStage(sdf.drop("ord"), "doc_id", k = 5)).cache()
+    }
+    val got = DupSpanStream.latestSpans(log, "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("kill + restart from checkpoint preserves the incremental index") {
     val docs = Seq(
       Doc(1, "a b c d e one"),

@@ -84,6 +84,48 @@ class LineDedupStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("sharded single-stage path: line-keyed shards equal the monolith and batch") {
+    val docs = Seq(
+      Doc(1, "h\na1\nf"), Doc(2, "h\na2\nf"), Doc(3, "h\na3\nf"),
+      Doc(4, "solo\na4\nf"), Doc(5, "h\na5\nother"),
+      Doc(6, "rep\nrep\nrep"), Doc(7, "rep\nx"), Doc(8, "y\nrep"))
+    val expected = batchDropped(docs)
+    assert(expected.nonEmpty)
+    def runSharded(ds: Seq[Doc], chunk: Int, hashed: Boolean = false): Set[(Long, Long)] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      UniqueStreams.useRocksDBStateStore(spark)
+      try
+        Replay.replay(spark, ds.toDF(), "doc_id", chunk, "append")(sdf =>
+          LineDedupStream.shardedLineDedupStream(sdf, "doc_id", "text",
+            hashedKeys = hashed))
+          .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    assert(runSharded(docs, 1) == expected)
+    assert(runSharded(docs, 3) == expected)
+    assert(runSharded(docs, 1, hashed = true) == expected)
+    assert(runSharded(docs.reverse, 1) == expected)
+    assert(runStream(docs) == expected) // monolith agrees
+  }
+
+  test("a line repeated thousands of times inside one doc stays O(1) per occurrence") {
+    // pathological separator case from the round-9 advisory: one doc with
+    // 4k copies of the same line never reaches minDf=3 distinct docs; the
+    // header-prefixed occurrence array must keep the distinct-doc update
+    // O(1) (the old form rescanned the whole list per occurrence —
+    // ~8M comparisons here). Then two more hosts promote it and all 4k
+    // stored positions emit retroactively.
+    val sep = (0 until 4000).map(_ => "====").mkString("\n")
+    val docs = Seq(Doc(1, sep), Doc(2, "====\nbody"), Doc(3, "other\n===="))
+    val streamed = runStream(docs, chunkSize = 3)
+    assert(streamed == batchDropped(docs))
+    assert(streamed.count(_._1 == 1L) == 4000)
+  }
+
   test("kill + restart preserves the occurrence index") {
     val docs = Seq(
       Doc(1, "h\na1"), Doc(2, "h\na2"), Doc(3, "h\na3"),
