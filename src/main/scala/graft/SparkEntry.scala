@@ -187,6 +187,20 @@ object SparkEntry {
         llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
           mirrorableDims = true),
         "doc_id")),
+    // real encode→decode→bilinear-resize→PNG→decode round-trip over
+    // id-derived solid-color BMPs: the oracle predicts dims + the single
+    // surviving color without touching pixels (constant-image resampling
+    // is exact)
+    "mm_resize" -> ((s, d) =>
+      llm.Multimodal.resizeChecked(Tables.documents(s, d), "doc_id", 16, 16)),
+    // frame-sampling fan-out plan over id-derived synthetic video meta
+    // (n_frames = doc_id % 40 + 1, every 7th frame)
+    "mm_frames" -> ((s, d) =>
+      llm.Multimodal.sampleFrames(
+        llm.Multimodal.withSyntheticVideoMeta(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        "doc_id", everyK = 7)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))),
     // ---- corpus-curation tier (llm.CorpusOps): the filter / packing /
     // decontamination layer between dedup and training ----
     "doc_repetition" -> ((s, d) =>
@@ -993,6 +1007,20 @@ object SparkEntry {
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,
       "mm_features" -> mmFeaturesOracle,
+      // solid-color resize round-trip: target dims, one color, the color
+      "mm_resize" ->
+        """SELECT doc_id, 16::BIGINT AS out_w, 16::BIGINT AS out_h,
+          |  1::BIGINT AS n_colors,
+          |  (doc_id % 256)::BIGINT AS r0,
+          |  ((doc_id * 7) % 256)::BIGINT AS g0,
+          |  ((doc_id * 13) % 256)::BIGINT AS b0
+          |FROM documents""".stripMargin,
+      // inclusive stepped frame grid per doc: 0, 7, 14, … ≤ doc_id % 40
+      // (list-valued range + unnest — the table-function form rejects
+      // lateral column arguments)
+      "mm_frames" ->
+        """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx FROM (
+          |  SELECT doc_id, unnest(range(0, (doc_id % 40) + 1, 7)) AS f FROM documents)""".stripMargin,
       // streaming replays verify against the batch twins' semantics:
       // everStream's accumulated CHANGE LOG holds every event once as
       // 'insert' plus every replaced event again as 'expire' (the batch

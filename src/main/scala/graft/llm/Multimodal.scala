@@ -298,4 +298,89 @@ object Multimodal {
       .select(col(idCol), col("media"),
         explode(sequence(lit(0), greatest(col("media_meta.n_frames") - 1, lit(0)), lit(everyK)))
           .as("frame_idx"))
+
+  /** Synthetic VIDEO metadata (frame count derived from the id so a
+    * cross-engine oracle can mirror it): kind='video', n_frames =
+    * id % 40 + 1, no payload — the minimum a [[sampleFrames]] pipeline
+    * needs. The oracle twin of [[withSyntheticMedia]]'s image path.
+    */
+  def withSyntheticVideoMeta(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("media", lit(null).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("video").as("kind"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate_hz"),
+        (pmod(col(idCol), lit(40)) + 1).cast("int").as("n_frames")))
+
+  /** Hash-checkable twin of [[resizeImages]] — runs the REAL encode →
+    * decode → bilinear-resize → PNG re-encode → decode pipeline, on
+    * solid-color BMP payloads whose color and source dims derive from
+    * the id (so a cross-engine oracle can predict the observable
+    * output without decoding pixels): bilinear resampling of a constant
+    * image is exact, so the resized PNG must be the same solid color at
+    * the target dims. Output (doc_id, out_w, out_h, n_colors, r0, g0,
+    * b0) all BIGINT — n_colors pins "every output pixel equals the
+    * source color" (1), r0/g0/b0 the color itself; decode failure
+    * surfaces as a -1 row rather than a silent drop.
+    */
+  def resizeChecked(df: DataFrame, idCol: String, targetW: Int, targetH: Int): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("id"))
+    val srcSchema = new StructType().add("id", LongType).add("media", BinaryType)
+    val encSrc: org.apache.spark.sql.Encoder[Row] = Encoders.row(srcSchema)
+    val withMedia = pruned.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w0 = (id % 16).toInt + 4
+        val h0 = ((id * 3) % 16).toInt + 4
+        val rgb = ((id % 256).toInt << 16) | (((id * 7) % 256).toInt << 8) |
+          ((id * 13) % 256).toInt
+        val img = new java.awt.image.BufferedImage(w0, h0,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h0) {
+          var x = 0
+          while (x < w0) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        // schema-carrying rows: EliminateSerialization pipelines this
+        // iterator STRAIGHT into resizeImages' mapPartitions (no
+        // serialize/deserialize boundary), whose lambda reads fields by
+        // name — a bare GenericRow would throw on fieldIndex
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(id, bos.toByteArray), srcSchema): Row
+      }
+    }(encSrc)
+    val resized = resizeImages(withMedia, "id", targetW, targetH)
+    val outSchema = new StructType()
+      .add("doc_id", LongType).add("out_w", LongType).add("out_h", LongType)
+      .add("n_colors", LongType).add("r0", LongType).add("g0", LongType)
+      .add("b0", LongType)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    resized.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        // positional: resizeImages' own output rows are schema-less and
+        // arrive here un-reserialized (same pipelining as above)
+        val bytes = r.getAs[Array[Byte]](1)
+        val img = if (bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) Row(id, -1L, -1L, -1L, -1L, -1L, -1L)
+        else {
+          val colors = scala.collection.mutable.HashSet.empty[Int]
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { colors += (img.getRGB(x, y) & 0xFFFFFF); x += 1 }
+            y += 1
+          }
+          val c0 = img.getRGB(0, 0)
+          Row(id, img.getWidth.toLong, img.getHeight.toLong, colors.size.toLong,
+            ((c0 >> 16) & 0xFF).toLong, ((c0 >> 8) & 0xFF).toLong, (c0 & 0xFF).toLong)
+        }
+      }
+    }
+  }
 }

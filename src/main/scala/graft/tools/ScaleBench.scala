@@ -114,7 +114,7 @@ object ScaleBench {
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
       "emb_ann_stream_soak", "corpus_curation", "dup_spans",
-      "dupspan_stream_soak")
+      "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -432,6 +432,183 @@ object ScaleBench {
       parts += (s""""dupspan_stream_soak":{"spans_stream":$nStream,""" +
         s""""spans_batch":$nBatch,"sym_diff":$symDiff,""" +
         s""""increments":[${incJson.mkString(",")}]}""")
+    }
+    // Gram-sharded span-detection path (VERDICT r9 ask #1): the monolith
+    // soak above serializes promotion AND merging in one task (~1,120
+    // docs/s flat). The sharded split runs stage A (per-gram promotion)
+    // across all cores and stage B (per-doc island merge) across all
+    // cores, bridged by a replayable hit log — here a streaming PARQUET
+    // sink (the N× hit log is tens of millions of rows; the memory sink
+    // would hold them all on the driver). Parity is two-sided: stage-A
+    // hits ≡ the batch duplicated-window relation (set equality), and
+    // stage-B latestSpans ≡ batch duplicateSpans — both sym_diff-0 over
+    // the full N× corpus. The honest local[32] question is whether the
+    // sharded form's per-batch overhead (32 RocksDB stores committing
+    // per micro-batch) eats the parallelism; docs/s per stage answers it.
+    if (wanted("dupspan_sharded")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      if (sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true").toBoolean)
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      val src = docsSf1.select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val encA: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val hitsDir = java.nio.file.Files.createTempDirectory("sharded_hits").toString
+      val msA = MemoryStream[Row](encA, sqlCtx)
+      val qA = graft.streaming.DupSpanStream.shardedGramHits(
+          msA.toDF(), "doc_id", "text", k = 5, hashedKeys = true)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", hitsDir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_spanShardA").toString)
+        .start()
+      val ids = docsSf1.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 20
+      val span = (hi - lo + nInc) / nInc
+      var nDocs = 0L
+      val t0 = System.nanoTime()
+      (0 until nInc).foreach { i =>
+        val chunk = src.filter(col("doc_id") >= lo + i * span &&
+          col("doc_id") < lo + (i + 1) * span).orderBy("doc_id").collect()
+        nDocs += chunk.length
+        msA.addData(chunk.toSeq)
+        qA.processAllAvailable()
+      }
+      val secA = (System.nanoTime() - t0) / 1e9
+      val stateRowsA = Option(qA.lastProgress)
+        .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+      qA.stop()
+      val hits = spark.read.parquet(hitsDir).cache()
+      val nHits = hits.count()
+      // parity 1: the hit set must equal the batch duplicated windows
+      val toks = docsSf1.select(col("doc_id"),
+        graft.llm.TextDedup.tokenize(col("text")).as("toks"))
+      val grams = toks.select(col("doc_id"),
+        posexplode(graft.llm.TextDedup.shingleHashes(col("toks"), 5)).as(Seq("pos", "g")))
+      val dupG = grams.groupBy("g").count().filter(col("count") >= 2).select("g")
+      val batchHits = grams.join(dupG, "g")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      val hitDiff = hits.distinct().exceptAll(batchHits).count() +
+        batchHits.exceptAll(hits.distinct()).count()
+      // stage B: doc-keyed merge, fed the hit log in doc-range chunks
+      // (order across chunks is irrelevant — the merge is a distinct
+      // union; committed MemoryStream batches are dropped, so the
+      // driver holds one chunk at a time)
+      val encB: org.apache.spark.sql.Encoder[Row] = Encoders.row(hits.schema)
+      val msB = MemoryStream[Row](encB, sqlCtx)
+      val qB = graft.streaming.DupSpanStream.spanMergeStage(
+          msB.toDF(), "doc_id", k = 5)
+        .writeStream.format("memory").queryName("sharded_spans")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_spanShardB").toString)
+        .start()
+      val t1 = System.nanoTime()
+      (0 until nInc).foreach { i =>
+        val chunk = hits.filter(col("doc_id") >= lo + i * span &&
+          col("doc_id") < lo + (i + 1) * span).collect()
+        msB.addData(chunk.toSeq)
+        qB.processAllAvailable()
+      }
+      val secB = (System.nanoTime() - t1) / 1e9
+      val streamSpans = graft.streaming.DupSpanStream
+        .latestSpans(spark.table("sharded_spans"), "doc_id").cache()
+      val nStream = streamSpans.count()
+      qB.stop()
+      val batchSpans = graft.llm.TextDedup.duplicateSpans(docsSf1, "doc_id", "text",
+        k = 5, hashedKeys = true).cache()
+      val nBatch = batchSpans.count()
+      val symDiff = streamSpans.exceptAll(batchSpans).count() +
+        batchSpans.exceptAll(streamSpans).count()
+      streamSpans.unpersist(); batchSpans.unpersist(); hits.unpersist()
+      val pipelined = nDocs / math.max(secA, secB)
+      parts += (f""""dupspan_sharded":{"docs":$nDocs,"hits":$nHits,""" +
+        f""""stage_a_sec":$secA%.2f,"stage_a_docs_per_sec":${nDocs / secA}%.0f,""" +
+        f""""stage_a_state_rows":$stateRowsA,"hit_sym_diff":$hitDiff,""" +
+        f""""stage_b_sec":$secB%.2f,"stage_b_hits_per_sec":${nHits / secB}%.0f,""" +
+        f""""pipelined_docs_per_sec":$pipelined%.0f,""" +
+        f""""spans_stream":$nStream,"spans_batch":$nBatch,"sym_diff":$symDiff}""")
+    }
+    // Line-sharded line-dedup path — the single-stage twin: the
+    // insert-only (doc, pos) log needs no merge stage, so the whole
+    // operator shards by line key in one query. Runs over the SYNTHETIC
+    // multi-line corpus (shared headers/footers + 12-word content lines
+    // identical across the N copies — raw document text has no newlines,
+    // which would make the parity target trivially empty), both the
+    // monolith and the sharded form on the same feed: the honest
+    // local[32] A/B. Parity: each accumulated log ≡ batch
+    // duplicateLines over the N× corpus.
+    if (wanted("linededup_sharded")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      if (sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true").toBoolean)
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      val src = graft.llm.CorpusOps.withSyntheticLines(docsSf1, "doc_id", "text")
+        .select(col("doc_id"), col("lines_text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val ids = docsSf1.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 20
+      val span = (hi - lo + nInc) / nInc
+      def runOne(name: String,
+                 build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                 mode: String): (Long, Double, Long, org.apache.spark.sql.DataFrame) = {
+        val ms = MemoryStream[Row](enc, sqlCtx)
+        val q = build(ms.toDF())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+          .start()
+        var nDocs = 0L
+        val t0 = System.nanoTime()
+        (0 until nInc).foreach { i =>
+          val chunk = src.filter(col("doc_id") >= lo + i * span &&
+            col("doc_id") < lo + (i + 1) * span).orderBy("doc_id").collect()
+          nDocs += chunk.length
+          ms.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+        q.stop()
+        (nDocs, sec, stateRows,
+          spark.table(name).select(col("doc_id"), col("pos")))
+      }
+      val (nDocsS, secS, stateS, droppedS0) = runOne("sharded_lines",
+        sdf => graft.streaming.LineDedupStream.shardedLineDedupStream(
+          sdf, "doc_id", "lines_text", minDf = 3, hashedKeys = true), "append")
+      val (_, secM, stateM, droppedM0) = runOne("monolith_lines",
+        sdf => graft.streaming.LineDedupStream.lineDedupStream(
+          sdf, "doc_id", "lines_text", minDf = 3, hashedKeys = true), "update")
+      val droppedS = droppedS0.cache(); val droppedM = droppedM0.cache()
+      val nStream = droppedS.count()
+      val nMono = droppedM.count()
+      val batchDropped = graft.llm.CorpusOps.duplicateLines(
+        src, "doc_id", "lines_text", minDf = 3, hashedKeys = true).cache()
+      val nBatch = batchDropped.count()
+      val symDiffS = droppedS.exceptAll(batchDropped).count() +
+        batchDropped.exceptAll(droppedS).count()
+      val symDiffM = droppedM.exceptAll(batchDropped).count() +
+        batchDropped.exceptAll(droppedM).count()
+      droppedS.unpersist(); droppedM.unpersist(); batchDropped.unpersist()
+      parts += (f""""linededup_sharded":{"docs":$nDocsS,""" +
+        f""""sharded_sec":$secS%.2f,"sharded_docs_per_sec":${nDocsS / secS}%.0f,""" +
+        f""""sharded_state_rows":$stateS,"sharded_sym_diff":$symDiffS,""" +
+        f""""monolith_sec":$secM%.2f,"monolith_docs_per_sec":${nDocsS / secM}%.0f,""" +
+        f""""monolith_state_rows":$stateM,"monolith_sym_diff":$symDiffM,""" +
+        f""""dropped_stream":$nStream,"dropped_monolith":$nMono,"dropped_batch":$nBatch}""")
     }
     // Band-sharded near-dup path (VERDICT r7 ask #4): can the split —
     // stage A candidate-gen+verify PARALLEL across band-code shards,

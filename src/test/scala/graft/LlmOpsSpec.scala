@@ -628,6 +628,29 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(feats(0) === 16.0f && feats(1) === 12.0f)
   }
 
+  test("resizeChecked: solid-color BMP round-trip yields exact dims + one color") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id")
+    val got = Multimodal.resizeChecked(docs, "doc_id", 16, 16)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val expected = docs.as[Long].collect().map { id =>
+      (id, 16L, 16L, 1L, id % 256, (id * 7) % 256, (id * 13) % 256)
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("withSyntheticVideoMeta + sampleFrames mirrors the stepped-grid formula") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id")
+    val got = Multimodal.sampleFrames(
+        Multimodal.withSyntheticVideoMeta(docs, "doc_id"), "doc_id", everyK = 7)
+      .select($"doc_id", $"frame_idx".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val expected = docs.as[Long].collect().flatMap { id =>
+      (0L to id % 40 by 7L).map(f => (id, f))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("sampleFrames fans a video row out to every k-th frame") {
     val vid = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
       .withColumn("media_meta", struct(lit("video").as("kind"),
