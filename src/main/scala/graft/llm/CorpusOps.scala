@@ -99,23 +99,32 @@ object CorpusOps {
     * (`id % evalMod == 0`) to stay self-contained on the test tables; a
     * production call passes a real benchmark table in its place.
     *
-    * The eval gram index is `broadcast()` — eval sets are tiny relative
-    * to the corpus, so contamination is a broadcast hash join against a
-    * train side that is only (id, gram) pairs after column pruning; the
-    * 100 TB corpus never shuffles.
+    * With `broadcastEval = true` (the default — eval sets are tiny
+    * relative to the corpus) the eval gram index is `broadcast()` and
+    * contamination is a broadcast hash join; the 100 TB corpus never
+    * shuffles. When the eval set is too large to broadcast (a full
+    * benchmark suite against a small shard, or a held-out split that is
+    * a constant fraction of the corpus), pass `broadcastEval = false`:
+    * the join becomes a gram-key-partitioned shuffle join whose train
+    * side is ONLY (id, gram) pairs after column pruning — the payload
+    * columns (text and everything else) never enter the exchange
+    * (asserted by `LlmOpsSpec`'s plan test; measured in ScaleBench
+    * `decontam_large_eval`). Identical output either way.
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
-                    evalMod: Long = 50, n: Int = 5): DataFrame = {
+                    evalMod: Long = 50, n: Int = 5,
+                    broadcastEval: Boolean = true): DataFrame = {
     val grams = df
       .select(col(idCol).as("id"), TextDedup.tokenize(col(textCol)).as("toks"))
       // same per-element re-evaluation hazard as boilerplatePhrases:
       // tokens must be a projected column before entering the gram lambda
       .select(col("id"),
         explode(array_distinct(TextDedup.shingles(col("toks"), n))).as("gram"))
-    val evalGrams = grams.filter(col("id") % evalMod === 0)
+    val evalGrams0 = grams.filter(col("id") % evalMod === 0)
       .select(col("gram"), col("id").as("eval_id")).distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
     val hits = grams.filter(col("id") % evalMod =!= 0)
-      .join(broadcast(evalGrams), "gram")
+      .join(evalGrams, "gram")
       .groupBy("id")
       .agg(count_distinct(col("gram")).as("n_hit_grams"),
         count_distinct(col("eval_id")).as("n_eval_docs"))

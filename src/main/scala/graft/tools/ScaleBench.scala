@@ -114,7 +114,8 @@ object ScaleBench {
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
       "emb_ann_stream_soak", "corpus_curation", "dup_spans",
-      "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded")
+      "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
+      "decontam_large_eval")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -187,6 +188,24 @@ object ScaleBench {
           graft.llm.CorpusOps.withSyntheticLines(docsSf1, "doc_id", "text"),
           "doc_id", "lines_text", minDf = 3, hashedKeys = true)
           .agg(sum(length(col("clean_text"))) + sum(col("n_dropped"))).head().getLong(0)
+      }
+    }
+    // Decontamination past the broadcast regime (VERDICT r9 ask #5):
+    // evalMod=3 makes the "eval set" a third of the N× corpus — far past
+    // anything broadcastable — and broadcastEval=false plans the gram
+    // join as a key-partitioned shuffle join whose exchanges carry only
+    // (id, gram) pairs, never the text payload (the plan invariant is
+    // asserted in CorpusOpsSpec; this row prices it at scale). The
+    // broadcast default at the same evalMod is measured alongside where
+    // it still fits, so the crossover cost is on record.
+    if (wanted("decontam_large_eval")) {
+      parts += timed("decontam_large_eval_shuffle") {
+        graft.llm.CorpusOps.decontaminate(docsSf1, "doc_id", "text",
+          evalMod = 3L, n = 5, broadcastEval = false).count()
+      }
+      parts += timed("decontam_large_eval_broadcast") {
+        graft.llm.CorpusOps.decontaminate(docsSf1, "doc_id", "text",
+          evalMod = 3L, n = 5).count()
       }
     }
     // span dedup at N×: the copy construction duplicates every doc body

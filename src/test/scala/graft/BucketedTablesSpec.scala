@@ -87,6 +87,57 @@ class BucketedTablesSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("LLM tier over id-bucketed documents: span-removal and line-dedup never shuffle the payload") {
+    val docs = Tables.documents(spark, sfDir)
+    BucketedTables.writeBucketed(docs, "docs_id_bkt", s"$warehouse/docs_id_bkt", 4, Seq("doc_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force real shuffle planning: with broadcast enabled the small spans
+    // side broadcasts and the payload assertion would be vacuous
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def payloadShuffles(nodes: Seq[SparkPlan]): Seq[SparkPlan] =
+      shuffles(nodes).filter(_.children.head.output.exists(a =>
+        Set("toks", "text", "clean_text", "__lines", "lines_text").contains(a.name)))
+    try {
+      val bkt = BucketedTables.read(spark, "docs_id_bkt")
+      // span removal: the corpus body (tokenized text) enters the
+      // id-keyed join from the bucketed scan — only the tiny spans
+      // relation (ids + positions) may cross an exchange
+      val removal = llm.TextDedup.removeDuplicateSpans(bkt, "doc_id", "text", k = 5)
+      val nodes = execNodes(removal)
+      assert(payloadShuffles(nodes).isEmpty,
+        "span removal over the id-bucketed table must not shuffle token payloads")
+      assert(scans(nodes).exists(_.bucketedScan))
+      val expected = llm.TextDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5)
+      assert(removal.collect().toSet === expected.collect().toSet)
+
+      // line dedup rebuild: same invariant for the line payload. Runs
+      // over the synthetic-lines view (shared headers/footers) — raw
+      // document text has no newlines, so its drops side is EMPTY and
+      // AQE's empty-relation propagation would collapse the whole join
+      // away, making every assertion vacuous
+      val bktLines = llm.CorpusOps.withSyntheticLines(bkt, "doc_id", "text")
+      val ld = llm.CorpusOps.lineDedup(bktLines, "doc_id", "lines_text", minDf = 3)
+      val ldNodes = execNodes(ld)
+      assert(payloadShuffles(ldNodes).isEmpty,
+        "line-dedup rebuild over the id-bucketed table must not shuffle line payloads")
+      assert(scans(ldNodes).exists(_.bucketedScan))
+      val ldExpected = llm.CorpusOps.lineDedup(
+        llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text"),
+        "doc_id", "lines_text", minDf = 3)
+      assert(ld.collect().toSet === ldExpected.collect().toSet)
+      assert(ld.agg(sum(col("n_dropped"))).head().getLong(0) > 0,
+        "synthetic-lines corpus must actually drop lines")
+
+      // control: the unbucketed plans DO shuffle the payload under the
+      // same no-broadcast regime — the assertions above are not vacuous
+      assert(payloadShuffles(execNodes(
+        llm.TextDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 5))).nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS docs_id_bkt")
+    }
+  }
+
   test("unique window operators on a bucketed-by-key table skip the key shuffle") {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("seq", monotonically_increasing_id())

@@ -65,6 +65,46 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r(5L)._4 && r(5L)._2 === 1L && r(5L)._3 === 1L)
   }
 
+  test("decontaminate past the broadcast regime: shuffle join, payload never enters an exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // identical output with and without the broadcast hint
+    val viaBroadcast = CorpusOps.decontaminate(docs, "doc_id", "text", evalMod = 10L)
+      .collect().toSet
+    val viaShuffle = CorpusOps.decontaminate(docs, "doc_id", "text", evalMod = 10L,
+      broadcastEval = false)
+    assert(viaShuffle.collect().toSet === viaBroadcast)
+    // plan: under broadcastEval=false (and no auto-broadcast), the gram
+    // join is a shuffle join whose exchanges carry ONLY (id, gram,
+    // eval_id)-shaped rows — the text payload is pruned before any
+    // exchange, so the plan survives an eval set of any size
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = CorpusOps.decontaminate(docs, "doc_id", "text", evalMod = 10L,
+        broadcastEval = false)
+      q.collect()
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case _ => p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+      })
+      val nodes = walk(q.queryExecution.executedPlan)
+      val ex = nodes.filter(_.isInstanceOf[ShuffleExchangeLike])
+      assert(ex.nonEmpty, "without the hint the gram join must plan a shuffle join")
+      assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) === 0,
+        "no broadcast join may survive with the hint off and auto-broadcast disabled")
+      val payloadEx = ex.filter(_.children.head.output.exists(a =>
+        a.name == "text" || a.name == "toks"))
+      assert(payloadEx.isEmpty,
+        "the text payload must be pruned before every exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("packSequences: per-shard concat-and-chunk offsets and bins") {
     // shard A: 300+300+300 tokens → offsets 0,300,600 → bins 0,0,1 (budget 512)
     // shard B independent: offsets restart at 0
