@@ -115,7 +115,7 @@ object ScaleBench {
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
       "emb_ann_stream_soak", "corpus_curation", "dup_spans",
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
-      "decontam_large_eval")
+      "decontam_large_eval", "lengthbatch_phaseb")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -137,6 +137,34 @@ object ScaleBench {
     // every keyed op shares) and `deduplicate` (keyed secondary-sort
     // fold, the heaviest) — both should scale ~linearly, unlike the
     // global-order lengthBatch above whose phase B is inherently serial
+    // lengthBatch phase split (VERDICT r9 ask #8): how much of the wall is
+    // the inherently serial phase-B automaton? Phase A (parallel chunk
+    // compression) is timed to a cached summary; phase B (SinglePartition
+    // fold over that cached summary) is timed alone. A parallel-prefix
+    // replacement for phase B is a measured non-starter — the segment
+    // state is a function of the carried-in key-set, exponential to
+    // represent (see lengthBatchSummary scaladoc) — so the serial share
+    // below is the operator's true sequential depth.
+    if (wanted("lengthbatch_phaseb")) {
+      // hand-timed (timed() clears the cache, which would re-run phase A
+      // inside the phase-B measurement)
+      spark.catalog.clearCache()
+      val summary = graft.operators.UniqueOps
+        .lengthBatchSummary(evSf1, Seq("user_id"), "event_id", 40)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tA = System.nanoTime()
+      val nSummary = summary.count()
+      val secA = (System.nanoTime() - tA) / 1e9
+      val tB = System.nanoTime()
+      val nBatches = graft.operators.UniqueOps
+        .lengthBatchIntervalsFromSummary(summary, 1, 40).count()
+      val secB = (System.nanoTime() - tB) / 1e9
+      summary.unpersist()
+      parts += (f""""lengthbatch_phaseb":{"summary_rows":$nSummary,""" +
+        f""""batches":$nBatches,"phase_a_sec":$secA%.2f,""" +
+        f""""phase_b_serial_sec":$secB%.2f,""" +
+        f""""serial_share":${secB / (secA + secB)}%.3f}""")
+    }
     if (wanted("ever_current")) parts += timed("ever_current") {
       graft.operators.UniqueOps.everCurrent(evSf1, Seq("user_id"), "event_id").count()
     }
@@ -166,8 +194,12 @@ object ScaleBench {
           n = 3, minDf = 5).count()
       }
       parts += timed("doc_decontam_scale") {
+        // aggregate over the hit columns: a bare count() lets Catalyst
+        // drop the unique-keyed contamination join entirely (the same
+        // count-star elision the round-9 bench harness fix caught)
         graft.llm.CorpusOps.decontaminate(docsSf1, "doc_id", "text",
-          evalMod = 50L, n = 5).count()
+          evalMod = 50L, n = 5)
+          .agg(sum(col("n_hit_grams")) + sum(col("n_eval_docs"))).head().getLong(0)
       }
       parts += timed("doc_pack_scale") {
         graft.llm.CorpusOps.packSequences(docsSf1, "doc_id", "text",
@@ -199,13 +231,17 @@ object ScaleBench {
     // broadcast default at the same evalMod is measured alongside where
     // it still fits, so the crossover cost is on record.
     if (wanted("decontam_large_eval")) {
+      // aggregate over the hit columns — count() elides the join (see
+      // doc_decontam_scale note)
       parts += timed("decontam_large_eval_shuffle") {
         graft.llm.CorpusOps.decontaminate(docsSf1, "doc_id", "text",
-          evalMod = 3L, n = 5, broadcastEval = false).count()
+          evalMod = 3L, n = 5, broadcastEval = false)
+          .agg(sum(col("n_hit_grams")) + sum(col("n_eval_docs"))).head().getLong(0)
       }
       parts += timed("decontam_large_eval_broadcast") {
         graft.llm.CorpusOps.decontaminate(docsSf1, "doc_id", "text",
-          evalMod = 3L, n = 5).count()
+          evalMod = 3L, n = 5)
+          .agg(sum(col("n_hit_grams")) + sum(col("n_eval_docs"))).head().getLong(0)
       }
     }
     // span dedup at N×: the copy construction duplicates every doc body
