@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked runMain's stdout through VERBATIM (no "[info] " logger
+// prefix): the driver tail-parses graft.Bench's final JSON line, and the
+// sbt log prefix breaks a strict line parser
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
