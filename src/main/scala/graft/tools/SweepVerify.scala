@@ -170,11 +170,68 @@ object SweepVerify {
        |) WHERE rn = 1""".stripMargin
   }
 
+  // ---- streaming-sweep oracle builders (the change-log shapes the fixed
+  // replay rows use, parameterized by keys/window/n) ----
+
+  private def everStreamSql(keys: Seq[String]): String =
+    s"""SELECT $EVSQL, 'insert' AS change FROM events
+       |UNION ALL
+       |SELECT $EVSQL, 'expire' AS change FROM (
+       |  SELECT *, ${rnSql(keys, desc = true)} AS rn FROM events) WHERE rn > 1""".stripMargin
+
+  private def lengthStreamSql(keys: Seq[String], n: Int): String =
+    s"""SELECT $EVSQL, 'insert' AS change FROM events
+       |UNION ALL
+       |SELECT $EVSQL, 'expire' AS change FROM events WHERE event_id NOT IN (
+       |  SELECT event_id FROM (${lengthSql(keys, n, "current")}))""".stripMargin
+
+  private def timeStreamSql(keys: Seq[String], w: Long): String =
+    s"""SELECT $EVSQL, 'insert' AS change FROM events
+       |UNION ALL
+       |SELECT $EVSQL, 'expire' AS change FROM (
+       |  SELECT *, ${rnSql(keys, desc = true)} AS rn FROM events) WHERE rn > 1
+       |UNION ALL
+       |SELECT $EVSQL, 'expire' AS change FROM (
+       |  SELECT *, ${rnSql(keys, desc = true)} AS rn FROM events) WHERE rn = 1
+       |  AND epoch_ms(ts) + $w < (SELECT max(epoch_ms(ts)) FROM events)""".stripMargin
+
+  private def lengthBatchStreamSql(keys: Seq[String], n: Int, latest: Boolean): String =
+    s"""SELECT *, 'insert' AS change FROM (${lengthBatchSql(keys, n, latest, expiredOnly = false)})
+       |UNION ALL
+       |SELECT *, 'expire' AS change FROM (${lengthBatchSql(keys, n, latest, expiredOnly = true)})""".stripMargin
+
+  private def etbStreamSql(keys: Seq[String], w: Long): String =
+    s"""SELECT $EVSQL, batch_start_ms + $w AS batch_end_ms FROM (
+       |  SELECT e.*, ((epoch_ms(ts) - s.m) // $w) * $w + s.m AS batch_start_ms,
+       |    (epoch_ms(ts) - s.m) // $w AS bid,
+       |    row_number() OVER (PARTITION BY (epoch_ms(ts) - s.m) // $w, ${pk(keys)} ORDER BY event_id DESC) AS rn
+       |  FROM events e CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s
+       |) WHERE rn = 1 AND bid < (
+       |  SELECT max((epoch_ms(ts) - s2.m) // $w)
+       |  FROM events CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s2)""".stripMargin
+
+  private def tlbStreamSql(keys: Seq[String], w: Long, n: Int): String = {
+    val kpart = pk(keys)
+    s"""WITH t AS (SELECT *, epoch_ms(ts) // $w AS b FROM events),
+       |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, $kpart) THEN 1 ELSE 0 END AS isf FROM t),
+       |r AS (SELECT *, coalesce(sum(isf) OVER (PARTITION BY b ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f),
+       |k AS (SELECT * FROM r WHERE bef < $n),
+       |fl AS (
+       |  SELECT b FROM (SELECT DISTINCT b, $kpart FROM k) GROUP BY b HAVING count(*) = $n
+       |  UNION
+       |  SELECT DISTINCT b FROM k WHERE b < (SELECT max(b) FROM t))
+       |SELECT $EVSQL, batch_start_ms FROM (
+       |  SELECT *, b * $w AS batch_start_ms,
+       |    row_number() OVER (PARTITION BY b, $kpart ORDER BY event_id DESC) AS rn
+       |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val seed = if (args.length > 2) args(2).toLong else 42L
-    val nDraws = if (args.length > 3) args(3).toInt else 55
+    val streamingMode = args.length > 4 && args(4) == "streaming"
+    val nDraws = if (args.length > 3) args(3).toInt else (if (streamingMode) 16 else 55)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -189,13 +246,25 @@ object SweepVerify {
     val families = Seq("ever", "first", "time", "timebatch", "firsttimebatch",
       "externaltimebatch", "length", "lengthbatch", "firstlengthbatch",
       "timelengthbatch", "deduplicate")
+    // streaming families: the same operators via their stateful
+    // Structured Streaming forms, replayed chunk-by-chunk and compared
+    // to change-log oracles generated from the same draw — randomized
+    // boundary arithmetic through the PROCESSORS, not just the batch
+    // reinterpretations
+    val streamFamilies = Seq("ever_stream", "first_stream", "time_stream",
+      "timebatch_stream", "lengthbatch_stream", "length_stream",
+      "deduplicate_stream", "externaltimebatch_stream", "timelengthbatch_stream")
     def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+    def replayed(seqCol: String, mode: String)(
+        build: DataFrame => DataFrame): DataFrame =
+      graft.streaming.Replay.replay(spark, ev, seqCol, 2000, mode)(build)
 
     val oracles = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var ok = 0
     (0 until nDraws).foreach { i =>
-      val fam = families(i % families.length)
+      val fam = if (streamingMode) streamFamilies(i % streamFamilies.length)
+                else families(i % families.length)
       val keys = pick(keyGrid)
       val w = pick(windowGrid)
       val n = pick(nGrid)
@@ -259,6 +328,59 @@ object SweepVerify {
             UniqueOps.deduplicateSalted(ev, keys, "event_id", "ts", w).current
           else UniqueOps.deduplicate(ev, keys, "event_id", "ts", w).current
           (d, deduplicateSql(keys, w), s"${if (salted) "salted_" else ""}w$w")
+
+        // ---- streaming families (replay harness, change-log oracles) ----
+        case "ever_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.everStream(sdf, keys, Some("event_id"))),
+            everStreamSql(keys), "replay")
+        case "first_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.firstStream(sdf, keys, "event_id")),
+            firstSql(keys), "replay")
+        case "time_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.timeStream(sdf, keys, "ts", w,
+              seqCol = Some("event_id"))),
+            timeStreamSql(keys, w), s"replay_w$w")
+        case "timebatch_stream" =>
+          // ts-ordered feed keeps the watermark monotone; the start.time
+          // grid anchor exercises the window() modulo against the batch
+          // floor arithmetic
+          val s = pick(startGrid.flatten)
+          val kf = rng.nextBoolean()
+          (replayed("ts", "append")(sdf =>
+            graft.streaming.UniqueStreams.timeBatchStream(sdf, keys, "event_id",
+              "ts", w, keepFirst = kf, startMs = s)),
+            timeBatchSql(keys, w, Some(s), keepFirst = kf, replaceTs = false, "expired"),
+            s"replay_w${w}_s$s${if (kf) "_first" else ""}")
+        case "lengthbatch_stream" =>
+          val nn = pick(Seq(7, 41)) // the recursive oracle at tiny n is the batch sweep's job
+          val kf = rng.nextBoolean()
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.lengthBatchStream(sdf, keys, "event_id", nn,
+              keepFirst = kf)),
+            lengthBatchStreamSql(keys, nn, latest = !kf),
+            s"replay_n$nn${if (kf) "_first" else ""}")
+        case "length_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.lengthStream(sdf, keys, "event_id", n)),
+            lengthStreamSql(keys, n), s"replay_n$n")
+        case "deduplicate_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.deduplicateStreamExact(sdf, keys,
+              "event_id", "ts", w)),
+            deduplicateSql(keys, w), s"replay_w$w")
+        case "externaltimebatch_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.externalTimeBatchStream(sdf, keys,
+              "event_id", "ts", w, timeOutMs = 0L)).drop("flush_kind"),
+            etbStreamSql(keys, w), s"replay_w$w")
+        case "timelengthbatch_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.timeLengthBatchStream(sdf, keys,
+              "event_id", "ts", w, n)).drop("change"),
+            tlbStreamSql(keys, w, n), s"replay_w${w}_n$n")
       }
       val name = f"draw$i%03d_${fam}_${keys.mkString("-")}_$tag"
       try {
