@@ -182,6 +182,28 @@ object SparkEntry {
       llm.Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4, groups = 8, planesPerGroup = 4)
         .select("id_a", "id_b")),
+    // BATCH pairs → transitive clusters for the EMBEDDING tier (the vector
+    // analog of doc_neardup_clusters_md5; until now only the streaming
+    // replay carried this closure check). Same recursive-CTE oracle as the
+    // stream row — batch and stream must agree on the cluster structure.
+    "emb_neardup_clusters" -> ((s, d) =>
+      llm.TextDedup.nearDupClusters(
+        llm.Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, groups = 8, planesPerGroup = 4)
+          .select("id_a", "id_b"))
+        .select(col("id").as("vec_id"), col("cluster_id"))),
+    // ... and clusters → the surviving vector set (SemDeDup-style semantic
+    // dedup deliverable: canonical = min vec_id per cosine-connected
+    // component). vec_id only — the embedding floats are representation-
+    // sensitive across engines, same policy as the knn/ann sim column.
+    "emb_neardup_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.TextDedup.dedupByPairs(emb, "vec_id",
+        llm.Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, groups = 8, planesPerGroup = 4)
+          .select("id_a", "id_b"))
+        .select("vec_id")
+    }),
     "mm_features" -> ((s, d) =>
       llm.Multimodal.extractFeaturesChecked(
         llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
@@ -1003,6 +1025,10 @@ object SparkEntry {
       "emb_ann_lsh" -> embAnnOracle,
       "emb_ann_ivf" -> embIvfOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
+      // batch clusters/dedup share the stream rows' closure oracles: the
+      // batch CC and the streaming union-find must reduce to the same sets
+      "emb_neardup_clusters" -> embNearDupClustersOracle,
+      "emb_neardup_dedup" -> embNearDupStreamOracle,
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,

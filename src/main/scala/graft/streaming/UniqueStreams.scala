@@ -27,6 +27,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Keyed state for the global-order operators (public top-level: the kryo
   * encoder rejects non-public classes).
   */
+/** One Bloom shard of [[UniqueStreams.firstStreamBloom]]'s fixed-size
+  * state: the bitset plus an admitted-count (telemetry for the ε
+  * estimate; not consulted on the hot path).
+  */
+case class BloomShard(bits: Array[Byte], inserted: Long)
+
 case class GlobalState(
     order: List[(String, Row)],          // insertion-ordered live window (length)
     batchKeys: Set[String],              // distinct keys in the filling batch
@@ -113,6 +119,98 @@ object UniqueStreams {
             Iterator.single(Row.fromSeq(winner.toSeq.take(n)))
           }
       }(Encoders.scalaBoolean, outEnc)
+  }
+
+  /** APPROXIMATE unique:first with FIXED-SIZE state — the 100 TB form of
+    * first-wins distinct. Exact `first` state grows with distinct-key
+    * cardinality (one entry per key, forever: the unbounded map the
+    * reference documents as an OOM risk,
+    * UniqueFirstWindowProcessor.java:122-134 + the ever processor's
+    * warning at UniqueEverWindowProcessor.java:66-69); at trillions of
+    * keys that is terabytes of state no store holds comfortably. This
+    * variant keys the state by `hash(key) % numShards` and holds ONE
+    * Bloom bitset per shard: total state = numShards × bitsPerShard/8
+    * bytes — a config-time constant, independent of how many keys ever
+    * arrive.
+    *
+    * Guarantees: NO false negatives — a key that was admitted is never
+    * admitted again (its bits are set). False POSITIVES drop some
+    * genuinely-new keys: with n keys in a shard,
+    * ε ≈ (1 − e^(−numHashes·n/bitsPerShard))^numHashes. Defaults
+    * (64 shards × 8 Mbit, 5 hashes) hold ~50M keys at ε < 1% in 64 MB of
+    * state. Deterministic: fixed hash seeds, so the same input in the
+    * same order admits the same rows on every engine and every replay
+    * (the generously-sized parity spec is stable, not flaky).
+    *
+    * Sharding is by key hash, so a key always lands in the same shard
+    * (membership is consistent) and load spreads uniformly regardless of
+    * key skew — a hot key costs its shard one membership test per event.
+    * Per-event work is O(numHashes) bit probes on a state row that never
+    * grows; RocksDB holds each shard as one value.
+    *
+    * `seqCol` fixes the within-micro-batch winner like the exact
+    * `firstStream(sdf, keys, seqCol)` overload. Output: admitted rows
+    * only (input schema), append-shaped.
+    */
+  def firstStreamBloom(sdf: DataFrame, keys: Seq[String],
+                       numShards: Int = 64, bitsPerShard: Int = 1 << 23,
+                       numHashes: Int = 5,
+                       seqCol: Option[String] = None): DataFrame = {
+    require(numShards > 0 && bitsPerShard > 0 && numHashes > 0,
+      s"numShards/bitsPerShard/numHashes must be positive, " +
+        s"got $numShards/$bitsPerShard/$numHashes")
+    val inSchema = sdf.schema
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+      .withColumn("__shard", pmod(xxhash64(col("__k")), lit(numShards)).cast("int"))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val sIdx = seqCol.map(keyed.schema.fieldIndex)
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(inSchema)
+    val n = inSchema.length
+    val mBits = bitsPerShard.toLong
+    val kHashes = numHashes
+    val shIdx = keyed.schema.fieldIndex("__shard")
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getInt(shIdx))(Encoders.scalaInt)
+      .flatMapGroupsWithState[BloomShard, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Row], state: GroupState[BloomShard]) =>
+          val st = state.getOption.getOrElse(
+            BloomShard(new Array[Byte]((bitsPerShard + 7) / 8), 0L))
+          val bits = st.bits
+          var inserted = st.inserted
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val ordered = sIdx match {
+            case Some(i) => sortedBySeq(rows, i)
+            case None => rows
+          }
+          ordered.foreach { r =>
+            val key = r.getString(kIdx)
+            // Kirsch-Mitzenmacher double hashing: two seeded 32-bit
+            // murmurs span numHashes probe positions (fixed seeds keep
+            // the admitted set replay- and engine-deterministic)
+            val h1 = scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c)
+            val h2 = scala.util.hashing.MurmurHash3.stringHash(key, 0x85ebca6b) | 1
+            var maybeSeen = true
+            var i = 0
+            while (i < kHashes && maybeSeen) {
+              val pos = (((h1.toLong + i.toLong * h2.toLong) % mBits + mBits) % mBits).toInt
+              if ((bits(pos >>> 3) & (1 << (pos & 7))) == 0) maybeSeen = false
+              i += 1
+            }
+            if (!maybeSeen) {
+              var j = 0
+              while (j < kHashes) {
+                val pos = (((h1.toLong + j.toLong * h2.toLong) % mBits + mBits) % mBits).toInt
+                bits(pos >>> 3) = (bits(pos >>> 3) | (1 << (pos & 7))).toByte
+                j += 1
+              }
+              inserted += 1
+              out += Row.fromSeq(r.toSeq.take(n))
+            }
+          }
+          state.update(BloomShard(bits, inserted))
+          out.iterator
+      }(Encoders.kryo[BloomShard], outEnc)
   }
 
   /** unique:deduplicate — drop re-occurrences within intervalMs of the

@@ -29,8 +29,14 @@ object StreamBench {
     def events(n: Int): Seq[Ev] =
       (0 until n).map(i => Ev(new Timestamp(100000L + i * 10L), s"k${i % 1000}", i.toLong))
 
+    // every key distinct: the regime where exact first/ever state grows
+    // one entry per event while firstStreamBloom's stays fixed
+    def uniqEvents(n: Int): Seq[Ev] =
+      (0 until n).map(i => Ev(new Timestamp(100000L + i * 10L), s"u$i", i.toLong))
+
     def run(name: String, mk: MemoryStream[Ev] => org.apache.spark.sql.DataFrame,
-            mode: OutputMode): (String, Double) = {
+            mode: OutputMode,
+            data: Int => Seq[Ev] = events): (String, Double) = {
       val ms = MemoryStream[Ev]
       val q = mk(ms).writeStream.format("memory").queryName(s"sb_$name")
         .outputMode(mode)
@@ -38,7 +44,7 @@ object StreamBench {
         .start()
       val batches = 10
       val per = nEvents / batches
-      val all = events(nEvents)
+      val all = data(nEvents)
       val t0 = System.nanoTime()
       (0 until batches).foreach { b =>
         // last slice takes the division remainder so every event is fed
@@ -54,6 +60,15 @@ object StreamBench {
 
     val results = Seq(
       run("first", ms => UniqueStreams.firstStream(ms.toDF(), Seq("key")), OutputMode.Append()),
+      // Bloom twin on the same 1000-key stream (A/B against "first"), then
+      // both on the all-unique-keys stream where exact state grows
+      // per-event and the Bloom's 8x1Mbit stays fixed
+      run("firstBloom", ms => UniqueStreams.firstStreamBloom(ms.toDF(), Seq("key"),
+        numShards = 8, bitsPerShard = 1 << 20), OutputMode.Update()),
+      run("firstUniq", ms => UniqueStreams.firstStream(ms.toDF(), Seq("key")),
+        OutputMode.Append(), uniqEvents),
+      run("firstBloomUniq", ms => UniqueStreams.firstStreamBloom(ms.toDF(), Seq("key"),
+        numShards = 8, bitsPerShard = 1 << 20), OutputMode.Update(), uniqEvents),
       run("deduplicate", ms => UniqueStreams.deduplicateStream(ms.toDF(), Seq("key"), "ts", 5000L), OutputMode.Append()),
       run("ever", ms => UniqueStreams.everStream(ms.toDF(), Seq("key")), OutputMode.Update()),
       run("timeBatch", ms => UniqueStreams.timeBatchStream(ms.toDF(), Seq("key"), "seq", "ts", 60000L), OutputMode.Append()),

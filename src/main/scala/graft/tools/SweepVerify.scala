@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.UniqueOps
 import java.nio.file.{Files, Paths}
 
@@ -226,12 +227,282 @@ object SweepVerify {
        |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1""".stripMargin
   }
 
+  // ---- LLM-tier parameterized oracle builders (VERDICT r9 ask #4
+  // extended to the pipeline tier): the fixed CORRECTNESS rows pin one
+  // parameterization per operator (shingleN=3, bands=4×2, k=5, minDf=3,
+  // …); these regenerate the same DuckDB mirrors from ARBITRARY draw
+  // parameters so boundary behavior (n=1 shingles, 1-row bands,
+  // hamming=0, tiny bucket caps) gets differential coverage too. ----
+
+  /** md5-family shingle CTEs for any gram size n (mirrors
+    * TextDedup.shingleHashes(_, n, Md5Hash): left fold
+    * md5(md5(th1||th2)||th3)…, n=1 → the bare token hash).
+    */
+  private def md5ShingleCtesN(n: Int): String = {
+    val fold = (1 until n).foldLeft("th[i]")((acc, j) => s"md5($acc || th[i+$j])")
+    s"""tk AS (SELECT doc_id,
+       |  list_transform(list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> ''),
+       |    t -> md5(t)) AS th FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(th) - ${n - 1}, 0)),
+       |  i -> $fold)) AS sh FROM tk),
+       |s2 AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0)""".stripMargin
+  }
+
+  private def md5JaccardExpr(a: String, b: String): String =
+    s"len(list_filter($a, x -> list_contains($b, x)))::DOUBLE" +
+      s" / (len($a) + len($b) - len(list_filter($a, x -> list_contains($b, x))))"
+
+  /** Parameterized minhash pair CTE chain ending in mp(id_a, id_b,
+    * jaccard) — the docMinhashMd5PairsCtes shape for any draw.
+    */
+  private def minhashCtes(shingleN: Int, bands: Int, r: Int,
+                          threshold: Double, maxBucket: Int): String = {
+    val k = bands * r
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""${md5ShingleCtesN(shingleN)},
+       |sig AS (SELECT doc_id, [$sigItems] AS sig FROM s2),
+       |banded AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |ok AS (SELECT band, bh FROM banded GROUP BY band, bh
+       |  HAVING count(*) <= $maxBucket AND count(*) > 1),
+       |ib AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ib a JOIN ib b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b, ${md5JaccardExpr("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN s2 sa ON sa.doc_id = cand.id_a
+       |            JOIN s2 sb ON sb.doc_id = cand.id_b),
+       |mp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold)""".stripMargin
+  }
+
+  private def minhashPairsSql(shingleN: Int, bands: Int, r: Int,
+                              threshold: Double, maxBucket: Int): String =
+    s"""WITH ${minhashCtes(shingleN, bands, r, threshold, maxBucket)}
+       |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
+
+  /** Recursive closure over mp → cc(id, cluster_id). */
+  private def clusterTail: String =
+    s"""nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM mp UNION ALL SELECT id_b AS id FROM mp)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM mp
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM mp),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  private def clustersSql(shingleN: Int, bands: Int, r: Int,
+                          threshold: Double, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${minhashCtes(shingleN, bands, r, threshold, maxBucket)},
+       |$clusterTail
+       |SELECT id AS doc_id, cluster_id FROM cc""".stripMargin
+
+  private def dedupIdsSql(shingleN: Int, bands: Int, r: Int,
+                          threshold: Double, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${minhashCtes(shingleN, bands, r, threshold, maxBucket)},
+       |$clusterTail
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin
+
+  private def ngramPairsSql(shingleN: Int, threshold: Double, maxBucket: Int): String =
+    s"""WITH ${md5ShingleCtesN(shingleN)},
+       |blk AS (SELECT doc_id, sh, list_min(sh) AS block FROM s2),
+       |ok AS (SELECT block FROM blk GROUP BY block
+       |  HAVING count(*) <= $maxBucket AND count(*) > 1),
+       |ib AS (SELECT blk.* FROM blk JOIN ok USING (block)),
+       |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${md5JaccardExpr("a.sh", "b.sh")} AS jaccard
+       |  FROM ib a JOIN ib b ON a.block = b.block AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+
+  /** simhashPairsMd5 mirror for any (maxHamming ≤ 3, maxBucket): the 60-bit
+    * md5 simhash and 4×15-bit chunk buckets are structural (pigeonhole-
+    * complete for hamming ≤ 3); only the verify threshold and cap move.
+    */
+  private def simhashPairsSql(maxHamming: Int, maxBucket: Int): String = {
+    val sums = (0 until 60).map(b => s"sum((hv >> $b) & 1)::BIGINT AS c$b").mkString(", ")
+    val terms = (0 until 60).map(b =>
+      s"CASE WHEN 2*c$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString("\n  + ")
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |m AS (SELECT doc_id, md5(tok) AS mh FROM u),
+       |h AS (SELECT doc_id, list_sum(list_transform(generate_series(1, 15),
+       |    i -> (strpos('0123456789abcdef', substr(mh, i, 1)) - 1)::BIGINT * (1::BIGINT << (4*(15-i)))))::BIGINT AS hv
+       |  FROM m),
+       |cc AS (SELECT doc_id, count(*)::BIGINT AS n, $sums FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $terms AS sim FROM cc),
+       |ch AS (SELECT doc_id, sim, c, (sim >> (c * 15)) & ${(1L << 15) - 1} AS cv
+       |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c)),
+       |ok AS (SELECT c, cv FROM ch GROUP BY c, cv
+       |  HAVING count(*) <= $maxBucket AND count(*) > 1),
+       |ib AS (SELECT ch.* FROM ch JOIN ok USING (c, cv)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hd
+       |  FROM ib a JOIN ib b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(min(hd) AS INTEGER) AS hamming
+       |FROM p WHERE hd <= $maxHamming GROUP BY id_a, id_b""".stripMargin
+  }
+
+  private def dupSpansSql(k: Int, minCount: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, i, array_to_string(toks[i:i+${k - 1}], ' ') AS gram
+       |      FROM t, unnest(generate_series(1, greatest(len(toks) - ${k - 1}, 0))) AS u(i)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= $minCount),
+       |h AS (SELECT doc_id, i - 1 AS s, i + ${k - 2} AS e FROM g
+       |      WHERE gram IN (SELECT gram FROM dup)),
+       |m AS (SELECT doc_id, s, e,
+       |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |      FROM h),
+       |isl AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+       |SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+       |  max(e) - min(s) + 1 AS span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  private def spanRemovalSql(k: Int, minCount: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, i, array_to_string(toks[i:i+${k - 1}], ' ') AS gram
+       |      FROM t, unnest(generate_series(1, greatest(len(toks) - ${k - 1}, 0))) AS u(i)),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= $minCount),
+       |h AS (SELECT doc_id, i - 1 AS s, i + ${k - 2} AS e FROM g
+       |      WHERE gram IN (SELECT gram FROM dup)),
+       |m AS (SELECT doc_id, s, e,
+       |        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+       |      FROM h),
+       |isl AS (SELECT doc_id, s, e, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+       |sp AS (SELECT doc_id, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, island),
+       |cov AS (SELECT DISTINCT doc_id, p FROM sp, unnest(generate_series(ss, ee)) AS v(p)),
+       |tok AS (SELECT doc_id, j, toks[j] AS w FROM t, unnest(generate_series(1, len(toks))) AS u(j)),
+       |kept AS (SELECT tok.doc_id, j, w FROM tok LEFT JOIN cov
+       |           ON tok.doc_id = cov.doc_id AND tok.j - 1 = cov.p WHERE cov.p IS NULL),
+       |ktxt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS clean_text FROM kept GROUP BY doc_id),
+       |ndup AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, len(t.toks) AS n_tokens,
+       |  coalesce(ndup.n_dup_tokens, 0) AS n_dup_tokens,
+       |  coalesce(ktxt.clean_text, '') AS clean_text
+       |FROM t LEFT JOIN ndup ON t.doc_id = ndup.doc_id
+       |       LEFT JOIN ktxt ON t.doc_id = ktxt.doc_id""".stripMargin
+
+  /** The withSyntheticLines framing (header rotation + shared footer) as
+    * CTEs ending in l(doc_id, j, line) / s(doc_id, ls) — shared by the
+    * dup-lines and line-dedup mirrors.
+    */
+  private def syntheticLineCtes: String =
+    """t AS (SELECT doc_id,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |  (['subscribe to our newsletter today', 'click here to read more',
+      |    'copyright acme corporation', 'share this article on social media'])[CAST(doc_id % 4 + 1 AS INT)]
+      |  || chr(10) ||
+      |  array_to_string(list_transform(
+      |    generate_series(1, greatest(CAST(ceil(len(toks) / 10.0) AS INT), 1)),
+      |    i -> array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ')), chr(10))
+      |  || chr(10) || 'all rights reserved' AS lines_text
+      |  FROM t),
+      |s AS (SELECT doc_id, str_split(lines_text, chr(10)) AS ls FROM p),
+      |l AS (SELECT doc_id, j, ls[j] AS line FROM s, unnest(generate_series(1, len(ls))) AS u(j))""".stripMargin
+
+  // the CTE block is concatenated OUTSIDE the margin template: its body
+  // contains lines starting with '||' (string concat), which a second
+  // stripMargin pass would mangle into single pipes
+  private def dupLinesSql(minDf: Int): String =
+    s"WITH $syntheticLineCtes,\n" +
+      s"""dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= $minDf)
+         |SELECT doc_id, j - 1 AS pos FROM l WHERE line IN (SELECT line FROM dup)""".stripMargin
+
+  private def lineDedupSql(minDf: Int): String =
+    s"WITH $syntheticLineCtes,\n" +
+      s"""dup AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= $minDf),
+         |dr AS (SELECT doc_id, count(*) AS n_dropped FROM l
+         |       WHERE line IN (SELECT line FROM dup) GROUP BY doc_id),
+         |kt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS clean_text FROM l
+         |       WHERE line NOT IN (SELECT line FROM dup) GROUP BY doc_id)
+         |SELECT s.doc_id, len(s.ls) AS n_lines, coalesce(dr.n_dropped, 0) AS n_dropped,
+         |  coalesce(kt.clean_text, '') AS clean_text
+         |FROM s LEFT JOIN dr ON s.doc_id = dr.doc_id
+         |       LEFT JOIN kt ON s.doc_id = kt.doc_id""".stripMargin
+
+  private def decontamSql(n: Int, evalMod: Long): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+       |    i -> array_to_string(toks[i:i+${n - 1}], ' ')))) AS gram FROM t),
+       |e AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g WHERE doc_id % $evalMod = 0),
+       |h AS (SELECT g.doc_id,
+       |    count(DISTINCT g.gram) AS n_hit_grams,
+       |    count(DISTINCT e.eval_id) AS n_eval_docs
+       |  FROM g JOIN e USING (gram) WHERE g.doc_id % $evalMod <> 0 GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_hit_grams, 0) AS n_hit_grams,
+       |  coalesce(n_eval_docs, 0) AS n_eval_docs,
+       |  coalesce(n_hit_grams, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % $evalMod <> 0""".stripMargin
+
+  private def sampleSql(enPrefix: String, defPrefix: String): String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
+       |  CASE WHEN lang = 'en' THEN '$enPrefix' ELSE '$defPrefix' END""".stripMargin
+
+  private def exactDedupIdsSql(cols: Seq[String]): String =
+    s"SELECT min(doc_id) AS doc_id FROM documents GROUP BY ${cols.mkString(", ")}"
+
+  /** embeddingNearDupPairs mirror for any (threshold, groups,
+    * planesPerGroup): the plane constants are regenerated from the SAME
+    * seeded generator the engine uses and embedded verbatim.
+    */
+  private def embPairsSql(threshold: Double, groups: Int, ppg: Int): String = {
+    val ps = graft.llm.Similarity.planes(groups * ppg, 64)
+    def codeExpr(g: Int): String = (0 until ppg).map { i =>
+      val arr = ps(g * ppg + i).map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(list_zip(v, $arr::DOUBLE[]),
+         |    z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y) >= 0
+         |  THEN ${1L << i}::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }.mkString("\n + ")
+    val codeCase = (0 until groups).map(g => s"WHEN $g THEN ${codeExpr(g)}").mkString("\n  ")
+    val cos =
+      """list_sum(list_transform(list_zip(pa.v, pb.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(pa.v, x -> CAST(x AS DOUBLE) * x)))
+        |       * sqrt(list_sum(list_transform(pb.v, x -> CAST(x AS DOUBLE) * x))))""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |b AS (SELECT id, band, CASE band $codeCase END AS code
+       |  FROM e CROSS JOIN (SELECT unnest([${(0 until groups).mkString(", ")}]) AS band) g),
+       |ok AS (SELECT band, code FROM b GROUP BY band, code
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |ib AS (SELECT b.* FROM b JOIN ok USING (band, code)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM ib a JOIN ib b2 ON a.band = b2.band AND a.code = b2.code AND a.id < b2.id),
+       |s AS (SELECT id_a, id_b, $cos AS cos
+       |  FROM cand JOIN e pa ON pa.id = cand.id_a JOIN e pb ON pb.id = cand.id_b)
+       |SELECT id_a, id_b FROM s WHERE cos >= $threshold""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
     val seed = if (args.length > 2) args(2).toLong else 42L
     val streamingMode = args.length > 4 && args(4) == "streaming"
-    val nDraws = if (args.length > 3) args(3).toInt else (if (streamingMode) 16 else 55)
+    val llmMode = args.length > 4 && args(4) == "llm"
+    val nDraws = if (args.length > 3) args(3).toInt
+      else if (streamingMode) 16 else if (llmMode) 26 else 55
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -254,6 +525,17 @@ object SweepVerify {
     val streamFamilies = Seq("ever_stream", "first_stream", "time_stream",
       "timebatch_stream", "lengthbatch_stream", "length_stream",
       "deduplicate_stream", "externaltimebatch_stream", "timelengthbatch_stream")
+    // llm families: the corpus-pipeline tier with randomized operator
+    // parameters (gram sizes, band geometry, thresholds, caps, eval
+    // strata) — each draw's oracle SQL is regenerated from the SAME
+    // parameters
+    val llmFamilies = Seq("minhash_pairs", "ngram_pairs", "simhash_pairs",
+      "neardup_clusters", "neardup_dedup", "dup_spans", "span_removal",
+      "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
+      "emb_pairs")
+    lazy val docs = graft.Tables.documents(spark, sfDir)
+    lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
+    lazy val emb = graft.Tables.embeddings(spark, sfDir)
     def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
     def replayed(seqCol: String, mode: String)(
         build: DataFrame => DataFrame): DataFrame =
@@ -264,6 +546,7 @@ object SweepVerify {
     var ok = 0
     (0 until nDraws).foreach { i =>
       val fam = if (streamingMode) streamFamilies(i % streamFamilies.length)
+                else if (llmMode) llmFamilies(i % llmFamilies.length)
                 else families(i % families.length)
       val keys = pick(keyGrid)
       val w = pick(windowGrid)
@@ -381,8 +664,84 @@ object SweepVerify {
             graft.streaming.UniqueStreams.timeLengthBatchStream(sdf, keys,
               "event_id", "ts", w, n)).drop("change"),
             tlbStreamSql(keys, w, n), s"replay_w${w}_n$n")
+
+        // ---- llm families (randomized operator parameters) ----
+        case "minhash_pairs" =>
+          val sn = pick(Seq(2, 3, 4)); val bands = pick(Seq(2, 4, 6))
+          val r = pick(Seq(1, 2, 3)); val th = pick(Seq(0.1, 0.2, 0.35))
+          val mb = pick(Seq(50, 1000))
+          (graft.llm.TextDedup.minhashPairsMd5(docs, "text", "doc_id", sn, bands, r, th, mb),
+            minhashPairsSql(sn, bands, r, th, mb), s"sn${sn}_b${bands}x${r}_t${th}_mb$mb")
+        case "ngram_pairs" =>
+          val sn = pick(Seq(2, 3, 5)); val th = pick(Seq(0.05, 0.1, 0.3))
+          val mb = pick(Seq(20, 200))
+          (graft.llm.TextDedup.ngramJaccardPairsMd5(docs, "text", "doc_id", sn, th, mb),
+            ngramPairsSql(sn, th, mb), s"sn${sn}_t${th}_mb$mb")
+        case "simhash_pairs" =>
+          val mh = pick(Seq(0, 1, 2, 3)); val mb = pick(Seq(100, 1000))
+          (graft.llm.TextDedup.simhashPairsMd5(docs, "text", "doc_id", mh, mb),
+            simhashPairsSql(mh, mb), s"h${mh}_mb$mb")
+        case "neardup_clusters" =>
+          // threshold floor 0.2: the recursive-closure oracle is
+          // Σ component² — a low threshold's giant components belong to
+          // the pairs families, not the closure ones
+          val sn = pick(Seq(2, 3)); val bands = pick(Seq(4, 6)); val r = pick(Seq(1, 2))
+          val th = pick(Seq(0.2, 0.35))
+          (graft.llm.TextDedup.nearDupClusters(
+            graft.llm.TextDedup.minhashPairsMd5(docs, "text", "doc_id", sn, bands, r, th, 1000))
+            .select(col("id").as("doc_id"), col("cluster_id")),
+            clustersSql(sn, bands, r, th, 1000), s"sn${sn}_b${bands}x${r}_t$th")
+        case "neardup_dedup" =>
+          val sn = pick(Seq(2, 3)); val bands = pick(Seq(4, 6)); val r = pick(Seq(1, 2))
+          val th = pick(Seq(0.2, 0.35))
+          (graft.llm.TextDedup.dedupByPairs(docs, "doc_id",
+            graft.llm.TextDedup.minhashPairsMd5(docs, "text", "doc_id", sn, bands, r, th, 1000))
+            .select("doc_id"),
+            dedupIdsSql(sn, bands, r, th, 1000), s"sn${sn}_b${bands}x${r}_t$th")
+        case "dup_spans" =>
+          val k = pick(Seq(3, 5, 8)); val mc = pick(Seq(2, 3, 5))
+          val hashed = rng.nextBoolean() // xx gram keys: same spans by construction
+          (graft.llm.TextDedup.duplicateSpans(docs, "doc_id", "text", k, mc, hashed),
+            dupSpansSql(k, mc), s"k${k}_c$mc${if (hashed) "_xx" else ""}")
+        case "span_removal" =>
+          val k = pick(Seq(3, 5, 8)); val mc = pick(Seq(2, 3, 5))
+          val hashed = rng.nextBoolean()
+          (graft.llm.TextDedup.removeDuplicateSpans(docs, "doc_id", "text", k, mc, hashed),
+            spanRemovalSql(k, mc), s"k${k}_c$mc${if (hashed) "_xx" else ""}")
+        case "dup_lines" =>
+          val mdf = pick(Seq(2, 3, 4)); val hashed = rng.nextBoolean()
+          (graft.llm.CorpusOps.duplicateLines(docsLined, "doc_id", "lines_text", mdf, hashed),
+            dupLinesSql(mdf), s"df$mdf${if (hashed) "_xx" else ""}")
+        case "line_dedup" =>
+          val mdf = pick(Seq(2, 3, 4)); val hashed = rng.nextBoolean()
+          (graft.llm.CorpusOps.lineDedup(docsLined, "doc_id", "lines_text", mdf, hashed),
+            lineDedupSql(mdf), s"df$mdf${if (hashed) "_xx" else ""}")
+        case "decontam" =>
+          val gn = pick(Seq(3, 5, 7)); val em = pick(Seq(20L, 50L))
+          val bc = rng.nextBoolean() // broadcast vs shuffle-join eval side
+          (graft.llm.CorpusOps.decontaminate(docs, "doc_id", "text", em, gn, bc),
+            decontamSql(gn, em), s"n${gn}_m$em${if (bc) "" else "_sj"}")
+        case "sample" =>
+          val ps = Seq("0fff", "1999", "3333", "7fff")
+          val p1 = pick(ps); val p2 = pick(ps)
+          (graft.llm.CorpusOps.sampleByHash(docs, "doc_id", "text", "lang",
+            Map("en" -> p1), p2),
+            sampleSql(p1, p2), s"en${p1}_d$p2")
+        case "exact_dedup" =>
+          val cols = pick(Seq(Seq("text"), Seq("text", "lang"), Seq("lang", "source")))
+          (graft.llm.TextDedup.exactDedup(docs, cols, "doc_id").select("doc_id"),
+            exactDedupIdsSql(cols), cols.mkString("-"))
+        case "emb_pairs" =>
+          val th = pick(Seq(0.35, 0.4, 0.45)); val g = pick(Seq(4, 8))
+          val ppg = pick(Seq(3, 4))
+          (graft.llm.Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+            th, g, ppg).select("id_a", "id_b"),
+            embPairsSql(th, g, ppg), s"t${th}_g${g}x$ppg")
       }
-      val name = f"draw$i%03d_${fam}_${keys.mkString("-")}_$tag"
+      // llm draws don't use the event-key grid — keep their names to the
+      // parameters that actually vary
+      val name = if (llmMode) f"draw$i%03d_${fam}_$tag"
+                 else f"draw$i%03d_${fam}_${keys.mkString("-")}_$tag"
       try {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         oracles(name) = sql

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.UniqueStreams
+
+/** Fixed-size approximate first-wins distinct
+  * (UniqueStreams.firstStreamBloom): the bounded-state form of the
+  * reference's unbounded putIfAbsent map
+  * (UniqueFirstWindowProcessor.java:122-134). Contracts verified here:
+  * no false negatives ever (an admitted key is never re-admitted, within
+  * or across micro-batches), exact parity with the exact operator when
+  * the filter is generously sized (deterministic — fixed hash seeds),
+  * graceful degradation (false-positive DROPS, never duplicate passes)
+  * when deliberately undersized, and replay-chunking invariance.
+  */
+class BloomStreamSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def login(ms: Long, ip: String, seq: Int) = Login(new Timestamp(ms), ip, seq)
+
+  private def startQuery(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+
+  test("generously sized filter == exact firstStream, across micro-batches") {
+    // 400 rows over 150 keys: batch 1 (rows 0-199) admits every key once
+    // and drops 50 in-batch revisits; batch 2 (rows 200-399) is revisits
+    // only — cross-micro-batch membership must drop all 200
+    val rows = (0 until 400).map(i => login(i, s"ip${i % 150}", i))
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.firstStreamBloom(ms.toDF(), Seq("ip"),
+        numShards = 8, bitsPerShard = 1 << 16, seqCol = Some("seq")), "bloom_par")
+    ms.addData(rows.take(200): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(200): _*)
+    q.processAllAvailable()
+    val got = spark.table("bloom_par").select("ip", "seq").as[(String, Int)].collect().toSet
+    q.stop()
+    val exact = rows.groupBy(_.ip).map { case (ip, rs) => (ip, rs.map(_.seq).min) }.toSet
+    assert(got === exact)
+    assert(got.size === 150)
+  }
+
+  test("no false negatives: an admitted key never passes twice, even undersized") {
+    // 1 shard x 128 bits for 300 distinct keys: massively undersized, so
+    // false-positive drops are guaranteed — but a duplicate pass never is
+    val rows = (0 until 600).map(i => login(i, s"k${i % 300}", i))
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.firstStreamBloom(ms.toDF(), Seq("ip"),
+        numShards = 1, bitsPerShard = 128, numHashes = 3, seqCol = Some("seq")), "bloom_tiny")
+    rows.grouped(100).foreach { chunk => ms.addData(chunk: _*); q.processAllAvailable() }
+    val got = spark.table("bloom_tiny").select("ip").as[String].collect()
+    q.stop()
+    assert(got.length === got.distinct.length, "a key was admitted twice")
+    assert(got.length < 300, "undersized filter should drop some new keys (false positives)")
+    assert(got.nonEmpty, "the first key always finds a clear filter")
+  }
+
+  test("admitted set is invariant to micro-batch chunking (state carries over)") {
+    val rows = (0 until 300).map(i => login(i, s"ip${i % 90}", i))
+    def run(name: String, chunks: Int): Set[(String, Int)] = {
+      val ms = MemoryStream[Login]
+      val q = startQuery(
+        UniqueStreams.firstStreamBloom(ms.toDF(), Seq("ip"),
+          numShards = 4, bitsPerShard = 1 << 12, seqCol = Some("seq")), name)
+      rows.grouped(math.max(rows.size / chunks, 1)).foreach { c =>
+        ms.addData(c: _*); q.processAllAvailable()
+      }
+      val got = spark.table(name).select("ip", "seq").as[(String, Int)].collect().toSet
+      q.stop()
+      got
+    }
+    assert(run("bloom_c1", 1) === run("bloom_c6", 6))
+  }
+
+  test("multi-column keys shard consistently") {
+    val rows = (0 until 200).map(i => login(i % 7, s"ip${i % 20}", i))
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.firstStreamBloom(ms.toDF(), Seq("ip", "ts"),
+        numShards = 16, bitsPerShard = 1 << 14, seqCol = Some("seq")), "bloom_mk")
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("bloom_mk").select("ip", "ts", "seq")
+      .as[(String, Timestamp, Int)].collect()
+    q.stop()
+    val exact = rows.groupBy(r => (r.ip, r.ts)).map { case (k, rs) => (k._1, k._2, rs.map(_.seq).min) }.toSet
+    assert(got.toSet === exact)
+    assert(got.length === 7 * 20)
+  }
+}

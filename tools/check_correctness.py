@@ -54,7 +54,11 @@ for qdir in sorted(glob.glob(f"{outdir}/*/")):
         row["oracle"] = "absent (rows-only check)"
     results[name] = row
 
-ok = all(r.get("hash_match", r["rows"] > 0) for r in results.values())
+# an oracle that fails to RUN is a failure, not a rows-only pass — a
+# generated-SQL bug must not report as green
+ok = all(
+    "oracle_error" not in r and r.get("hash_match", r["rows"] > 0)
+    for r in results.values())
 print(json.dumps(results, indent=2, default=str))
 print("ALL GREEN" if ok else "FAILURES PRESENT")
 sys.exit(0 if ok else 2)
