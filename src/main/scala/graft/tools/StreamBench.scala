@@ -34,6 +34,10 @@ object StreamBench {
     def uniqEvents(n: Int): Seq[Ev] =
       (0 until n).map(i => Ev(new Timestamp(100000L + i * 10L), s"u$i", i.toLong))
 
+    // state telemetry: (rows, bytes) from the final progress — the
+    // growing-state vs fixed-state comparison the Bloom A/B is about
+    val stateOf = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+
     def run(name: String, mk: MemoryStream[Ev] => org.apache.spark.sql.DataFrame,
             mode: OutputMode,
             data: Int => Seq[Ev] = events): (String, Double) = {
@@ -54,6 +58,11 @@ object StreamBench {
         q.processAllAvailable()
       }
       val secs = (System.nanoTime() - t0) / 1e9
+      Option(q.lastProgress).foreach { p =>
+        val ops = p.stateOperators
+        if (ops.nonEmpty)
+          stateOf(name) = (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+      }
       q.stop()
       name -> (nEvents / secs)
     }
@@ -141,7 +150,9 @@ object StreamBench {
       nDocs / secs
     }
     val qs = results.map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}}""")
+    val st = stateOf.map { case (k, (r, b)) => s""""$k":{"rows":$r,"bytes":$b}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"state":$st,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}}""")
     spark.stop()
   }
 }
