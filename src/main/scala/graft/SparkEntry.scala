@@ -401,6 +401,17 @@ object SparkEntry {
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.deduplicateStreamExact(sdf, Seq("user_id"), "event_id",
           "ts", DAY))),
+    // FIXED-STATE approximate dedup (rotating two-bank Bloom): with a
+    // generously-sized filter the admitted set is EXACTLY the epoch
+    // recurrence (next kept = first event ≥ 2 interval-epochs after the
+    // last kept — the [T, 2T) gray zone is deterministic, not fuzz), so
+    // the operator gets a real hash oracle. events.ts is strictly
+    // monotone in event_id (TestDataCanarySpec pins feed order), the
+    // monotone-stream regime the rotation contract is stated for.
+    "deduplicate_bloom_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.deduplicateStreamBloom(sdf, Seq("user_id"), "ts", DAY,
+          numShards = 8, bitsPerShard = 1 << 20, seqCol = Some("event_id")))),
     "timelengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.timeLengthBatchStream(sdf, Seq("user_id"), "event_id",
@@ -757,6 +768,21 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.user_id, min(e.ms) AS ms FROM e JOIN kept k
          |    ON e.user_id = k.user_id AND e.ms > k.ms + $DAY GROUP BY e.user_id
+         |)
+         |SELECT $EVSQL FROM (
+         |  SELECT ev.*, row_number() OVER (PARTITION BY ev.user_id, epoch_ms(ev.ts) ORDER BY ev.event_id) AS rn
+         |  FROM events ev JOIN kept kp ON ev.user_id = kp.user_id AND epoch_ms(ev.ts) = kp.ms
+         |) WHERE rn = 1""".stripMargin
+    // deduplicateStreamBloom's epoch recurrence: the rotating banks hold
+    // the epochs {e, e-1} behind each event, so the next kept event is
+    // the first one ≥ 2 interval-epochs after the last kept
+    val deduplicateBloomSql =
+      s"""WITH RECURSIVE e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+         |kept AS (
+         |  SELECT user_id, min(ms) AS ms FROM e GROUP BY user_id
+         |  UNION ALL
+         |  SELECT e.user_id, min(e.ms) AS ms FROM e JOIN kept k
+         |    ON e.user_id = k.user_id AND e.ms // $DAY >= k.ms // $DAY + 2 GROUP BY e.user_id
          |)
          |SELECT $EVSQL FROM (
          |  SELECT ev.*, row_number() OVER (PARTITION BY ev.user_id, epoch_ms(ev.ts) ORDER BY ev.event_id) AS rn
@@ -1138,6 +1164,7 @@ object SparkEntry {
            |  AND epoch_ms(ts) + $WEEK < (SELECT max(epoch_ms(ts)) FROM events)""".stripMargin,
       // deduplicateStreamExact matches the batch fold bit-for-bit
       "deduplicate_stream_replay" -> deduplicateSql,
+      "deduplicate_bloom_stream_replay" -> deduplicateBloomSql,
       // timeLengthBatchStream emits a batch when a later event crosses its
       // time boundary (any batch before the last) or when the 50th distinct
       // key length-flushes it — the final batch appears iff length-flushed.

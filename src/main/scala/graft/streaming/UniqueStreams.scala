@@ -33,6 +33,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class BloomShard(bits: Array[Byte], inserted: Long)
 
+/** One rotating two-bank shard of
+  * [[UniqueStreams.deduplicateStreamBloom]]: `epoch` is the interval
+  * bucket `cur` covers; `prev` covers `epoch − 1`; together they span at
+  * least one full interval behind any event in `epoch`.
+  */
+case class BloomDedupShard(epoch: Long, cur: Array[Byte], prev: Array[Byte])
+
 case class GlobalState(
     order: List[(String, Row)],          // insertion-ordered live window (length)
     batchKeys: Set[String],              // distinct keys in the filling batch
@@ -211,6 +218,116 @@ object UniqueStreams {
           state.update(BloomShard(bits, inserted))
           out.iterator
       }(Encoders.kryo[BloomShard], outEnc)
+  }
+
+  /** APPROXIMATE unique:deduplicate with FIXED-SIZE state — the
+    * windowed companion of [[firstStreamBloom]]. The exact operator
+    * (reference: DeduplicateStreamProcessor.java:155-178; here:
+    * deduplicateStream / deduplicateStreamExact) holds one entry per
+    * distinct key seen in the last interval — at 100 TB event rates that
+    * is still billions of in-window keys. This variant holds TWO Bloom
+    * banks per shard and rotates them on event-time interval boundaries:
+    * bank `cur` covers epoch e = floor(ts/intervalMs), bank `prev`
+    * covers e−1, so membership of (cur ∪ prev) always spans at least
+    * intervalMs behind the newest event. Rotation zeroes the retiring
+    * bank — state never grows AND never needs per-key eviction scans.
+    *
+    * Approximation contract (both sides documented, neither silent):
+    *  - a duplicate within intervalMs of its kept event is ALWAYS
+    *    dropped (the kept insert still sits in cur or prev — no false
+    *    admits within the window, beyond Bloom's ε on brand-new keys);
+    *  - a revisit between intervalMs and 2×intervalMs MAY also be
+    *    dropped (its insert can still sit in prev — the effective
+    *    window is [intervalMs, 2×intervalMs), the standard rotating-
+    *    filter tradeoff); at ≥ 2×intervalMs it is readmitted (modulo
+    *    Bloom ε from other keys' bits). Like the reference, drops do
+    *    not refresh the window — it anchors at the KEPT event.
+    *
+    * Event time is taken from the rows themselves (`tsCol`), processed
+    * in `seqCol` order within a micro-batch; monotone-ish stream time is
+    * assumed like the reference's single-threaded model — an out-of-
+    * order row older than the prev bank is membership-checked against
+    * the banks it can see (it cannot re-open a zeroed bank).
+    * Deterministic: fixed hash seeds + seq ordering.
+    *
+    * Output: admitted rows only (the reference's deduplicate emits no
+    * expired stream — getReturnAttributes empty, DeduplicateTestCase
+    * .java:84-86).
+    */
+  def deduplicateStreamBloom(sdf: DataFrame, keys: Seq[String], tsCol: String,
+                             intervalMs: Long,
+                             numShards: Int = 64, bitsPerShard: Int = 1 << 23,
+                             numHashes: Int = 5,
+                             seqCol: Option[String] = None): DataFrame = {
+    require(intervalMs > 0, s"intervalMs must be positive, got $intervalMs")
+    require(numShards > 0 && bitsPerShard > 0 && numHashes > 0,
+      s"numShards/bitsPerShard/numHashes must be positive, " +
+        s"got $numShards/$bitsPerShard/$numHashes")
+    val inSchema = sdf.schema
+    val keyed = sdf.withColumn("__k", jsonKey(keys))
+      .withColumn("__shard", pmod(xxhash64(col("__k")), lit(numShards)).cast("int"))
+    val kIdx = keyed.schema.fieldIndex("__k")
+    val tIdx = keyed.schema.fieldIndex(tsCol)
+    val sIdx = seqCol.map(keyed.schema.fieldIndex)
+    val shIdx = keyed.schema.fieldIndex("__shard")
+    val rowEnc = Encoders.row(keyed.schema)
+    val outEnc = Encoders.row(inSchema)
+    val n = inSchema.length
+    val mBits = bitsPerShard.toLong
+    val kHashes = numHashes
+    val nBytes = (bitsPerShard + 7) / 8
+    keyed.as(rowEnc)
+      .groupByKey((r: Row) => r.getInt(shIdx))(Encoders.scalaInt)
+      .flatMapGroupsWithState[BloomDedupShard, Row](OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[Row], state: GroupState[BloomDedupShard]) =>
+          var st = state.getOption.getOrElse(
+            BloomDedupShard(Long.MinValue, new Array[Byte](nBytes), new Array[Byte](nBytes)))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val ordered = sIdx match {
+            case Some(i) => sortedBySeq(rows, i)
+            case None => rows
+          }
+          def positions(key: String): Array[Int] = {
+            val h1 = scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c)
+            val h2 = scala.util.hashing.MurmurHash3.stringHash(key, 0x85ebca6b) | 1
+            Array.tabulate(kHashes)(i =>
+              (((h1.toLong + i.toLong * h2.toLong) % mBits + mBits) % mBits).toInt)
+          }
+          def has(bits: Array[Byte], ps: Array[Int]): Boolean =
+            ps.forall(p => (bits(p >>> 3) & (1 << (p & 7))) != 0)
+          ordered.foreach { r =>
+            val ts = r.get(tIdx) match {
+              case t: java.sql.Timestamp => t.getTime
+              case t: java.time.Instant => t.toEpochMilli
+              case n2: java.lang.Number => n2.longValue
+              case other => throw new IllegalArgumentException(
+                s"ts column must be timestamp or numeric millis, got " +
+                  s"${if (other == null) "null" else other.getClass.getName}")
+            }
+            val epoch = Math.floorDiv(ts, intervalMs)
+            if (epoch > st.epoch) {
+              // rotate: the cur bank retires to prev if adjacent, both
+              // zero if the stream jumped a whole epoch (re-use the
+              // retiring array as the fresh bank — no reallocation)
+              val fresh = st.prev
+              java.util.Arrays.fill(fresh, 0.toByte)
+              st =
+                if (epoch == st.epoch + 1) BloomDedupShard(epoch, fresh, st.cur)
+                else {
+                  java.util.Arrays.fill(st.cur, 0.toByte)
+                  BloomDedupShard(epoch, fresh, st.cur)
+                }
+            }
+            val ps = positions(r.getString(kIdx))
+            if (!has(st.cur, ps) && !has(st.prev, ps)) {
+              val bits = st.cur
+              ps.foreach(p => bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte)
+              out += Row.fromSeq(r.toSeq.take(n))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }(Encoders.kryo[BloomDedupShard], outEnc)
   }
 
   /** unique:deduplicate — drop re-occurrences within intervalMs of the

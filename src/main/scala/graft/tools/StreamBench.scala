@@ -79,6 +79,9 @@ object StreamBench {
       run("firstBloomUniq", ms => UniqueStreams.firstStreamBloom(ms.toDF(), Seq("key"),
         numShards = 8, bitsPerShard = 1 << 20), OutputMode.Update(), uniqEvents),
       run("deduplicate", ms => UniqueStreams.deduplicateStream(ms.toDF(), Seq("key"), "ts", 5000L), OutputMode.Append()),
+      run("deduplicateBloom", ms => UniqueStreams.deduplicateStreamBloom(
+        ms.toDF(), Seq("key"), "ts", 5000L, numShards = 8, bitsPerShard = 1 << 20),
+        OutputMode.Update()),
       run("ever", ms => UniqueStreams.everStream(ms.toDF(), Seq("key")), OutputMode.Update()),
       run("timeBatch", ms => UniqueStreams.timeBatchStream(ms.toDF(), Seq("key"), "seq", "ts", 60000L), OutputMode.Append()),
       run("time", ms => UniqueStreams.timeStream(ms.toDF(), Seq("key"), "ts", 120000L), OutputMode.Update()),

@@ -153,6 +153,28 @@ object SweepVerify {
        |  FROM r WHERE bef < $n) WHERE rn = 1""".stripMargin
   }
 
+  /** deduplicateStreamBloom's epoch recurrence (exact for a generously-
+    * sized filter on the strictly-monotone events feed): next kept =
+    * first event ≥ 2 interval-epochs after the last kept.
+    */
+  private def deduplicateBloomSql(keys: Seq[String], w: Long): String = {
+    val kp = pk(keys)
+    val ke = keys.map(k => s"e.$k").mkString(", ")
+    val joinCond = keys.map(k => s"e.$k = k.$k").mkString(" AND ")
+    val evJoin = keys.map(k => s"ev.$k = kp.$k").mkString(" AND ")
+    s"""WITH RECURSIVE e AS (SELECT $kp, epoch_ms(ts) AS ms FROM events),
+       |kept AS (
+       |  SELECT $kp, min(ms) AS ms FROM e GROUP BY $kp
+       |  UNION ALL
+       |  SELECT $ke, min(e.ms) AS ms FROM e JOIN kept k
+       |    ON $joinCond AND e.ms // $w >= k.ms // $w + 2 GROUP BY $ke
+       |)
+       |SELECT $EVSQL FROM (
+       |  SELECT ev.*, row_number() OVER (PARTITION BY ${keys.map(k => s"ev.$k").mkString(", ")}, epoch_ms(ev.ts) ORDER BY ev.event_id) AS rn
+       |  FROM events ev JOIN kept kp ON $evJoin AND epoch_ms(ev.ts) = kp.ms
+       |) WHERE rn = 1""".stripMargin
+  }
+
   private def deduplicateSql(keys: Seq[String], w: Long): String = {
     val kp = pk(keys)
     val ke = keys.map(k => s"e.$k").mkString(", ")
@@ -524,7 +546,8 @@ object SweepVerify {
     // reinterpretations
     val streamFamilies = Seq("ever_stream", "first_stream", "time_stream",
       "timebatch_stream", "lengthbatch_stream", "length_stream",
-      "deduplicate_stream", "externaltimebatch_stream", "timelengthbatch_stream")
+      "deduplicate_stream", "externaltimebatch_stream", "timelengthbatch_stream",
+      "deduplicate_bloom_stream")
     // llm families: the corpus-pipeline tier with randomized operator
     // parameters (gram sizes, band geometry, thresholds, caps, eval
     // strata) — each draw's oracle SQL is regenerated from the SAME
@@ -654,6 +677,11 @@ object SweepVerify {
             graft.streaming.UniqueStreams.deduplicateStreamExact(sdf, keys,
               "event_id", "ts", w)),
             deduplicateSql(keys, w), s"replay_w$w")
+        case "deduplicate_bloom_stream" =>
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.deduplicateStreamBloom(sdf, keys, "ts", w,
+              numShards = 8, bitsPerShard = 1 << 20, seqCol = Some("event_id"))),
+            deduplicateBloomSql(keys, w), s"replay_w$w")
         case "externaltimebatch_stream" =>
           (replayed("event_id", "update")(sdf =>
             graft.streaming.UniqueStreams.externalTimeBatchStream(sdf, keys,

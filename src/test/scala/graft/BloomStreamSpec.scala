@@ -85,6 +85,52 @@ class BloomStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(run("bloom_c1", 1) === run("bloom_c6", 6))
   }
 
+  test("deduplicateStreamBloom: drops within interval, readmits after 2x, bank rotation") {
+    // interval 1000ms. Key A kept at t=100 (epoch 0): dup at t=900 (same
+    // epoch) dropped; revisit at t=1500 (epoch 1, within prev's reach)
+    // dropped — the [interval, 2x) gray zone; revisit at t=2500 (epoch 2,
+    // bank 0 zeroed) readmitted. Key B only at t=300 and t=4300 (4 epochs
+    // apart): readmitted.
+    val rows = Seq(
+      login(100, "A", 1), login(900, "A", 2), login(300, "B", 3),
+      login(1500, "A", 4), login(2500, "A", 5), login(4300, "B", 6))
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.deduplicateStreamBloom(ms.toDF(), Seq("ip"), "ts", 1000L,
+        numShards = 2, bitsPerShard = 1 << 14, seqCol = Some("seq")), "bdedup")
+    rows.grouped(2).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+    val got = spark.table("bdedup").select("seq").as[Int].collect().toSet
+    q.stop()
+    assert(got === Set(1, 3, 5, 6))
+  }
+
+  test("deduplicateStreamBloom: epoch jumps zero both banks; chunking-invariant") {
+    val rows = (0 until 240).map { i =>
+      // 3 epochs of 2000ms; 40 keys revisited each epoch; plus a 5-epoch
+      // jump at the end that must readmit everything it revisits
+      val t = (i / 80) * 2000L + (i % 80) * 20L
+      login(t, s"k${i % 40}", i)
+    } :+ login(20000L, "k0", 240) :+ login(20010L, "k1", 241)
+    def run(name: String, chunk: Int): Set[Int] = {
+      val ms = MemoryStream[Login]
+      val q = startQuery(
+        UniqueStreams.deduplicateStreamBloom(ms.toDF(), Seq("ip"), "ts", 2000L,
+          numShards = 4, bitsPerShard = 1 << 14, seqCol = Some("seq")), name)
+      rows.grouped(chunk).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+      val got = spark.table(name).select("seq").as[Int].collect().toSet
+      q.stop()
+      got
+    }
+    val a = run("bd_c30", 30)
+    assert(a === run("bd_c242", 300), "admitted set must not depend on micro-batch chunking")
+    // epoch-0 admissions: first occurrence of each of the 40 keys
+    assert((0 until 40).forall(a.contains))
+    // same-epoch revisits (i in 40..79 are the same 40 keys in epoch 0) dropped
+    assert((40 until 80).forall(i => !a.contains(i)))
+    // the far-future jump readmits k0/k1 (their banks retired long ago)
+    assert(a.contains(240) && a.contains(241))
+  }
+
   test("multi-column keys shard consistently") {
     val rows = (0 until 200).map(i => login(i % 7, s"ip${i % 20}", i))
     val ms = MemoryStream[Login]
