@@ -479,6 +479,27 @@ object SweepVerify {
        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
        |WHERE d.doc_id % $evalMod <> 0""".stripMargin
 
+  private def boilerplateSql(n: Int, minDf: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+       |    i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS gram FROM t)
+       |SELECT gram, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_cnt
+       |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= $minDf""".stripMargin
+
+  private def packSql(budget: Int): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tok
+       |  FROM documents)
+       |SELECT doc_id, source, n_tok,
+       |  CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) AS tok_offset,
+       |  CAST(floor(CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) / $budget) AS BIGINT) AS bin_id
+       |FROM t
+       |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+
   private def sampleSql(enPrefix: String, defPrefix: String): String =
     s"""SELECT doc_id, text, lang, source, n_chars FROM documents
        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
@@ -555,7 +576,7 @@ object SweepVerify {
     val llmFamilies = Seq("minhash_pairs", "ngram_pairs", "simhash_pairs",
       "neardup_clusters", "neardup_dedup", "dup_spans", "span_removal",
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
-      "emb_pairs")
+      "emb_pairs", "boilerplate", "pack")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -765,6 +786,14 @@ object SweepVerify {
           (graft.llm.Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
             th, g, ppg).select("id_a", "id_b"),
             embPairsSql(th, g, ppg), s"t${th}_g${g}x$ppg")
+        case "boilerplate" =>
+          val gn = pick(Seq(2, 3, 4)); val mdf = pick(Seq(3, 5, 10))
+          (graft.llm.CorpusOps.boilerplatePhrases(docs, "doc_id", "text", gn, mdf),
+            boilerplateSql(gn, mdf), s"n${gn}_df$mdf")
+        case "pack" =>
+          val b = pick(Seq(128, 512, 1024))
+          (graft.llm.CorpusOps.packSequences(docs, "doc_id", "text", "source", b),
+            packSql(b), s"b$b")
       }
       // llm draws don't use the event-key grid — keep their names to the
       // parameters that actually vary
