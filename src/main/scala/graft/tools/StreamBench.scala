@@ -67,34 +67,41 @@ object StreamBench {
       name -> (nEvents / secs)
     }
 
-    val results = Seq(
-      run("first", ms => UniqueStreams.firstStream(ms.toDF(), Seq("key")), OutputMode.Append()),
+    // optional 2nd arg: comma-separated op names to run (e.g.
+    // "firstUniq,firstBloomUniq" for a big-N soak of one A/B without
+    // paying for the whole suite); "neardup"/"dupspan" gate the doc
+    // sections below
+    val opsFilter = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(n: String): Boolean = opsFilter.forall(_.contains(n))
+    val defs: Seq[(String, () => (String, Double))] = Seq(
+      "first" -> (() => run("first", ms => UniqueStreams.firstStream(ms.toDF(), Seq("key")), OutputMode.Append())),
       // Bloom twin on the same 1000-key stream (A/B against "first"), then
       // both on the all-unique-keys stream where exact state grows
       // per-event and the Bloom's 8x1Mbit stays fixed
-      run("firstBloom", ms => UniqueStreams.firstStreamBloom(ms.toDF(), Seq("key"),
-        numShards = 8, bitsPerShard = 1 << 20), OutputMode.Update()),
-      run("firstUniq", ms => UniqueStreams.firstStream(ms.toDF(), Seq("key")),
-        OutputMode.Append(), uniqEvents),
-      run("firstBloomUniq", ms => UniqueStreams.firstStreamBloom(ms.toDF(), Seq("key"),
-        numShards = 8, bitsPerShard = 1 << 20), OutputMode.Update(), uniqEvents),
-      run("deduplicate", ms => UniqueStreams.deduplicateStream(ms.toDF(), Seq("key"), "ts", 5000L), OutputMode.Append()),
-      run("deduplicateBloom", ms => UniqueStreams.deduplicateStreamBloom(
+      "firstBloom" -> (() => run("firstBloom", ms => UniqueStreams.firstStreamBloom(ms.toDF(), Seq("key"),
+        numShards = 8, bitsPerShard = 1 << 20), OutputMode.Update())),
+      "firstUniq" -> (() => run("firstUniq", ms => UniqueStreams.firstStream(ms.toDF(), Seq("key")),
+        OutputMode.Append(), uniqEvents)),
+      "firstBloomUniq" -> (() => run("firstBloomUniq", ms => UniqueStreams.firstStreamBloom(ms.toDF(), Seq("key"),
+        numShards = 8, bitsPerShard = 1 << 20), OutputMode.Update(), uniqEvents)),
+      "deduplicate" -> (() => run("deduplicate", ms => UniqueStreams.deduplicateStream(ms.toDF(), Seq("key"), "ts", 5000L), OutputMode.Append())),
+      "deduplicateBloom" -> (() => run("deduplicateBloom", ms => UniqueStreams.deduplicateStreamBloom(
         ms.toDF(), Seq("key"), "ts", 5000L, numShards = 8, bitsPerShard = 1 << 20),
-        OutputMode.Update()),
-      run("ever", ms => UniqueStreams.everStream(ms.toDF(), Seq("key")), OutputMode.Update()),
-      run("timeBatch", ms => UniqueStreams.timeBatchStream(ms.toDF(), Seq("key"), "seq", "ts", 60000L), OutputMode.Append()),
-      run("time", ms => UniqueStreams.timeStream(ms.toDF(), Seq("key"), "ts", 120000L), OutputMode.Update()),
-      run("deduplicateExact", ms => UniqueStreams.deduplicateStreamExact(
-        ms.toDF(), Seq("key"), "seq", "ts", 5000L), OutputMode.Update()),
-      run("everTtl", ms => UniqueStreams.everStreamTtl(
-        ms.toDF(), Seq("key"), "ts", ttlMs = 300000L), OutputMode.Update()),
+        OutputMode.Update())),
+      "ever" -> (() => run("ever", ms => UniqueStreams.everStream(ms.toDF(), Seq("key")), OutputMode.Update())),
+      "timeBatch" -> (() => run("timeBatch", ms => UniqueStreams.timeBatchStream(ms.toDF(), Seq("key"), "seq", "ts", 60000L), OutputMode.Append())),
+      "time" -> (() => run("time", ms => UniqueStreams.timeStream(ms.toDF(), Seq("key"), "ts", 120000L), OutputMode.Update())),
+      "deduplicateExact" -> (() => run("deduplicateExact", ms => UniqueStreams.deduplicateStreamExact(
+        ms.toDF(), Seq("key"), "seq", "ts", 5000L), OutputMode.Update())),
+      "everTtl" -> (() => run("everTtl", ms => UniqueStreams.everStreamTtl(
+        ms.toDF(), Seq("key"), "ts", ttlMs = 300000L), OutputMode.Update())),
       // transformWithState requires the RocksDB provider; run last so the
       // provider switch doesn't touch the HDFS-backed runs above
-      { UniqueStreams.useRocksDBStateStore(spark)
+      "everTws" -> (() => { UniqueStreams.useRocksDBStateStore(spark)
         run("everTws", ms => UniqueStreams.everStreamTws(
-          ms.toDF(), Seq("key")), OutputMode.Update()) },
+          ms.toDF(), Seq("key")), OutputMode.Update()) }),
     )
+    val results = defs.filter(p => want(p._1)).map(_._2())
     // incremental near-dup throughput (docs/s, heavier per-row work than
     // the keyed ops above: shingle+minhash hashing per doc + the banded
     // index; needs RocksDB — already switched): ~25-word docs in ~n/20
@@ -106,7 +113,8 @@ object StreamBench {
       (0 until 24).map(j => wordPool((fam * 31 + j * 7) % wordPool.length))
         .mkString(" ") + s" v$i"
     }
-    val docRate = {
+    val docRate = if (!want("neardup")) 0.0 else {
+      UniqueStreams.useRocksDBStateStore(spark) // may be filtered past everTws
       implicit val denc: org.apache.spark.sql.Encoder[DocEv] = Encoders.product[DocEv]
       val ms = MemoryStream[DocEv]
       val q = graft.streaming.NearDupStream
@@ -131,7 +139,8 @@ object StreamBench {
     // as the near-dup row — family docs share their 24-word body, so the
     // gram index sees constant promote/hit traffic (every family doc
     // after the first re-emits spans), the operator's heavy regime
-    val dupSpanRate = {
+    val dupSpanRate = if (!want("dupspan")) 0.0 else {
+      UniqueStreams.useRocksDBStateStore(spark)
       implicit val denc: org.apache.spark.sql.Encoder[DocEv] = Encoders.product[DocEv]
       val ms = MemoryStream[DocEv]
       val q = graft.streaming.DupSpanStream

@@ -85,6 +85,34 @@ class BloomStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(run("bloom_c1", 1) === run("bloom_c6", 6))
   }
 
+  test("false-positive rate tracks the analytic epsilon") {
+    // 1 shard, m = 4096 bits, kH = 3 hashes, 1200 distinct keys inserted
+    // sequentially: the i-th new key is falsely dropped with
+    // p_i = (1 - e^(-kH*i/m))^kH. The run is deterministic (fixed seeds),
+    // so the observed count is one sample of the Poisson-binomial — with
+    // E ~ 46 the 0.3x..3x band is far wider than its spread and the
+    // assertion is stable, while a broken hash layout (e.g. all probes
+    // colliding, or probes never set) lands orders of magnitude outside.
+    val n = 1200; val m = 4096.0; val kH = 3
+    val rows = (0 until n).map(i => login(i, s"uniq$i", i))
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.firstStreamBloom(ms.toDF(), Seq("ip"),
+        numShards = 1, bitsPerShard = 4096, numHashes = kH, seqCol = Some("seq")), "bloom_fpr")
+    rows.grouped(200).foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+    val admitted = spark.table("bloom_fpr").count()
+    q.stop()
+    val observedFp = n - admitted
+    // expected FP under the idealized model, with the inserted count
+    // growing only on admissions (~i - expected drops so far; the
+    // upper-bound i is fine for the band check)
+    val expectedFp = (0 until n).map { i =>
+      math.pow(1.0 - math.exp(-kH * i / m), kH)
+    }.sum
+    assert(observedFp > expectedFp * 0.3 && observedFp < expectedFp * 3.0,
+      s"observed $observedFp false drops vs analytic ~${expectedFp.round} — outside the 0.3x-3x band")
+  }
+
   test("deduplicateStreamBloom: drops within interval, readmits after 2x, bank rotation") {
     // interval 1000ms. Key A kept at t=100 (epoch 0): dup at t=900 (same
     // epoch) dropped; revisit at t=1500 (epoch 1, within prev's reach)
