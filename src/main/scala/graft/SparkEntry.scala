@@ -272,6 +272,27 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // LINE-SHARDED streaming form (one stage, keyed by line content —
+    // the scale-out path past the monolith's single-task stage): the
+    // accumulated insert-only log must equal the same dropped-line
+    // relation, so it shares doc_dup_lines' oracle
+    "doc_dup_lines_sharded_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try
+        streaming.Replay.replay(s,
+          llm.CorpusOps.withSyntheticLines(Tables.documents(s, d), "doc_id", "text")
+            .select("doc_id", "lines_text"),
+          "doc_id", 100, "append")(sdf =>
+          streaming.LineDedupStream.shardedLineDedupStream(sdf, "doc_id", "lines_text",
+            minDf = 3))
+          .select(col("doc_id"), col("pos"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ---- duplicated-span detection/removal (ExactSubstr-style dedup,
     // Lee et al. 2021; llm.TextDedup.duplicateSpans) — string gram keys
     // here for DuckDB parity, xxhash64 production twins in benchQueries
@@ -292,6 +313,28 @@ object SparkEntry {
         val log = streaming.Replay.replay(s, Tables.documents(s, d), "doc_id",
           100, "update")(sdf =>
           streaming.DupSpanStream.dupSpanStream(sdf, "doc_id", "text", k = 5))
+        streaming.DupSpanStream.latestSpans(log, "doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // GRAM-SHARDED two-stage streaming form: stage A (per-gram promotion,
+    // append-mode hit log) replayed over the corpus, its accumulated log
+    // replayed through stage B (per-doc span merge) — the deployment
+    // bridge the sharded pair documents, closed end-to-end at oracle
+    // level. Final (max per-doc upd_seq) spans share the batch oracle.
+    "doc_dup_spans_sharded_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val hits = streaming.Replay.replay(s, Tables.documents(s, d), "doc_id",
+          100, "append")(sdf =>
+          streaming.DupSpanStream.shardedGramHits(sdf, "doc_id", "text", k = 5))
+        val log = streaming.Replay.replay(s, hits, "doc_id",
+          5000, "update")(sdf =>
+          streaming.DupSpanStream.spanMergeStage(sdf, "doc_id", k = 5))
         streaming.DupSpanStream.latestSpans(log, "doc_id")
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
@@ -411,6 +454,17 @@ object SparkEntry {
     "deduplicate_bloom_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.deduplicateStreamBloom(sdf, Seq("user_id"), "ts", DAY,
+          numShards = 8, bitsPerShard = 1 << 20, seqCol = Some("event_id")))),
+    // FIXED-STATE approximate first (per-shard Bloom bitsets): no false
+    // negatives by construction, and with a generously-sized filter
+    // (8 × 1 Mbit for ≤1.5k distinct keys at gate scales — per-admission
+    // false-positive odds ~(k·n/m)^k ≈ 1e-15, and the fixed murmur seeds
+    // make the run deterministic, so green is stable, not statistical)
+    // the admitted set is EXACTLY first-per-key: the approximate
+    // operator shares the exact `first` oracle.
+    "first_bloom_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.firstStreamBloom(sdf, Seq("user_id"),
           numShards = 8, bitsPerShard = 1 << 20, seqCol = Some("event_id")))),
     "timelengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
@@ -962,6 +1016,7 @@ object SparkEntry {
       // pos) of every line appearing in >= 3 distinct docs
       "doc_dup_lines" -> docDupLinesOracle,
       "doc_dup_lines_stream_replay" -> docDupLinesOracle,
+      "doc_dup_lines_sharded_stream_replay" -> docDupLinesOracle,
       // CCNet-style line dedup over the synthetic-lines corpus: drop lines
       // appearing in >= 3 distinct docs; mirror reproduces the
       // withSyntheticLines framing (header rotation + shared footer)
@@ -995,6 +1050,7 @@ object SparkEntry {
       // The streaming replay's final (max-upd_seq) spans share the oracle.
       "doc_dup_spans" -> docDupSpansOracle,
       "doc_dup_spans_stream_replay" -> docDupSpansOracle,
+      "doc_dup_spans_sharded_stream_replay" -> docDupSpansOracle,
       "doc_dup_span_removal" ->
         """WITH t AS (SELECT doc_id,
           |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
@@ -1136,6 +1192,9 @@ object SparkEntry {
            |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin,
       // firstStream emits exactly the first-per-key rows (state = seen flag)
       "first_stream_replay" -> firstCurrentSql,
+      // Bloom-backed approximate first, generously sized: exact at gate
+      // scales (deterministic seeds), so it shares the exact oracle
+      "first_bloom_stream_replay" -> firstCurrentSql,
       // lengthStream's accumulated log: every event 'insert' once; every
       // event that left the window (replaced or LRU-evicted) 'expire' once
       // — i.e. everything outside the final window (= length_current).

@@ -568,7 +568,7 @@ object SweepVerify {
     val streamFamilies = Seq("ever_stream", "first_stream", "time_stream",
       "timebatch_stream", "lengthbatch_stream", "length_stream",
       "deduplicate_stream", "externaltimebatch_stream", "timelengthbatch_stream",
-      "deduplicate_bloom_stream")
+      "deduplicate_bloom_stream", "first_bloom_stream")
     // llm families: the corpus-pipeline tier with randomized operator
     // parameters (gram sizes, band geometry, thresholds, caps, eval
     // strata) — each draw's oracle SQL is regenerated from the SAME
@@ -703,6 +703,18 @@ object SweepVerify {
             graft.streaming.UniqueStreams.deduplicateStreamBloom(sdf, keys, "ts", w,
               numShards = 8, bitsPerShard = 1 << 20, seqCol = Some("event_id"))),
             deduplicateBloomSql(keys, w), s"replay_w$w")
+        case "first_bloom_stream" =>
+          // drawn shard/hash geometry, every draw generously sized (worst
+          // case 100k distinct keys at sf0.1 over >= 4 × 8 Mbit shards →
+          // per-admission FP odds < 1e-10, deterministic seeds): the
+          // admitted set is exactly first-per-key, sharing firstSql
+          val shards = pick(Seq(4, 8, 32))
+          val kH = pick(Seq(3, 5, 7))
+          (replayed("event_id", "update")(sdf =>
+            graft.streaming.UniqueStreams.firstStreamBloom(sdf, keys,
+              numShards = shards, bitsPerShard = 1 << 23, numHashes = kH,
+              seqCol = Some("event_id"))),
+            firstSql(keys), s"replay_s${shards}_h$kH")
         case "externaltimebatch_stream" =>
           (replayed("event_id", "update")(sdf =>
             graft.streaming.UniqueStreams.externalTimeBatchStream(sdf, keys,
