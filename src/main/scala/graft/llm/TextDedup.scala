@@ -417,7 +417,11 @@ object TextDedup {
     * and b~c then a,b,c share one cluster even when a~c was never a
     * candidate pair).
     *
-    * Algorithm: iterative min-label propagation with pointer-jumping path
+    * Algorithm: a size-gated hybrid. Graphs at or under `driverMaxEdges`
+    * symmetrized edges (integral ids) run one driver union-find pass —
+    * the standard contracted-graph endgame; the knob bounds driver
+    * memory the way the broadcast-join threshold does. Larger graphs run
+    * iterative min-label propagation with pointer-jumping path
     * compression. Each round a node adopts the least of (its label, its
     * neighbors' labels), then labels jump one level (label := label's
     * label) — convergence in O(log diameter) rounds, each round two
@@ -443,7 +447,8 @@ object TextDedup {
     * `checkpoint`s, trading per-round HDFS writes for executor-loss
     * recoverability.
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25,
+                      driverMaxEdges: Long = 4L * 1000 * 1000): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // symmetrize in ONE pass over pairs (a union of two selects would run
     // the whole upstream pairs pipeline once per branch — measured ~2× the
@@ -475,6 +480,55 @@ object TextDedup {
     // try/finally: the maxIters throw below must still release the
     // persisted edge relation (it would otherwise leak until driver GC)
     try {
+      // SMALL-GRAPH ENDGAME: the symmetrized candidate relation is pair-
+      // members-sized — orders of magnitude below the corpus (banded LSH
+      // + bucket caps bound it) — and in the common case fits the driver
+      // comfortably. Below `driverMaxEdges` (default 4M directed edges ≈
+      // 64 MB collected, a broadcast-threshold-style knob) a single
+      // union-find pass replaces the iterative loop: identical output
+      // (union-by-min makes each root the component minimum), none of the
+      // per-round fixed cost — measured the dominant term for the chain-
+      // shaped embedding graphs, whose O(log diameter) rounds each pay a
+      // constant-size-but-nonzero checkpointed plan. Above the threshold
+      // (or for non-integral id types) the distributed loop below is the
+      // scale path, unchanged. Set driverMaxEdges = 0 to force it.
+      val idType = edges.schema("a").dataType
+      val integral = idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType
+      if (integral && driverMaxEdges > 0 && edges.count() <= driverMaxEdges) {
+        val es = edges.select(col("a").cast("long"), col("b").cast("long")).collect()
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (c != r) { val nx = parent(c); parent.update(c, r); c = nx }
+          r
+        }
+        es.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by min: the larger root attaches under the smaller, so
+          // every root IS its component's minimum — same labels as the
+          // min-propagation loop by construction
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        val ks = parent.keysIterator.toArray // materialized: find() mutates
+        val outRows = ks.map(x => org.apache.spark.sql.Row(x, find(x))).toSeq
+        val spark = pairs.sparkSession
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType, nullable = false)
+          .add("cluster_id", org.apache.spark.sql.types.LongType, nullable = false)
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(outRows,
+            math.max(1, math.min(32, outRows.length / 100000 + 1))), schema)
+        return if (idType == org.apache.spark.sql.types.LongType) df
+        else df.select(col("id").cast(idType).as("id"),
+          col("cluster_id").cast(idType).as("cluster_id"))
+      }
       var labels = snap(edges.groupBy(col("a"))
         .agg(min("b").as("__mb"))
         .select(col("a").as("id"), least(col("a"), col("__mb")).as("label")))

@@ -76,6 +76,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(34L) === 30L, "4-hop path must converge")
   }
 
+  test("nearDupClusters: driver fast path equals the distributed loop") {
+    // long chains (the worst case for round counts — and where union-by-
+    // min could diverge from propagation if either were wrong), a clique,
+    // shared-member merges, and an int-typed id variant
+    val es = (30L to 60L).sliding(2).map(w => (w(0), w(1))).toSeq ++
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (100L, 3L), (100L, 101L))
+    val pairs = es.toDF("id_a", "id_b")
+    val fast = TextDedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = TextDedup.nearDupClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast(60L) === 30L, "31-node chain collapses to its min")
+    assert(fast(101L) === 1L, "shared member merges components")
+    // int ids: fast path must preserve the input id type in its schema
+    val intPairs = Seq((5, 6), (6, 7)).toDF("id_a", "id_b")
+    val intOut = TextDedup.nearDupClusters(intPairs)
+    assert(intOut.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(intOut.as[(Int, Int)].collect().toMap === Map(5 -> 5, 6 -> 5, 7 -> 5))
+  }
+
   test("nearDupClusters of an empty pairs relation is empty; dedupByPairs drops losers only") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(TextDedup.nearDupClusters(empty).isEmpty)

@@ -166,7 +166,11 @@ object UniqueLaws extends Properties("UniqueOps") {
 
   property("nearDupClusters: min-label CC equals union-find on random graphs") =
     forAll(edgeSetGen) { es =>
-      val got = graft.llm.TextDedup.nearDupClusters(es.toDF("id_a", "id_b"))
+      // driverMaxEdges = 0 forces the distributed min-propagation loop —
+      // the default would take the driver union-find fast path, which the
+      // fast-path-equivalence spec in LlmOpsSpec covers separately
+      val got = graft.llm.TextDedup.nearDupClusters(es.toDF("id_a", "id_b"),
+          driverMaxEdges = 0L)
         .as[(Long, Long)].collect().toMap
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
