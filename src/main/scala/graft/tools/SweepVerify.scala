@@ -588,10 +588,30 @@ object SweepVerify {
     val oracles = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var ok = 0
+    // optional family filter (comma-separated) — used for the sf0.1
+    // robustness passes, where a few GENERATED ORACLES (not the engine)
+    // are scale-hostile: lengthBatchSql's batch recurrence re-aggregates
+    // the whole table once per batch, so a draw like n=2 over a
+    // near-unique 3-column key (~50k batches at sf0.1) grinds DuckDB for
+    // hours while the engine side finishes in seconds. A misspelled name
+    // fails loudly.
+    val famFilter = sys.env.get("SPARK_GRAFT_SWEEP_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val activeFamilies = {
+      val base = if (streamingMode) streamFamilies
+                 else if (llmMode) llmFamilies else families
+      famFilter match {
+        case Some(fs) =>
+          val unknown = fs -- base.toSet
+          require(unknown.isEmpty,
+            s"SPARK_GRAFT_SWEEP_FAMILIES names unknown families: " +
+              s"${unknown.toSeq.sorted.mkString(", ")} (known: ${base.mkString(", ")})")
+          base.filter(fs.contains)
+        case None => base
+      }
+    }
     (0 until nDraws).foreach { i =>
-      val fam = if (streamingMode) streamFamilies(i % streamFamilies.length)
-                else if (llmMode) llmFamilies(i % llmFamilies.length)
-                else families(i % families.length)
+      val fam = activeFamilies(i % activeFamilies.length)
       val keys = pick(keyGrid)
       val w = pick(windowGrid)
       val n = pick(nGrid)
