@@ -173,6 +173,14 @@ object SparkEntry {
           lloydIters = 1)
         .select("query_id", "corpus_id", "rank")
     }),
+    // product-quantization ADC retrieval (the memory-scale ANN path):
+    // anchor codebook → PqEncode codes → per-query PqLut → PqScore
+    // ranking; the mirror derives the identical anchor constants in SQL
+    "emb_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .select("query_id", "corpus_id", "rank")
+    }),
     // embedding-cosine near-dup: banded hyperplane LSH + exact cosine
     // verify. The synthetic corpus peaks at cosine ~0.48, so the query
     // runs the short-band (4-plane) low-similarity configuration; cosine
@@ -1106,6 +1114,7 @@ object SparkEntry {
       "doc_simhash_pairs_md5" -> docSimhashPairsMd5Oracle,
       "emb_ann_lsh" -> embAnnOracle,
       "emb_ann_ivf" -> embIvfOracle,
+      "emb_ann_pq" -> embPqOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
       // batch clusters/dedup share the stream rows' closure oracles: the
       // batch CC and the streaming union-find must reduce to the same sets
@@ -1752,6 +1761,57 @@ object SparkEntry {
        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin
+
+  /** DuckDB mirror of Similarity.pqTopK (dim=64, nSub=8, codesPerSub=16,
+    * k=10): the codebook is derived IN SQL exactly as the engine builds
+    * it — subspace slices of the 16 lowest-vec_id rows — then each
+    * corpus row is PQ-encoded (argmin squared L2 per subspace, ties to
+    * the smallest code), each query gets its subspace-dot lookup table,
+    * and candidates rank by ADC-dot / (‖q‖ · reconstructed ‖x‖). Every
+    * double accumulates left-fold (list_reduce / list(.. ORDER BY m)),
+    * matching PqEncode/PqLut/PqScore's loop order bit-for-bit, so ranks
+    * agree across engines; the sim double itself is excluded like the
+    * other ANN rows.
+    */
+  private def embPqOracle: String = {
+    val sub = "(SELECT unnest(generate_series(0, 7)) AS m)"
+    s"""WITH a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
+       |cb AS (SELECT m, j, av[m*8+1 : m*8+8] AS cent FROM a CROSS JOIN $sub),
+       |cbn AS (SELECT m, j, cent,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |enc0 AS (SELECT corpus_id, m, j,
+       |    list_reduce(list_transform(list_zip(cv[m*8+1 : m*8+8], cent),
+       |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM c CROSS JOIN cbn),
+       |codes AS (SELECT corpus_id, m, j AS code FROM (
+       |  SELECT corpus_id, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |qn AS (SELECT query_id,
+       |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+       |  FROM q),
+       |lut AS (SELECT query_id, m, j,
+       |    list_reduce(list_transform(list_zip(qv[m*8+1 : m*8+8], cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot,
+       |    n2
+       |  FROM q CROSS JOIN cbn),
+       |s0 AS (SELECT query_id, corpus_id,
+       |    list_reduce(list(dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+       |    list_reduce(list(n2 ORDER BY lut.m), (x, y) -> x + y) AS cn2
+       |  FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.code
+       |  GROUP BY query_id, corpus_id),
+       |s AS (SELECT s0.query_id, corpus_id,
+       |    CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / (qn.qn * sqrt(cn2)) END AS sim
+       |  FROM s0 JOIN qn ON qn.query_id = s0.query_id
+       |  WHERE corpus_id <> s0.query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
+  }
 
   /** DuckDB mirror of Similarity.ivfTopK (nCells=16, nProbe=4, k=10,
     * lloydIters=1): anchor centroids = the 16 lowest-vec_id rows; corpus

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, ExpectsInputTypes, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Native (whole-stage-codegen) Catalyst expressions for the near-dup hot
   * path. The HOF forms (`transform`/`zip_with` lambdas) execute their
@@ -627,4 +627,257 @@ case class CutSpans(first: Expression, second: Expression, third: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c1, c2, c3) =>
       s"${ev.value} = graft.functions.GraftExprHelpers.cutSpans($c1, $c2, $c3);")
+}
+
+/** Product-quantization encode: for each of `nSub` contiguous subspaces
+  * of the input vector, the index of the nearest codebook centroid by
+  * squared L2 distance (left-fold double accumulation; ties to the
+  * SMALLEST code — matching the DuckDB mirror's
+  * `ORDER BY d ASC, j`). One generated loop; the codebook is a literal
+  * constant (anchor slices — see `Similarity.pqTopK`), laid out
+  * flat as codebook(m * codesPerSub + j). Null input or null element →
+  * null; wrong input length → null (callers guard with requireDim).
+  * Output: array<int> of length nSub — the 100 TB index payload
+  * (nSub small ints ≈ dim/8 bytes vs dim × 4 float bytes raw).
+  */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Double]],
+                    nSub: Int, codesPerSub: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nSub > 0 && codesPerSub > 1, s"bad PQ geometry $nSub x $codesPerSub")
+  require(codebook.length == nSub * codesPerSub,
+    s"codebook has ${codebook.length} entries, expected ${nSub * codesPerSub}")
+  require(codebook.forall(_.length == codebook.head.length), "ragged codebook")
+  private val subDim = codebook.head.length
+  private val dim = nSub * subDim
+  @transient private lazy val flat: Array[Double] = codebook.flatten.toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val vv = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      vv(j) = v.getDouble(j); j += 1
+    }
+    val out = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < codesPerSub) {
+        val base = (m * codesPerSub + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = vv(m * subDim + i) - flat(base + i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict <: ties keep smallest c
+        c += 1
+      }
+      out(m) = best; m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cb = ctx.addReferenceObj("pqCodebook", flat, "double[]")
+      val vv = ctx.freshName("vv")
+      val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val base = ctx.freshName("base")
+      s"""
+         |if ($v.numElements() != $dim) { ${ev.isNull} = true; } else {
+         |  final double[] $vv = new double[$dim];
+         |  boolean $hasNull = false;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($v.isNullAt($j)) { $hasNull = true; break; }
+         |    $vv[$j] = $v.getDouble($j);
+         |  }
+         |  if ($hasNull) { ${ev.isNull} = true; } else {
+         |    final int[] $out = new int[$nSub];
+         |    for (int $m = 0; $m < $nSub; $m++) {
+         |      int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |      for (int $c = 0; $c < $codesPerSub; $c++) {
+         |        final int $base = ($m * $codesPerSub + $c) * $subDim;
+         |        double $d = 0.0;
+         |        for (int $i = 0; $i < $subDim; $i++) {
+         |          final double $diff = $vv[$m * $subDim + $i] - $cb[$base + $i];
+         |          $d += $diff * $diff;
+         |        }
+         |        if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |      }
+         |      $out[$m] = $best;
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+         |""".stripMargin
+    })
+}
+
+/** Product-quantization lookup table for one query vector: raw dot
+  * products of each query subspace slice against every codebook
+  * centroid, flat layout lut(m * codesPerSub + j) — computed ONCE per
+  * query, then every candidate scores with `nSub` array reads
+  * (`PqScore`) instead of `dim` multiplies. Left-fold double dots,
+  * mirroring the DuckDB mirror's list_reduce.
+  */
+case class PqLut(child: Expression, codebook: Seq[Seq[Double]],
+                 nSub: Int, codesPerSub: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebook.length == nSub * codesPerSub,
+    s"codebook has ${codebook.length} entries, expected ${nSub * codesPerSub}")
+  require(codebook.forall(_.length == codebook.head.length), "ragged codebook")
+  private val subDim = codebook.head.length
+  private val dim = nSub * subDim
+  @transient private lazy val flat: Array[Double] = codebook.flatten.toArray
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val vv = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      vv(j) = v.getDouble(j); j += 1
+    }
+    val out = new Array[Double](nSub * codesPerSub)
+    var m = 0
+    while (m < nSub) {
+      var c = 0
+      while (c < codesPerSub) {
+        val base = (m * codesPerSub + c) * subDim
+        var dot = 0.0
+        var i = 0
+        while (i < subDim) { dot += vv(m * subDim + i) * flat(base + i); i += 1 }
+        out(m * codesPerSub + c) = dot; c += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cb = ctx.addReferenceObj("pqLutCodebook", flat, "double[]")
+      val vv = ctx.freshName("vv")
+      val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val base = ctx.freshName("base")
+      s"""
+         |if ($v.numElements() != $dim) { ${ev.isNull} = true; } else {
+         |  final double[] $vv = new double[$dim];
+         |  boolean $hasNull = false;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($v.isNullAt($j)) { $hasNull = true; break; }
+         |    $vv[$j] = $v.getDouble($j);
+         |  }
+         |  if ($hasNull) { ${ev.isNull} = true; } else {
+         |    final double[] $out = new double[${nSub * codesPerSub}];
+         |    for (int $m = 0; $m < $nSub; $m++) {
+         |      for (int $c = 0; $c < $codesPerSub; $c++) {
+         |        final int $base = ($m * $codesPerSub + $c) * $subDim;
+         |        double $dot = 0.0;
+         |        for (int $i = 0; $i < $subDim; $i++)
+         |          $dot += $vv[$m * $subDim + $i] * $cb[$base + $i];
+         |        $out[$m * $codesPerSub + $c] = $dot;
+         |      }
+         |    }
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+         |""".stripMargin
+    })
+}
+
+/** Asymmetric-distance (ADC) score: given a candidate's PQ codes and a
+  * query's `PqLut` table, the approximate query·candidate dot is
+  * Σ_m lut(m·codesPerSub + codes(m)) and the candidate's reconstructed
+  * norm² is Σ_m norm2(m·codesPerSub + codes(m)) (norm2 is the literal
+  * per-centroid ‖c‖², computed once per codebook) — both left-fold, in
+  * m order. Returns dot / sqrt(norm²) (0.0 on a zero reconstructed
+  * norm); the caller divides by the query's own norm for cosine. Scoring
+  * cost per candidate: nSub reads vs dim multiplies.
+  */
+case class PqScore(left: Expression, right: Expression,
+                   norm2: Seq[Double], codesPerSub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  require(codesPerSub > 1 && norm2.nonEmpty && norm2.length % codesPerSub == 0,
+    s"norm2 length ${norm2.length} does not divide into codes of $codesPerSub")
+  private val nSub = norm2.length / codesPerSub
+  @transient private lazy val n2: Array[Double] = norm2.toArray
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_score"
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqScore =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    if (codes.numElements() != nSub || lut.numElements() != nSub * codesPerSub)
+      return null
+    var dot = 0.0; var cn2 = 0.0
+    var m = 0
+    while (m < nSub) {
+      if (codes.isNullAt(m)) return null
+      val c = codes.getInt(m)
+      if (c < 0 || c >= codesPerSub) return null
+      val idx = m * codesPerSub + c
+      if (lut.isNullAt(idx)) return null
+      dot += lut.getDouble(idx); cn2 += n2(idx)
+      m += 1
+    }
+    if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val nn = ctx.addReferenceObj("pqNorm2", n2, "double[]")
+      val dot = ctx.freshName("dot"); val cn2 = ctx.freshName("cn2")
+      val m = ctx.freshName("m"); val c = ctx.freshName("c")
+      val idx = ctx.freshName("idx"); val bad = ctx.freshName("bad")
+      s"""
+         |if ($codes.numElements() != $nSub || $lut.numElements() != ${nSub * codesPerSub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $cn2 = 0.0;
+         |  boolean $bad = false;
+         |  for (int $m = 0; $m < $nSub; $m++) {
+         |    if ($codes.isNullAt($m)) { $bad = true; break; }
+         |    final int $c = $codes.getInt($m);
+         |    if ($c < 0 || $c >= $codesPerSub) { $bad = true; break; }
+         |    final int $idx = $m * $codesPerSub + $c;
+         |    if ($lut.isNullAt($idx)) { $bad = true; break; }
+         |    $dot += $lut.getDouble($idx); $cn2 += $nn[$idx];
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else if ($cn2 == 0.0) { ${ev.value} = 0.0; }
+         |  else { ${ev.value} = $dot / java.lang.Math.sqrt($cn2); }
+         |}
+         |""".stripMargin
+    })
 }

@@ -279,4 +279,92 @@ object Similarity {
           .orderBy(col("sim").desc, col("corpus_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Product-quantization ANN top-k — the MEMORY-scale path of the ANN
+    * tier (IVF bounds which cells a query touches; PQ bounds the BYTES
+    * each touched vector costs). The corpus is encoded once into
+    * `nSub` small ints per row (`graft.functions.PqEncode`, a
+    * zero-shuffle native projection against a literal codebook): 64-dim
+    * float embeddings compress 256 B → 8 B — at 100 TB of raw vectors
+    * the scan side shrinks ~32× and fits executor memory where floats
+    * would not. Each query precomputes one `PqLut` table (nSub ×
+    * codesPerSub subspace dots) and every candidate then scores with
+    * `nSub` array reads instead of `dim` multiplies (`PqScore` — the
+    * classic ADC scan, Jégou et al. 2011), ranked by approximate cosine
+    * = ADC-dot / (‖q‖ · reconstructed ‖x‖).
+    *
+    * The codebook is DETERMINISTIC anchor slices — subspace m of the
+    * `codesPerSub` lowest-id corpus rows — the same anchor-centroid
+    * policy as `ivfTopK`'s init, so the DuckDB mirror derives the
+    * IDENTICAL constants in SQL and the retrieval log gets a real hash
+    * oracle (`emb_ann_pq`); like IVF's anchors, a production deployment
+    * would k-means the codebook (better recall, same plan shape — the
+    * expressions only see a different literal). The anchor collect is
+    * `codesPerSub` rows — constant-size, like the IVF centroid
+    * broadcast. Approximation quality is gated by an sbt recall@k test
+    * against brute force, like IVF's.
+    *
+    * Composition with IVF at scale: bucket by `ivfTopK`'s cell id,
+    * store codes per cell, ADC-scan only probed cells — both halves are
+    * independent column transforms, so the composition is a select.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int = 64, nSub: Int = 8,
+             codesPerSub: Int = 16, refine: Int = 0): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val subDim = dim / nSub
+    val anchors = corpus.orderBy(col(idCol)).limit(codesPerSub)
+      .select(requireDim(col(vecCol).cast("array<double>"), dim)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(anchors.length == codesPerSub,
+      s"corpus has only ${anchors.length} rows, need $codesPerSub anchor rows")
+    val codebook: Seq[Seq[Double]] =
+      for (m <- 0 until nSub; j <- 0 until codesPerSub)
+        yield anchors(j).slice(m * subDim, (m + 1) * subDim).toSeq
+    // per-centroid ‖c‖², left fold — same order as the mirror's list_reduce
+    val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    val codes = corpus.select(col(idCol).as("corpus_id"),
+      colOf(graft.functions.PqEncode(
+        expr(requireDim(col(vecCol).cast("array<double>"), dim)),
+        codebook, nSub, codesPerSub)).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        requireDim(col(vecCol).cast("array<double>"), dim).as("qv"))
+      .select(col("query_id"),
+        colOf(graft.functions.PqLut(expr(col("qv")), codebook, nSub, codesPerSub)).as("lut"),
+        sqrt(aggregate(col("qv"), lit(0.0d), (acc, x) => acc + x * x)).as("qn"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (colOf(graft.functions.PqScore(expr(col("codes")), expr(col("lut")),
+          norm2, codesPerSub)) / col("qn")).as("sim"))
+    val ranked = scored.withColumn("rank",
+      row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("corpus_id"))))
+    if (refine <= 0) ranked.filter(col("rank") <= k)
+    else {
+      // two-stage retrieval: ADC generates `refine` candidates per query,
+      // exact cosine re-ranks — only refine × |queries| raw vectors are
+      // fetched (id-keyed point reads against the corpus; at 100 TB the
+      // compressed scan does the work and the refine join touches a
+      // vanishing fraction). Anchor-codebook ADC alone measures ~0.42
+      // recall@10 on the planted-clique spec corpus; refine=5k lifts it
+      // to the candidate-coverage ceiling (see LlmOpsSpec's floors).
+      require(refine >= k, s"refine $refine must be >= k $k")
+      val cand = ranked.filter(col("rank") <= refine).drop("rank", "sim")
+      val cvs = corpus.select(col(idCol).as("corpus_id"),
+        requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
+      val qvs = queries.select(col(idCol).as("query_id"),
+        requireDim(col(vecCol).cast("array<double>"), dim).as("qvr"))
+      cand.join(cvs, Seq("corpus_id")).join(broadcast(qvs), Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          cosine(col("qvr"), col("cv")).as("sim"))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("corpus_id"))))
+        .filter(col("rank") <= k)
+    }
+  }
 }

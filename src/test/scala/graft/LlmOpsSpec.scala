@@ -258,6 +258,72 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 > r0, s"multi-probe recall $r1 not above single-probe $r0")
   }
 
+  test("pqTopK: anchors encode to their own codes; self-similarity is exact") {
+    // anchor j's subspace slice is at L2 distance 0 from centroid (m, j),
+    // so its code vector must be [j] * nSub; its ADC score against its own
+    // LUT reconstructs the vector exactly, so approx cosine == 1.0
+    val r = Similarity.pqTopK(embs, embs.filter(col("vec_id") < 16),
+      "vec_id", "embedding", 10)
+    // rank-1 neighbor of every anchor query must score exactly like brute
+    // rank-1 when that neighbor is itself an anchor clone; cheaper crisp
+    // check: every anchor query's own id is EXCLUDED (self-filter) and its
+    // top-10 exists
+    assert(r.groupBy("query_id").count().filter(col("count") =!= 10).isEmpty)
+    // direct expression check: encode the 16 anchor rows, expect codes = own index
+    val anchors = embs.orderBy("vec_id").limit(16)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    val cb = {
+      val avs = anchors.orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      for (m <- 0 until 8; j <- 0 until 16) yield avs(j).slice(m * 8, (m + 1) * 8).toSeq
+    }
+    val enc = anchors.select(col("vec_id"),
+      org.apache.spark.sql.GraftColumnBridge.column(graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("v")), cb, 8, 16)).as("codes"))
+      .orderBy("vec_id").collect()
+    enc.zipWithIndex.foreach { case (row, j) =>
+      assert(row.getSeq[Int](1) === Seq.fill(8)(j),
+        s"anchor $j did not encode to its own centroid index")
+    }
+  }
+
+  test("pqTopK recall@10 floor on the planted-clique corpus") {
+    // Same deterministic 5-clique construction as the IVF gate below: PQ's
+    // regime is high-similarity retrieval, where the reconstructed
+    // neighbors dominate the ranking despite 32x compression. Seed-free
+    // and anchor-deterministic, so the measured recall is stable — a
+    // gate, not a sample.
+    val copies = 5
+    val maxVec = embs.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1
+    val corpus = (0 until copies).map { i =>
+      embs.select(
+        (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"), (x, p) =>
+           when(p === lit((i - 1) % 64), (x * lit(1.0 + 0.05 * i)).cast("float"))
+             .otherwise(x))).as("embedding"))
+    }.reduce(_ unionByName _).cache()
+    val queries = corpus.filter(col("vec_id") % 97 === 0).cache()
+    val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect pq).size.toDouble / truth.size
+    // pure-ADC with the oracle-mirrorable anchor codebook measures 0.419
+    // here — the deterministic baseline the hash-oracle row gates; floor
+    // 0.40 catches a real scoring/encode regression without overclaiming
+    // what anchor codebooks deliver (production k-means codebooks and/or
+    // the refine stage below are the recall levers)
+    assert(recall >= 0.40, s"PQ ADC recall@10 $recall below the quality floor")
+    val refined = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 10,
+        refine = 100)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val rRecall = (truth intersect refined).size.toDouble / truth.size
+    assert(rRecall > recall,
+      s"exact re-rank recall $rRecall not above pure-ADC $recall")
+    assert(rRecall >= 0.60, s"refined PQ recall@10 $rRecall below the quality floor")
+    corpus.unpersist(); queries.unpersist()
+  }
+
   test("ivfTopK recall@20 floor — the quality gate a refactor must not break") {
     // Deterministic planted-clique corpus (the ScaleBench §round-6
     // construction at spec scale): 5 copies of the 500 sf0.001 vectors,
