@@ -248,6 +248,19 @@ object GraftSql {
           nCells = litLong(es(5), "nCells").toInt,
           nProbe = litLong(es(6), "nProbe").toInt))
       },
+      // `graft_ann_pq(corpus, queries, id, vec, k, n_sub, codes_per_sub,
+      // refine)` — ADC scan over anchor-codebook PQ codes, with the
+      // optional exact-cosine re-rank of the top-`refine` candidates
+      // (refine = 0 → pure ADC). The codebook anchors collect during
+      // analysis, like graft_neardup_dedup's CC loop.
+      "graft_ann_pq" -> { (es: Seq[Expression]) =>
+        plan(llm.Similarity.pqTopK(tableArg(es.head),
+          tableArg(es(1)), litStr(es(2), "id column"),
+          litStr(es(3), "vector column"), litLong(es(4), "k").toInt,
+          nSub = litLong(es(5), "n_sub").toInt,
+          codesPerSub = litLong(es(6), "codes_per_sub").toInt,
+          refine = litLong(es(7), "refine").toInt))
+      },
       // ---- corpus-curation TVFs (llm.CorpusOps) —
       // `graft_repetition(t, id, text)`,
       // `graft_boilerplate_phrases(t, id, text, n, min_df)`,

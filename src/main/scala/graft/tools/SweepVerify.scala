@@ -538,6 +538,76 @@ object SweepVerify {
        |SELECT id_a, id_b FROM s WHERE cos >= $threshold""".stripMargin
   }
 
+  /** pqTopK mirror for any (nSub, codesPerSub, k, refine) at dim=64:
+    * the anchor codebook is derived IN SQL exactly as the engine builds
+    * it (subspace slices of the codesPerSub lowest-vec_id rows); encode
+    * = per-subspace argmin squared L2 (ties to the smallest code), ADC
+    * score = left-fold lut/norm sums in m order — bit-matching
+    * PqEncode/PqLut/PqScore. refine > 0 appends the exact-cosine
+    * re-rank of the top-refine ADC candidates (the two-stage path).
+    */
+  private def embPqSql(nSub: Int, cps: Int, k: Int, refine: Int): String = {
+    val subDim = 64 / nSub
+    def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
+    val core =
+      s"""a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $cps),
+         |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
+         |cb AS (SELECT m, j, ${sl("av")} AS cent
+         |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),
+         |cbn AS (SELECT m, j, cent,
+         |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+         |  FROM cb),
+         |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+         |enc0 AS (SELECT corpus_id, m, j,
+         |    list_reduce(list_transform(list_zip(${sl("cv")}, cent),
+         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+         |      (x, y) -> x + y) AS d
+         |  FROM c CROSS JOIN cbn),
+         |codes AS (SELECT corpus_id, m, j AS code FROM (
+         |  SELECT corpus_id, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+         |  FROM enc0) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |qn AS (SELECT query_id,
+         |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+         |  FROM q),
+         |lut AS (SELECT query_id, m, j,
+         |    list_reduce(list_transform(list_zip(${sl("qv")}, cent),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot,
+         |    n2
+         |  FROM q CROSS JOIN cbn),
+         |s0 AS (SELECT query_id, corpus_id,
+         |    list_reduce(list(dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+         |    list_reduce(list(n2 ORDER BY lut.m), (x, y) -> x + y) AS cn2
+         |  FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.code
+         |  GROUP BY query_id, corpus_id),
+         |s AS (SELECT s0.query_id, corpus_id,
+         |    CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / (qn.qn * sqrt(cn2)) END AS sim
+         |  FROM s0 JOIN qn ON qn.query_id = s0.query_id
+         |  WHERE corpus_id <> s0.query_id)""".stripMargin
+    if (refine <= 0)
+      s"""WITH $core
+         |SELECT query_id, corpus_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+         |FROM s QUALIFY rank <= $k""".stripMargin
+    else {
+      val cos =
+        """list_reduce(list_transform(list_zip(q.qv, c.cv), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+          |      / (sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y))
+          |         * sqrt(list_reduce(list_transform(c.cv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)))""".stripMargin
+      s"""WITH $core,
+         |cand AS (SELECT query_id, corpus_id FROM (
+         |  SELECT query_id, corpus_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS arank
+         |  FROM s) WHERE arank <= $refine),
+         |rr AS (SELECT cand.query_id, cand.corpus_id, $cos AS rsim
+         |  FROM cand JOIN q ON q.query_id = cand.query_id
+         |            JOIN c ON c.corpus_id = cand.corpus_id)
+         |SELECT query_id, corpus_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rsim DESC, corpus_id) AS INTEGER) AS rank
+         |FROM rr QUALIFY rank <= $k""".stripMargin
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -576,7 +646,7 @@ object SweepVerify {
     val llmFamilies = Seq("minhash_pairs", "ngram_pairs", "simhash_pairs",
       "neardup_clusters", "neardup_dedup", "dup_spans", "span_removal",
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
-      "emb_pairs", "boilerplate", "pack")
+      "emb_pairs", "boilerplate", "pack", "emb_pq")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -826,6 +896,16 @@ object SweepVerify {
           val b = pick(Seq(128, 512, 1024))
           (graft.llm.CorpusOps.packSequences(docs, "doc_id", "text", "source", b),
             packSql(b), s"b$b")
+        case "emb_pq" =>
+          // drawn PQ geometry at dim=64 (subDim = 64/nSub), pure-ADC or
+          // two-stage (refine) — the oracle re-derives the anchor
+          // codebook per draw
+          val ns = pick(Seq(4, 8, 16)); val cp = pick(Seq(8, 16))
+          val kk = pick(Seq(5, 10)); val rf = pick(Seq(0, 50))
+          (graft.llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", kk, nSub = ns, codesPerSub = cp,
+            refine = rf).select("query_id", "corpus_id", "rank"),
+            embPqSql(ns, cp, kk, rf), s"s${ns}x${cp}_k${kk}_r$rf")
       }
       // llm draws don't use the event-key grid — keep their names to the
       // parameters that actually vary

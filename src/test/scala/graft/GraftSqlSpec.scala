@@ -173,6 +173,16 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
         |  TABLE(SELECT * FROM vecs64_tvf WHERE vec_id = 0), 'vec_id', 'embedding', 1, 2, 2)
         |""".stripMargin).as[Long].collect().toSeq
     assert(ivf === Seq(1L))
+    // PQ two-stage: with only 2 anchors the ADC stage cannot separate the
+    // orthogonal row from the near-identical one (ortho's codes collapse
+    // onto the base anchor, reconstructing TO the query — correct ADC
+    // behavior at codebook saturation), so the exact re-rank (refine=3)
+    // is what recovers the true neighbor
+    val pq = spark.sql(
+      """SELECT corpus_id FROM graft_ann_pq(TABLE(vecs64_tvf),
+        |  TABLE(SELECT * FROM vecs64_tvf WHERE vec_id = 0), 'vec_id', 'embedding', 1, 8, 2, 3)
+        |""".stripMargin).as[Long].collect().toSeq
+    assert(pq === Seq(1L))
   }
 
   test("corpus-curation TVFs pin to the Scala API") {
