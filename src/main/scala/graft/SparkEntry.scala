@@ -629,6 +629,25 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // PQ-compressed continuous ANN: same feed and probe structure, but
+    // the stateful index stores 8-int PQ codes instead of raw vectors
+    // (32× smaller state); the mirror computes the identical ADC scores
+    // over earlier arrivals, so the full retrieval log hash-matches
+    "emb_ann_pq_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val (cb, _) = llm.Similarity.anchorCodebook(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, nSub = 8, codesPerSub = 16)
+        streaming.Replay.replay(s, Tables.embeddings(s, d), "vec_id", 1000,
+          "append")(sdf => streaming.AnnStream.pqAnnStream(sdf, "vec_id", "embedding",
+            codebook = cb, codesPerSub = 16))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ... and the embedding stream's final CLUSTER STRUCTURE (the vector
     // analog of doc_neardup_clusters_stream_replay): every drop row is a
     // union-find edge (vec → root at emission time); connected components
@@ -1123,6 +1142,7 @@ object SparkEntry {
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,
+      "emb_ann_pq_stream_replay" -> embPqStreamOracle,
       "mm_features" -> mmFeaturesOracle,
       // solid-color resize round-trip: target dims, one color, the color
       "mm_resize" ->
@@ -1805,9 +1825,69 @@ object SparkEntry {
        |  FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.code
        |  GROUP BY query_id, corpus_id),
        |s AS (SELECT s0.query_id, corpus_id,
-       |    CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / (qn.qn * sqrt(cn2)) END AS sim
+       |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
        |  FROM s0 JOIN qn ON qn.query_id = s0.query_id
        |  WHERE corpus_id <> s0.query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** DuckDB mirror of AnnStream.pqAnnStream (dim=64, nSub=8,
+    * codesPerSub=16, nPlanes=8, k=10): the embPqOracle codebook/encode/
+    * LUT machinery with EVERY vector as a query, candidates restricted
+    * to the query's 9 probe buckets AND earlier arrivals
+    * (corpus_id < query_id — the id-ordered replay's "arrived so far"),
+    * scores divided in the engine's exact order ((adc/√cn2)/‖q‖).
+    */
+  private def embPqStreamOracle: String = {
+    val ps = llm.Similarity.planes(8, 64)
+    def bucketExpr(v: String): String = ps.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(list_zip($v, $arr::DOUBLE[]),
+         |    p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0
+         |  THEN (1::BIGINT << $i) ELSE 0::BIGINT END""".stripMargin
+    }.mkString("\n + ")
+    val probes = "b0" +: (0 until 8).map(i => s"xor(b0, ${1L << i}::BIGINT)")
+    val sub = "(SELECT unnest(generate_series(0, 7)) AS m)"
+    s"""WITH a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
+       |cb AS (SELECT m, j, av[m*8+1 : m*8+8] AS cent FROM a CROSS JOIN $sub),
+       |cbn AS (SELECT m, j, cent,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+       |    ${bucketExpr("embedding")} AS bucket FROM embeddings),
+       |enc0 AS (SELECT corpus_id, m, j,
+       |    list_reduce(list_transform(list_zip(cv[m*8+1 : m*8+8], cent),
+       |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM c CROSS JOIN cbn),
+       |codes AS (SELECT corpus_id, m, j AS code FROM (
+       |  SELECT corpus_id, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |    ${bucketExpr("embedding")} AS b0 FROM embeddings),
+       |pr AS (SELECT query_id, unnest([${probes.mkString(", ")}]) AS bucket FROM q0),
+       |cand AS (SELECT pr.query_id, c.corpus_id FROM c JOIN pr USING (bucket)
+       |  WHERE c.corpus_id < pr.query_id),
+       |qn AS (SELECT query_id,
+       |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+       |  FROM q0),
+       |lut AS (SELECT query_id, m, j,
+       |    list_reduce(list_transform(list_zip(qv[m*8+1 : m*8+8], cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot,
+       |    n2
+       |  FROM q0 CROSS JOIN cbn),
+       |s0 AS (SELECT cand.query_id, cand.corpus_id,
+       |    list_reduce(list(lut.dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+       |    list_reduce(list(lut.n2 ORDER BY lut.m), (x, y) -> x + y) AS cn2
+       |  FROM cand JOIN codes ON codes.corpus_id = cand.corpus_id
+       |            JOIN lut ON lut.query_id = cand.query_id AND lut.m = codes.m AND lut.j = codes.code
+       |  GROUP BY cand.query_id, cand.corpus_id),
+       |s AS (SELECT s0.query_id, corpus_id,
+       |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
+       |  FROM s0 JOIN qn ON qn.query_id = s0.query_id)
        |SELECT query_id, corpus_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
        |FROM s QUALIFY rank <= 10""".stripMargin

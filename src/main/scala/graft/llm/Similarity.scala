@@ -308,9 +308,16 @@ object Similarity {
     * store codes per cell, ADC-scan only probed cells — both halves are
     * independent column transforms, so the composition is a select.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, dim: Int = 64, nSub: Int = 8,
-             codesPerSub: Int = 16, refine: Int = 0): DataFrame = {
+  /** Deterministic anchor codebook + per-centroid ‖c‖² (left-fold):
+    * subspace slices of the `codesPerSub` lowest-id corpus rows — the
+    * constant-size collect both `pqTopK` and the streaming
+    * `AnnStream.pqAnnStream` share, and the exact constants the DuckDB
+    * mirrors re-derive in SQL. A production deployment substitutes a
+    * k-means-trained codebook here; every consumer only sees the
+    * literals.
+    */
+  def anchorCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nSub: Int, codesPerSub: Int): (Seq[Seq[Double]], Seq[Double]) = {
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val subDim = dim / nSub
     val anchors = corpus.orderBy(col(idCol)).limit(codesPerSub)
@@ -321,8 +328,14 @@ object Similarity {
     val codebook: Seq[Seq[Double]] =
       for (m <- 0 until nSub; j <- 0 until codesPerSub)
         yield anchors(j).slice(m * subDim, (m + 1) * subDim).toSeq
-    // per-centroid ‖c‖², left fold — same order as the mirror's list_reduce
-    val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    (codebook, codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int = 64, nSub: Int = 8,
+             codesPerSub: Int = 16, refine: Int = 0): DataFrame = {
+    val (codebook, norm2) =
+      anchorCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub)
     def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
     def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       org.apache.spark.sql.GraftColumnBridge.column(e)

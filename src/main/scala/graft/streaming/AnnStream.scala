@@ -134,4 +134,127 @@ object AnnStream {
       .groupByKey((_: Row) => 0)(Encoders.scalaInt)
       .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** PQ-compressed continuous ANN — `annStream` with the vector store
+    * replaced by PQ CODES: the stateful index holds `nSub` small ints
+    * per vector instead of the raw floats (64-dim float 256 B → 8 B,
+    * ~32× smaller RocksDB state — the streaming face of `pqTopK`'s
+    * memory story). ALL the heavy math runs in the distributed stage as
+    * native codegen projections: `lshBucket` (probe routing),
+    * `PqEncode` (the stored representation), `PqLut` + query norm (the
+    * arrival's scoring table); the single stateful task then scores
+    * each probe-bucket candidate with `nSub` array reads
+    * (`PqScore`-identical left folds) and never touches a raw vector —
+    * so the per-candidate stateful cost DROPS vs `annStream`'s full
+    * cosine while state shrinks 32×.
+    *
+    * The codebook is a parameter (train offline, deploy as literals —
+    * the production PQ shape; `Similarity.anchorCodebook` supplies the
+    * deterministic oracle-mirrorable one). Ranks are approximate ADC
+    * ranks; the DuckDB mirror (`emb_ann_pq_stream_replay`) computes
+    * the identical scores over earlier-arrival candidates, so the full
+    * retrieval log hash-matches. Same feed contract as `annStream`:
+    * id-ordered replay makes "arrived so far" ≡ corpus_id < query_id;
+    * empty vectors skip; wrong widths raise in `lshBucket`.
+    */
+  def pqAnnStream(sdf: DataFrame, idCol: String, vecCol: String,
+                  codebook: Seq[Seq[Double]], codesPerSub: Int,
+                  k: Int = 10, nPlanes: Int = 8, dim: Int = 64,
+                  seed: Long = 42L): DataFrame = {
+    require(codebook.nonEmpty && codebook.length % codesPerSub == 0,
+      s"codebook of ${codebook.length} does not divide into codes of $codesPerSub")
+    val nSub = codebook.length / codesPerSub
+    val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+    val cps = codesPerSub
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    val v0 = coalesce(col(vecCol).cast("array<float>"),
+      array().cast("array<float>"))
+    val vd = col(vecCol).cast("array<double>")
+    val bucket = when(size(v0) === 0, lit(null).cast("long"))
+      .otherwise(graft.llm.Similarity.lshBucket(v0, nPlanes, dim, seed))
+    val codesC = when(size(v0) === 0, lit(null).cast("array<int>"))
+      .otherwise(colOf(graft.functions.PqEncode(expr(vd), codebook, nSub, cps)))
+    val lutC = when(size(v0) === 0, lit(null).cast("array<double>"))
+      .otherwise(colOf(graft.functions.PqLut(expr(vd), codebook, nSub, cps)))
+    val qnC = sqrt(aggregate(coalesce(vd, array().cast("array<double>")),
+      lit(0.0d), (acc, x) => acc + x * x))
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+        bucket.as("bucket"), codesC.as("codes"), lutC.as("lut"), qnC.as("qn"))
+      .where(col("id").isNotNull)
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("query_id", "long").add("corpus_id", "long").add("rank", "integer")
+    val outEnc = Encoders.row(outSchema)
+
+    val processor = new StatefulProcessor[Int, Row, Row] {
+      @transient private var bucketIdx: org.apache.spark.sql.streaming.MapState[Long, Array[Long]] = _
+      @transient private var codesSt: org.apache.spark.sql.streaming.MapState[Long, Array[Int]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        bucketIdx = getHandle.getMapState[Long, Array[Long]]("bucketIdx",
+          Encoders.scalaLong, Encoders.kryo[Array[Long]], TTLConfig.NONE)
+        codesSt = getHandle.getMapState[Long, Array[Int]]("codes",
+          Encoders.scalaLong, Encoders.kryo[Array[Int]], TTLConfig.NONE)
+      }
+
+      // PqScore-identical left folds (dot, reconstructed norm²), then the
+      // pqTopK division order: (dot/sqrt(cn2)) / qn — the mirror divides
+      // in the same order, so scores are bit-identical
+      private def adcSim(codes: Array[Int], lut: Array[Double], qn: Double): Double = {
+        var dot = 0.0; var cn2 = 0.0
+        var m = 0
+        while (m < codes.length) {
+          val idx = m * cps + codes(m)
+          dot += lut(idx); cn2 += norm2(idx)
+          m += 1
+        }
+        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+      }
+
+      override def handleInputRows(key: Int, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
+          val id = r.getLong(0)
+          if (!r.isNullAt(1)) {
+            val own = r.getLong(1)
+            val myCodes = r.getSeq[Int](2).toArray
+            val lut = r.getSeq[Double](3).toArray
+            val qn = r.getDouble(4)
+            val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+            var p = -1
+            while (p < nPlanes) {
+              val code = if (p < 0) own else own ^ (1L << p)
+              val cur = bucketIdx.getValue(code)
+              if (cur != null) {
+                var i = 0
+                while (i < cur.length) {
+                  scored += ((adcSim(codesSt.getValue(cur(i)), lut, qn), cur(i)))
+                  i += 1
+                }
+              }
+              p += 1
+            }
+            scored.sortBy { case (sim, cid) => (-sim, cid) }
+              .take(k).zipWithIndex.foreach { case ((_, cid), rk) =>
+                out += Row(id, cid, rk + 1)
+              }
+            val ownCur = bucketIdx.getValue(own)
+            bucketIdx.updateValue(own,
+              if (ownCur == null) Array(id) else ownCur :+ id)
+            codesSt.updateValue(id, myCodes)
+          }
+        }
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
 }

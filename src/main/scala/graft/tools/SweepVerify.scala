@@ -581,7 +581,7 @@ object SweepVerify {
          |  FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.code
          |  GROUP BY query_id, corpus_id),
          |s AS (SELECT s0.query_id, corpus_id,
-         |    CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / (qn.qn * sqrt(cn2)) END AS sim
+         |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
          |  FROM s0 JOIN qn ON qn.query_id = s0.query_id
          |  WHERE corpus_id <> s0.query_id)""".stripMargin
     if (refine <= 0)

@@ -55,6 +55,45 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed === expected)
   }
 
+  test("pqAnnStream: candidate sets match annStream; chunking-invariant; nulls skipped") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val (cb, _) = llm.Similarity.anchorCodebook(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nSub = 2, codesPerSub = 4)
+      def pqRun(chunk: Int) =
+        Replay.replay(spark, vecs.toDF(), "vec_id", chunk, "append")(sdf =>
+          AnnStream.pqAnnStream(sdf, "vec_id", "embedding", codebook = cb,
+            codesPerSub = 4, k = 100, nPlanes = PLANES, dim = DIM))
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      val pq1 = pqRun(1)
+      // chunking invariance: micro-batch boundaries must not change the log
+      assert(pq1 === pqRun(4))
+      // with k far above the candidate count, both operators return exactly
+      // the probe-bucket candidate set — same planes, same probes, same
+      // earlier-arrivals restriction; only the RANKINGS may differ (ADC
+      // vs exact cosine), so compare the (query, corpus) sets
+      val exact = Replay.replay(spark, vecs.toDF(), "vec_id", 1, "append")(sdf =>
+          AnnStream.annStream(sdf, "vec_id", "embedding",
+            k = 100, nPlanes = PLANES, dim = DIM))
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(pq1.map(t => (t._1, t._2)) === exact)
+      assert(exact.nonEmpty, "fixture drift: no candidates at all")
+      // null vectors neither query nor index, like annStream
+      val withNull = vecs.take(3) ++ Seq(Vec(4, null)) ++ Seq(Vec(5, at(5)))
+      val logN = Replay.replay(spark, withNull.toDF(), "vec_id", 1, "append")(sdf =>
+          AnnStream.pqAnnStream(sdf, "vec_id", "embedding", codebook = cb,
+            codesPerSub = 4, k = 100, nPlanes = PLANES, dim = DIM))
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSeq
+      assert(!logN.exists(_._1 == 4L) && !logN.exists(_._2 == 4L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("empty vector emits nothing and is not indexed") {
     val withNull = vecs.take(3) ++ Seq(Vec(4, null)) ++ Seq(Vec(5, at(5)))
     val key = "spark.sql.streaming.stateStore.providerClass"
