@@ -163,6 +163,8 @@ object AnnStream {
                   seed: Long = 42L): DataFrame = {
     require(codebook.nonEmpty && codebook.length % codesPerSub == 0,
       s"codebook of ${codebook.length} does not divide into codes of $codesPerSub")
+    require(codesPerSub <= 256,
+      s"codesPerSub $codesPerSub exceeds the byte-packed state limit of 256")
     val nSub = codebook.length / codesPerSub
     val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
     val cps = codesPerSub
@@ -191,23 +193,25 @@ object AnnStream {
 
     val processor = new StatefulProcessor[Int, Row, Row] {
       @transient private var bucketIdx: org.apache.spark.sql.streaming.MapState[Long, Array[Long]] = _
-      @transient private var codesSt: org.apache.spark.sql.streaming.MapState[Long, Array[Int]] = _
+      // codes byte-packed for state (codesPerSub <= 256): the true
+      // nSub-bytes-per-vector index payload
+      @transient private var codesSt: org.apache.spark.sql.streaming.MapState[Long, Array[Byte]] = _
 
       override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
         bucketIdx = getHandle.getMapState[Long, Array[Long]]("bucketIdx",
           Encoders.scalaLong, Encoders.kryo[Array[Long]], TTLConfig.NONE)
-        codesSt = getHandle.getMapState[Long, Array[Int]]("codes",
-          Encoders.scalaLong, Encoders.kryo[Array[Int]], TTLConfig.NONE)
+        codesSt = getHandle.getMapState[Long, Array[Byte]]("codes",
+          Encoders.scalaLong, Encoders.kryo[Array[Byte]], TTLConfig.NONE)
       }
 
       // PqScore-identical left folds (dot, reconstructed norm²), then the
       // pqTopK division order: (dot/sqrt(cn2)) / qn — the mirror divides
       // in the same order, so scores are bit-identical
-      private def adcSim(codes: Array[Int], lut: Array[Double], qn: Double): Double = {
+      private def adcSim(codes: Array[Byte], lut: Array[Double], qn: Double): Double = {
         var dot = 0.0; var cn2 = 0.0
         var m = 0
         while (m < codes.length) {
-          val idx = m * cps + codes(m)
+          val idx = m * cps + (codes(m) & 0xff)
           dot += lut(idx); cn2 += norm2(idx)
           m += 1
         }
@@ -221,7 +225,7 @@ object AnnStream {
           val id = r.getLong(0)
           if (!r.isNullAt(1)) {
             val own = r.getLong(1)
-            val myCodes = r.getSeq[Int](2).toArray
+            val myCodes = r.getSeq[Int](2).map(_.toByte).toArray
             val lut = r.getSeq[Double](3).toArray
             val qn = r.getDouble(4)
             val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]

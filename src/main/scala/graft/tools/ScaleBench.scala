@@ -113,7 +113,7 @@ object ScaleBench {
       "emb_ann_ivf_recall", "pair_verify_skew", "incremental_neardup",
       "neardup_stream_soak", "lengthbatch_distinct_keys", "neardup_sharded",
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
-      "emb_ann_stream_soak", "corpus_curation", "dup_spans",
+      "emb_ann_stream_soak", "emb_ann_pq_stream_soak", "corpus_curation", "dup_spans",
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
       "decontam_large_eval", "lengthbatch_phaseb")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
@@ -928,6 +928,62 @@ object ScaleBench {
       q.stop()
       parts += (s""""emb_ann_stream_soak_p$nPlanes":{"result_rows":$nRows,""" +
         s""""increments":[${incJson.mkString(",")}]}""")
+    }
+    // PQ-compressed twin of the ANN stream soak (same increments, same
+    // probe structure): the A/B is state SIZE at equal feed — the pq
+    // index stores 8-int codes where annStream stores raw float vectors
+    // — plus the per-increment rate. State bytes come from the query's
+    // lastProgress state-operator metrics (RocksDB).
+    if (wanted("emb_ann_pq_stream_soak")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = embSf1.select(col("vec_id"), col("embedding"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val (cb, _) = graft.llm.Similarity.anchorCodebook(embSf1, "vec_id", "embedding",
+        dim = 64, nSub = 8, codesPerSub = 16)
+      val variants = Seq(
+        "pq" -> ((df: org.apache.spark.sql.DataFrame) =>
+          graft.streaming.AnnStream.pqAnnStream(df, "vec_id", "embedding",
+            codebook = cb, codesPerSub = 16)),
+        "exact" -> ((df: org.apache.spark.sql.DataFrame) =>
+          graft.streaming.AnnStream.annStream(df, "vec_id", "embedding")))
+      variants.foreach { case (tag, build) =>
+        val stream = MemoryStream[Row]
+        val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_annpq_$tag")
+        val sink = s"soak_annpq_$tag"
+        val q = build(stream.toDF())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        val ids = embSf1.agg(min(col("vec_id")).cast("long"),
+          max(col("vec_id")).cast("long")).head()
+        val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+        val nInc = 10
+        val span = (hi - lo + nInc) / nInc
+        var nVecs = 0L
+        val t0 = System.nanoTime()
+        (0 until nInc).foreach { i =>
+          val chunk = src.filter(col("vec_id") >= lo + i * span &&
+            col("vec_id") < lo + (i + 1) * span).orderBy("vec_id").collect()
+          nVecs += chunk.length
+          stream.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val prog = Option(q.lastProgress).flatMap(_.stateOperators.headOption)
+        val stateRows = prog.map(_.numRowsTotal).getOrElse(-1L)
+        val stateBytes = prog.map(_.memoryUsedBytes).getOrElse(-1L)
+        val nRows = spark.table(sink).count()
+        q.stop()
+        parts += (f""""emb_ann_pq_stream_soak_$tag":{"vecs":$nVecs,""" +
+          f""""sec":$sec%.2f,"vecs_per_sec":${nVecs / sec}%.0f,""" +
+          f""""result_rows":$nRows,"state_rows":$stateRows,""" +
+          f""""state_bytes":$stateBytes}""")
+      }
     }
     // Adversarial lengthBatch regime (VERDICT r7 ask #6): with key
     // cardinality ≈ event count the boundary-interval summary does NOT
