@@ -181,6 +181,13 @@ object SparkEntry {
       llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
         .select("query_id", "corpus_id", "rank")
     }),
+    // the composed 100 TB ANN shape: IVF bounds which cells a query
+    // touches, PQ bounds the bytes per touched row — one select
+    "emb_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .select("query_id", "corpus_id", "rank")
+    }),
     // embedding-cosine near-dup: banded hyperplane LSH + exact cosine
     // verify. The synthetic corpus peaks at cosine ~0.48, so the query
     // runs the short-band (4-plane) low-similarity configuration; cosine
@@ -1134,6 +1141,7 @@ object SparkEntry {
       "emb_ann_lsh" -> embAnnOracle,
       "emb_ann_ivf" -> embIvfOracle,
       "emb_ann_pq" -> embPqOracle,
+      "emb_ann_ivfpq" -> embIvfPqOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
       // batch clusters/dedup share the stream rows' closure oracles: the
       // batch CC and the streaming union-find must reduce to the same sets
@@ -1828,6 +1836,67 @@ object SparkEntry {
        |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
        |  FROM s0 JOIN qn ON qn.query_id = s0.query_id
        |  WHERE corpus_id <> s0.query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.ivfPqTopK (nCells=16, nProbe=4, dim=64,
+    * nSub=8, codesPerSub=16, k=10, no refine): anchor cells (the 16
+    * lowest-vec_id rows, Lloyd omitted) assign by argmax cosine (ties →
+    * smallest cell); the PQ codebook comes from the SAME anchors;
+    * candidates = probed cells' members, scored by ADC with the engine's
+    * division order.
+    */
+  private def embIvfPqOracle: String = {
+    val sub = "(SELECT unnest(generate_series(0, 7)) AS m)"
+    s"""WITH a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
+       |cb AS (SELECT m, j, av[m*8+1 : m*8+8] AS cent FROM a CROSS JOIN $sub),
+       |cbn AS (SELECT m, j, cent,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb),
+       |centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT 16),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg AS (SELECT corpus_id, cell FROM (
+       |  SELECT corpus_id, cell,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN centt)) WHERE rn = 1),
+       |enc0 AS (SELECT corpus_id, m, j,
+       |    list_reduce(list_transform(list_zip(cv[m*8+1 : m*8+8], cent),
+       |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM c CROSS JOIN cbn),
+       |codes AS (SELECT corpus_id, m, j AS code FROM (
+       |  SELECT corpus_id, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |pr AS (SELECT query_id, cell FROM (
+       |  SELECT query_id, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT query_id, cell, ${duckCosine("qv", "centroid")} AS csim
+       |        FROM q0 CROSS JOIN centt)) WHERE rn <= 4),
+       |cand AS (SELECT pr.query_id, asg.corpus_id FROM asg JOIN pr USING (cell)
+       |  WHERE asg.corpus_id <> pr.query_id),
+       |qn AS (SELECT query_id,
+       |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+       |  FROM q0),
+       |lut AS (SELECT query_id, m, j,
+       |    list_reduce(list_transform(list_zip(qv[m*8+1 : m*8+8], cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot,
+       |    n2
+       |  FROM q0 CROSS JOIN cbn),
+       |s0 AS (SELECT cand.query_id, cand.corpus_id,
+       |    list_reduce(list(lut.dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+       |    list_reduce(list(lut.n2 ORDER BY lut.m), (x, y) -> x + y) AS cn2
+       |  FROM cand JOIN codes ON codes.corpus_id = cand.corpus_id
+       |            JOIN lut ON lut.query_id = cand.query_id AND lut.m = codes.m AND lut.j = codes.code
+       |  GROUP BY cand.query_id, cand.corpus_id),
+       |s AS (SELECT s0.query_id, corpus_id,
+       |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
+       |  FROM s0 JOIN qn ON qn.query_id = s0.query_id)
        |SELECT query_id, corpus_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
        |FROM s QUALIFY rank <= 10""".stripMargin

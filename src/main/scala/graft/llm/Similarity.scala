@@ -331,6 +331,80 @@ object Similarity {
     (codebook, codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)))
   }
 
+  /** IVF × PQ — the composed 100 TB ANN shape: IVF bounds WHICH cells a
+    * query touches (corpus shuffled once by cell id, probes broadcast),
+    * PQ bounds the BYTES each touched row costs (codes, not vectors, in
+    * the scan). Both halves are the independent column transforms the
+    * component operators already are, so the composition is literally a
+    * select: cell assignment (argmax-cosine vs anchor centroids, ties →
+    * smallest cell — `ivfTopK`'s policy, Lloyd omitted so the mirror
+    * stays closed-form) + `PqEncode` on the corpus side; top-`nProbe`
+    * cells + `PqLut`/‖q‖ on the query side; ADC scoring within probed
+    * cells; optional exact re-rank (`refine`) like `pqTopK`. Per-query
+    * cost: nProbe/nCells of the corpus × nSub byte-reads per row.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                dim: Int = 64, nSub: Int = 8, codesPerSub: Int = 16,
+                refine: Int = 0): DataFrame = {
+    val (codebook, norm2) =
+      anchorCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub)
+    def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    val cent = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .select(col("corpus_id"), col("cv"), col("cell"),
+        cosine(col("cv"), col("centroid")).as("csim"))
+      .groupBy("corpus_id")
+      .agg(max_by(struct(col("cell"), col("cv")), struct(col("csim"), -col("cell"))).as("__a"))
+      .select(col("corpus_id"), col("__a.cell").as("cell"), col("__a.cv").as("cv"))
+    val codes = assigned.select(col("corpus_id"), col("cell"),
+      colOf(graft.functions.PqEncode(
+        expr(requireDim(col("cv").cast("array<double>"), dim)),
+        codebook, nSub, codesPerSub)).as("codes"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("csim"))
+      .withColumn("crank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        colOf(graft.functions.PqLut(
+          expr(requireDim(col("qv").cast("array<double>"), dim)),
+          codebook, nSub, codesPerSub)).as("lut"),
+        sqrt(aggregate(requireDim(col("qv").cast("array<double>"), dim),
+          lit(0.0d), (acc, x) => acc + x * x)).as("qn"))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (colOf(graft.functions.PqScore(expr(col("codes")), expr(col("lut")),
+          norm2, codesPerSub)) / col("qn")).as("sim"))
+    val ranked = scored.withColumn("rank",
+      row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("corpus_id"))))
+    if (refine <= 0) ranked.filter(col("rank") <= k)
+    else {
+      require(refine >= k, s"refine $refine must be >= k $k")
+      val cand = ranked.filter(col("rank") <= refine).drop("rank", "sim")
+      val cvs = corpus.select(col(idCol).as("corpus_id"),
+        requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
+      val qvs = queries.select(col(idCol).as("query_id"),
+        requireDim(col(vecCol).cast("array<double>"), dim).as("qvr"))
+      cand.join(cvs, Seq("corpus_id")).join(broadcast(qvs), Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"),
+          cosine(col("qvr"), col("cv")).as("sim"))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("sim").desc, col("corpus_id"))))
+        .filter(col("rank") <= k)
+    }
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, dim: Int = 64, nSub: Int = 8,
              codesPerSub: Int = 16, refine: Int = 0): DataFrame = {

@@ -321,6 +321,14 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rRecall > recall,
       s"exact re-rank recall $rRecall not above pure-ADC $recall")
     assert(rRecall >= 0.60, s"refined PQ recall@10 $rRecall below the quality floor")
+    // the composed IVF×PQ shape (anchor cells, nProbe=8 of 64): recall is
+    // bounded by cell coverage × ADC quality; the refined two-stage form
+    // must recover at least the coverage the probes allow
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", 10,
+        nCells = 64, nProbe = 8, refine = 100)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val cRecall = (truth intersect ivfpq).size.toDouble / truth.size
+    assert(cRecall >= 0.30, s"IVF-PQ refined recall@10 $cRecall below the floor")
     corpus.unpersist(); queries.unpersist()
   }
 
