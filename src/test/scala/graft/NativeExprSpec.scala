@@ -160,4 +160,38 @@ class NativeExprSpec extends AnyFunSuite with SparkTestSession {
     assert(byId(4L).getDouble(1) === 0.0)
     assert(byId(1L).getDouble(1) === byId(1L).getDouble(2), "cosine is symmetric")
   }
+
+  test("PqEncode/PqLut/PqScore: interpreted == codegen incl. wrong width / null element") {
+    // tiny geometry: dim=4, nSub=2, codesPerSub=2; centroids chosen so
+    // argmin ties occur (both centroids of sub 1 identical → tie → code 0)
+    val cb: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0), Seq(0.0, 1.0), // sub 0
+      Seq(0.5, 0.5), Seq(0.5, 0.5)) // sub 1 (deliberate tie)
+    val norm2 = cb.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val vecs = Seq(
+      (1L, Seq[java.lang.Double](1.0, 0.1, 0.3, 0.7)),
+      (2L, Seq[java.lang.Double](0.0, 2.0, -1.0, 4.0)),
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0)),          // wrong width → null
+      (4L, Seq[java.lang.Double](1.0, null, 0.0, 0.0)),    // null elem → null
+      (5L, null.asInstanceOf[Seq[java.lang.Double]])
+    ).toDF("id", "v")
+    val df = vecs.select(col("id"),
+      c(PqEncode(e(col("v")), cb, 2, 2)).as("codes"),
+      c(PqLut(e(col("v")), cb, 2, 2)).as("lut"))
+    assertParity(df)
+    val scoreDf = df.select(col("id"),
+      c(PqScore(e(col("codes")), e(col("lut")), norm2, 2)).as("s"))
+    assertParity(scoreDf)
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).isNullAt(1) && byId(4L).isNullAt(1) && byId(5L).isNullAt(1))
+    // tie in sub 1 resolves to the SMALLEST code for every valid row
+    assert(byId(1L).getSeq[Int](1)(1) === 0)
+    assert(byId(2L).getSeq[Int](1)(1) === 0)
+    // hand-check row 1: sub 0 nearer (1,0) → code 0; score vs own lut =
+    // cosine(v, reconstruction) — just pin it is finite and positive here
+    assert(byId(1L).getSeq[Int](1)(0) === 0)
+    val s1 = scoreDf.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!s1(1L).isNullAt(1) && s1(1L).getDouble(1) > 0.0)
+    assert(s1(3L).isNullAt(1) && s1(4L).isNullAt(1) && s1(5L).isNullAt(1))
+  }
 }
