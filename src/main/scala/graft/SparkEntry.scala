@@ -54,9 +54,13 @@ object SparkEntry {
       UniqueOps.timeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
     "timebatch_expired" -> ((s, d) =>
       UniqueOps.timeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).expired),
-    // 8. unique:firstTimeBatch
+    // 8. unique:firstTimeBatch — expired mirrors the base-class flush
+    //    (UniqueLengthBatchWindowProcessor.java:166-197; the first* subclass
+    //    only flips the insert direction)
     "firsttimebatch_current" -> ((s, d) =>
       UniqueOps.firstTimeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
+    "firsttimebatch_expired" -> ((s, d) =>
+      UniqueOps.firstTimeBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).expired),
     // 9. unique:externalTimeBatch (6-hour tumbling, anchored at min(ts) —
     //    the reference default, UniqueExternalTimeBatchWindowProcessor.java:346-347)
     "externaltimebatch_current" -> ((s, d) =>
@@ -79,9 +83,15 @@ object SparkEntry {
     // 7. unique:firstLengthBatch
     "firstlengthbatch_current" -> ((s, d) =>
       UniqueOps.firstLengthBatch(ev(s, d), Seq("user_id"), "event_id", 40).current),
-    // 10. unique:timeLengthBatch (1-day OR 50 distinct keys)
+    "firstlengthbatch_expired" -> ((s, d) =>
+      UniqueOps.firstLengthBatch(ev(s, d), Seq("user_id"), "event_id", 40).expired),
+    // 10. unique:timeLengthBatch (1-day OR 50 distinct keys); expired =
+    //    previous batches re-emitted on flush
+    //    (UniqueTimeLengthBatchWindowProcessor.java:304-336)
     "timelengthbatch_current" -> ((s, d) =>
       UniqueOps.timeLengthBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY, 50).current),
+    "timelengthbatch_expired" -> ((s, d) =>
+      UniqueOps.timeLengthBatch(ev(s, d), Seq("user_id"), "event_id", "ts", DAY, 50).expired),
     // 11. unique:deduplicate (1-day interval)
     "deduplicate" -> ((s, d) =>
       UniqueOps.deduplicate(ev(s, d), Seq("user_id"), "event_id", "ts", DAY).current),
@@ -179,6 +189,16 @@ object SparkEntry {
     "emb_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
+        .select("query_id", "corpus_id", "rank")
+    }),
+    // TRAINED codebook (VERDICT r10 ask #3): one per-subspace Lloyd pass
+    // over the 512 lowest-id sample rows refines the anchors; the mirror
+    // unrolls the identical quantized-mean pass in SQL, so the trained
+    // retrieval log is hash-exact too (recall lift pinned by LlmOpsSpec)
+    "emb_ann_pq_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10,
+          lloydIters = 1)
         .select("query_id", "corpus_id", "rank")
     }),
     // the composed 100 TB ANN shape: IVF bounds which cells a query
@@ -481,10 +501,22 @@ object SparkEntry {
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.firstStreamBloom(sdf, Seq("user_id"),
           numShards = 8, bitsPerShard = 1 << 20, seqCol = Some("event_id")))),
+    // FULL change log (insert + the previous flushed batch re-emitted as
+    // expire on each flush — VERDICT r10 ask #5); the oracle unions the
+    // flushed-batch insert set with its all-but-last-flushed expire set
     "timelengthbatch_stream_replay" -> ((s, d) =>
       streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
         streaming.UniqueStreams.timeLengthBatchStream(sdf, Seq("user_id"), "event_id",
-          "ts", DAY, 50)).drop("change")),
+          "ts", DAY, 50))),
+    // firstTimeBatch's change-log form: the same flatMapGroupsWithState
+    // operator with keepFirst and a never-reached length trigger — pure
+    // time batches, first-per-key, full insert+expire log (the append-mode
+    // firsttimebatch_stream_replay above pins the windowed-agg production
+    // shape; this row pins the expired stream)
+    "firsttimebatch_changelog_stream_replay" -> ((s, d) =>
+      streaming.Replay.replay(s, ev(s, d), "event_id", 2000, "update")(sdf =>
+        streaming.UniqueStreams.timeLengthBatchStream(sdf, Seq("user_id"), "event_id",
+          "ts", DAY, Int.MaxValue, keepFirst = true))),
     // the no-time.out form (timeOutMs=0): batches close only when a later
     // event crosses the boundary
     "externaltimebatch_stream_replay" -> ((s, d) =>
@@ -903,6 +935,12 @@ object SparkEntry {
            |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
            |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id ASC) AS rn
            |  FROM events) WHERE rn = 1""".stripMargin,
+      "firsttimebatch_expired" ->
+        s"""SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, (epoch_ms(ts) // $DAY) * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY epoch_ms(ts) // $DAY, user_id ORDER BY event_id ASC) AS rn
+           |  FROM events) WHERE rn = 1
+           |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin,
       "externaltimebatch_current" ->
         s"""SELECT $EVSQL, batch_start_ms FROM (
            |  SELECT e.*, ((epoch_ms(ts) - s.m) // $H6) * $H6 + s.m AS batch_start_ms,
@@ -936,6 +974,7 @@ object SparkEntry {
       "lengthbatch_current" -> lengthBatchOracle(latest = true),
       "lengthbatch_expired" -> lengthBatchOracle(latest = true, expiredOnly = true),
       "firstlengthbatch_current" -> lengthBatchOracle(latest = false),
+      "firstlengthbatch_expired" -> lengthBatchOracle(latest = false, expiredOnly = true),
       "timelengthbatch_current" ->
         s"""WITH t AS (SELECT *, epoch_ms(ts) // $DAY AS b FROM events),
            |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, user_id) THEN 1 ELSE 0 END AS isf FROM t),
@@ -944,6 +983,18 @@ object SparkEntry {
            |  SELECT *, b * $DAY AS batch_start_ms,
            |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id DESC) AS rn
            |  FROM r WHERE bef < 50) WHERE rn = 1""".stripMargin,
+      // expired = the latch-filtered batches strictly before the last batch
+      // id seen over ALL events (the Spark impl anchors __last on the tagged
+      // frame, UniqueOps.timeLengthBatch)
+      "timelengthbatch_expired" ->
+        s"""WITH t AS (SELECT *, epoch_ms(ts) // $DAY AS b FROM events),
+           |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, user_id) THEN 1 ELSE 0 END AS isf FROM t),
+           |r AS (SELECT *, coalesce(sum(isf) OVER (PARTITION BY b ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f)
+           |SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, b * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id DESC) AS rn
+           |  FROM r WHERE bef < 50) WHERE rn = 1
+           |  AND batch_start_ms < (SELECT max((epoch_ms(ts) // $DAY) * $DAY) FROM events)""".stripMargin,
       "deduplicate" -> deduplicateSql,
       "deduplicate_salted" -> deduplicateSql,
       "join_windows" ->
@@ -1141,6 +1192,7 @@ object SparkEntry {
       "emb_ann_lsh" -> embAnnOracle,
       "emb_ann_ivf" -> embIvfOracle,
       "emb_ann_pq" -> embPqOracle,
+      "emb_ann_pq_trained" -> embPqOracleSql(lloydIters = 1),
       "emb_ann_ivfpq" -> embIvfPqOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
       // batch clusters/dedup share the stream rows' closure oracles: the
@@ -1264,17 +1316,39 @@ object SparkEntry {
       // timeLengthBatchStream emits a batch when a later event crosses its
       // time boundary (any batch before the last) or when the 50th distinct
       // key length-flushes it — the final batch appears iff length-flushed.
+      // Full change log: every flushed batch 'insert'; every flushed batch
+      // except the LAST FLUSHED re-emitted 'expire' (with its own
+      // batch_start_ms) when the next flush happens.
       "timelengthbatch_stream_replay" ->
         s"""WITH t AS (SELECT *, epoch_ms(ts) // $DAY AS b FROM events),
            |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, user_id) THEN 1 ELSE 0 END AS isf FROM t),
            |r AS (SELECT *, coalesce(sum(isf) OVER (PARTITION BY b ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f),
            |k AS (SELECT * FROM r WHERE bef < 50),
            |fl AS (SELECT b FROM k GROUP BY b
-           |  HAVING count(DISTINCT user_id) = 50 OR b < (SELECT max(b) FROM t))
-           |SELECT $EVSQL, batch_start_ms FROM (
+           |  HAVING count(DISTINCT user_id) = 50 OR b < (SELECT max(b) FROM t)),
+           |w AS (SELECT $EVSQL, batch_start_ms FROM (
            |  SELECT *, b * $DAY AS batch_start_ms,
            |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id DESC) AS rn
-           |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1""".stripMargin,
+           |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1)
+           |SELECT *, 'insert' AS change FROM w
+           |UNION ALL
+           |SELECT *, 'expire' AS change FROM w
+           |WHERE batch_start_ms < (SELECT max(b) * $DAY FROM fl)""".stripMargin,
+      // pure time batches (n unreachable), keepFirst: flushed = every
+      // non-empty batch before the last (the final batch never flushes —
+      // nothing crosses its boundary); expire = flushed minus the last
+      // flushed batch
+      "firsttimebatch_changelog_stream_replay" ->
+        s"""WITH t AS (SELECT *, epoch_ms(ts) // $DAY AS b FROM events),
+           |w AS (SELECT $EVSQL, batch_start_ms FROM (
+           |  SELECT *, b * $DAY AS batch_start_ms,
+           |    row_number() OVER (PARTITION BY b, user_id ORDER BY event_id ASC) AS rn
+           |  FROM t WHERE b < (SELECT max(b) FROM t)) WHERE rn = 1)
+           |SELECT *, 'insert' AS change FROM w
+           |UNION ALL
+           |SELECT *, 'expire' AS change FROM w
+           |WHERE batch_start_ms < (SELECT max(b) * $DAY FROM t
+           |  WHERE b < (SELECT max(b) FROM t))""".stripMargin,
       // externalTimeBatchStream (no time.out): every non-final non-empty
       // batch closes when a later event crosses its end — exactly the
       // batch operator's expired set, tagged with the batch END time.
@@ -1801,14 +1875,53 @@ object SparkEntry {
     * agree across engines; the sim double itself is excluded like the
     * other ANN rows.
     */
-  private def embPqOracle: String = {
+  private def embPqOracle: String = embPqOracleSql(lloydIters = 0)
+
+  /** PQ mirror with `lloydIters` per-subspace Lloyd passes unrolled as
+    * CTE chains (Similarity.trainedCodebook): each pass assigns the
+    * `sampleN` lowest-vec_id sample subvectors by the same left-fold
+    * squared-diff argmin the encoder uses (ties → smallest code), then
+    * recomputes each (m, j) centroid as the floor(x·2^20)-quantized
+    * element-wise mean — bit-identical across engines because the sums
+    * are exact integer adds. Codes with no members keep the previous
+    * centroid (the LEFT JOIN + coalesce).
+    */
+  private def embPqOracleSql(lloydIters: Int, sampleN: Int = 512): String = {
     val sub = "(SELECT unnest(generate_series(0, 7)) AS m)"
+    val train = (0 until lloydIters).map { i =>
+      val prev = if (i == 0) "cb0" else s"cb$i"
+      s"""sd$i AS (SELECT s.vec_id, p.m, p.j,
+         |    list_reduce(list_transform(list_zip(s.embedding[p.m*8+1 : p.m*8+8], p.cent),
+         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+         |      (x, y) -> x + y) AS d
+         |  FROM samp s CROSS JOIN $prev p),
+         |sasg$i AS (SELECT vec_id, m, j FROM (
+         |  SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j) AS rn
+         |  FROM sd$i) WHERE rn = 1),
+         |supd$i AS (SELECT m, j, pos,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1048576.0) AS mean
+         |  FROM (SELECT g.m, g.j,
+         |      generate_subscripts(s.embedding[g.m*8+1 : g.m*8+8], 1) AS pos,
+         |      unnest(s.embedding[g.m*8+1 : g.m*8+8]) AS x
+         |    FROM sasg$i g JOIN samp s USING (vec_id))
+         |  GROUP BY m, j, pos),
+         |cbu$i AS (SELECT m, j, list(mean ORDER BY pos) AS cent FROM supd$i GROUP BY m, j),
+         |cb${i + 1} AS (SELECT p.m, p.j, coalesce(u.cent, p.cent) AS cent
+         |  FROM $prev p LEFT JOIN cbu$i u ON u.m = p.m AND u.j = p.j),""".stripMargin
+    }.mkString("\n")
+    val sampCte =
+      if (lloydIters > 0)
+        s"\nsamp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN),"
+      else ""
+    val finalCb = s"cb$lloydIters"
     s"""WITH a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
        |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
-       |cb AS (SELECT m, j, av[m*8+1 : m*8+8] AS cent FROM a CROSS JOIN $sub),
+       |cb0 AS (SELECT m, j, av[m*8+1 : m*8+8] AS cent FROM a CROSS JOIN $sub),$sampCte
+       |$train
        |cbn AS (SELECT m, j, cent,
        |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
-       |  FROM cb),
+       |  FROM $finalCb),
        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
        |enc0 AS (SELECT corpus_id, m, j,
        |    list_reduce(list_transform(list_zip(cv[m*8+1 : m*8+8], cent),

@@ -331,6 +331,77 @@ object Similarity {
     (codebook, codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)))
   }
 
+  /** TRAINED PQ codebook: per-subspace Lloyd (k-means) refinement of the
+    * anchor codebook on a deterministic sample — the PQ analog of
+    * `ivfTopK`'s `lloydIters` (measured +9 recall points there; the PQ
+    * gain is pinned by LlmOpsSpec's raised recall floors). Faiss-style:
+    * training always runs on a bounded sample (the `sampleN` lowest-id
+    * rows — deterministic and SQL-mirrorable, unlike a random sample),
+    * so the training cost is corpus-size-independent at 100 TB.
+    *
+    * Each pass assigns every sample subvector with `PqEncode` AGAINST THE
+    * CURRENT CODEBOOK — the trainer and the encoder share one argmin
+    * (left-fold squared diff, strict <, ties → smallest code), so
+    * assignment can never drift from production encoding — then
+    * recomputes each (subspace, code) centroid as the element-wise mean
+    * of its members. Means use `ivfTopK`'s cross-engine determinism
+    * trick: element sums on `floor(x * 2^20)` longs (exact,
+    * order-independent integer addition), divided once in double, so the
+    * DuckDB mirror reproduces the trained codebook bit-for-bit. A code
+    * that captures no members keeps its previous centroid (standard
+    * Lloyd degeneracy handling — the codebook must stay indexable).
+    *
+    * Per pass: one constant-size collect (nSub × codesPerSub centroid
+    * rows — the same driver footprint as the IVF centroid broadcast);
+    * the sample scan is sampleN rows. Scale-safe by construction.
+    */
+  def trainedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nSub: Int, codesPerSub: Int,
+                      lloydIters: Int, sampleN: Int = 512): (Seq[Seq[Double]], Seq[Double]) = {
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    require(lloydIters >= 0 && sampleN > 0,
+      s"lloydIters/sampleN must be >= 0 / > 0, got $lloydIters/$sampleN")
+    val subDim = dim / nSub
+    val scale = 1048576.0d // 2^20 — see ivfTopK's determinism note
+    var (cb, _) = anchorCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub)
+    if (lloydIters > 0) {
+      def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+      def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        org.apache.spark.sql.GraftColumnBridge.column(e)
+      val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+        .select(requireDim(col(vecCol).cast("array<double>"), dim).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        for (_ <- 0 until lloydIters) {
+          val updated = sample
+            .select(colOf(graft.functions.PqEncode(expr(col("v")), cb, nSub,
+              codesPerSub)).as("codes"), col("v"))
+            .where(col("codes").isNotNull) // null-element vectors train nothing
+            .select(explode(sequence(lit(0), lit(nSub - 1))).as("m"),
+              col("codes"), col("v"))
+            .select(col("m"), element_at(col("codes"), col("m") + 1).as("j"),
+              posexplode(slice(col("v"), col("m") * subDim + 1, lit(subDim))))
+            .select(col("m"), col("j"), col("pos"),
+              floor(col("col") * lit(scale)).cast("long").as("q"))
+            .groupBy("m", "j", "pos")
+            .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+            .select(col("m"), col("j"), col("pos"),
+              (col("s").cast("double") / (col("n").cast("double") * lit(scale))).as("mean"))
+            .groupBy("m", "j")
+            .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+            .select(col("m"), col("j"),
+              transform(col("pm"), p => p.getField("mean")).as("cent"))
+            .collect() // <= nSub * codesPerSub rows — constant-size
+          val byKey = updated.map(r =>
+            (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+          cb = (for (m <- 0 until nSub; j <- 0 until codesPerSub)
+            yield byKey.getOrElse((m, j), cb(m * codesPerSub + j))).toIndexedSeq
+        }
+      } finally sample.unpersist(false)
+    }
+    (cb, cb.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+  }
+
   /** IVF × PQ — the composed 100 TB ANN shape: IVF bounds WHICH cells a
     * query touches (corpus shuffled once by cell id, probes broadcast),
     * PQ bounds the BYTES each touched row costs (codes, not vectors, in
@@ -346,9 +417,11 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 dim: Int = 64, nSub: Int = 8, codesPerSub: Int = 16,
-                refine: Int = 0): DataFrame = {
+                refine: Int = 0, lloydIters: Int = 0,
+                trainSampleN: Int = 512): DataFrame = {
     val (codebook, norm2) =
-      anchorCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub)
+      trainedCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub,
+        lloydIters, trainSampleN)
     def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
     def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       org.apache.spark.sql.GraftColumnBridge.column(e)
@@ -407,9 +480,11 @@ object Similarity {
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, dim: Int = 64, nSub: Int = 8,
-             codesPerSub: Int = 16, refine: Int = 0): DataFrame = {
+             codesPerSub: Int = 16, refine: Int = 0,
+             lloydIters: Int = 0, trainSampleN: Int = 512): DataFrame = {
     val (codebook, norm2) =
-      anchorCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub)
+      trainedCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub,
+        lloydIters, trainSampleN)
     def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
     def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       org.apache.spark.sql.GraftColumnBridge.column(e)

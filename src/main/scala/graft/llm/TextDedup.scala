@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -483,20 +483,31 @@ object TextDedup {
       // SMALL-GRAPH ENDGAME: the symmetrized candidate relation is pair-
       // members-sized — orders of magnitude below the corpus (banded LSH
       // + bucket caps bound it) — and in the common case fits the driver
-      // comfortably. Below `driverMaxEdges` (default 4M directed edges ≈
-      // 64 MB collected, a broadcast-threshold-style knob) a single
-      // union-find pass replaces the iterative loop: identical output
-      // (union-by-min makes each root the component minimum), none of the
-      // per-round fixed cost — measured the dominant term for the chain-
-      // shaped embedding graphs, whose O(log diameter) rounds each pay a
-      // constant-size-but-nonzero checkpointed plan. Above the threshold
-      // (or for non-integral id types) the distributed loop below is the
-      // scale path, unchanged. Set driverMaxEdges = 0 to force it.
+      // comfortably. Below `driverMaxEdges` (default 4M directed edges) a
+      // single union-find pass replaces the iterative loop: identical
+      // output (union-by-min makes each root the component minimum), none
+      // of the per-round fixed cost — measured the dominant term for the
+      // chain-shaped embedding graphs, whose O(log diameter) rounds each
+      // pay a constant-size-but-nonzero checkpointed plan. Above the
+      // threshold (or for non-integral id types, or when any endpoint is
+      // null — the distributed loop groups nulls separately while getLong
+      // would silently fold them into node 0) the distributed loop below
+      // is the scale path, unchanged. Set driverMaxEdges = 0 to force it.
+      // Driver memory: edges collect as SPECIALIZED (Long, Long) tuples
+      // (Tuple2$mcJJ$sp — two primitive fields, no boxed Longs), ~40 B
+      // per edge on-heap → ~160 MB at the 4M default, freed right after
+      // the pass. An Array[Row] collect here would cost 2-3× that.
       val idType = edges.schema("a").dataType
       val integral = idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType
-      if (integral && driverMaxEdges > 0 && edges.count() <= driverMaxEdges) {
-        val es = edges.select(col("a").cast("long"), col("b").cast("long")).collect()
+      val counts = edges.agg(count(lit(1)).as("n"),
+        count(when(col("a").isNull || col("b").isNull, 1)).as("nulls")).head()
+      if (integral && driverMaxEdges > 0 && counts.getLong(0) <= driverMaxEdges &&
+          counts.getLong(1) == 0L) {
+        implicit val llEnc =
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+          .as[(Long, Long)].collect()
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x
@@ -505,8 +516,7 @@ object TextDedup {
           while (c != r) { val nx = parent(c); parent.update(c, r); c = nx }
           r
         }
-        es.foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
+        es.foreach { case (a, b) =>
           if (!parent.contains(a)) parent.update(a, a)
           if (!parent.contains(b)) parent.update(b, b)
           val ra = find(a); val rb = find(b)

@@ -223,7 +223,11 @@ object AnnStream {
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
           val id = r.getLong(0)
-          if (!r.isNullAt(1)) {
+          // guard codes/lut too: a correct-length vector with a null ELEMENT
+          // yields a non-null bucket (null dots collapse to 0 in lshBucket)
+          // while PqEncode/PqLut return null — skip such rows instead of
+          // NPE-ing the query
+          if (!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)) {
             val own = r.getLong(1)
             val myCodes = r.getSeq[Int](2).map(_.toByte).toArray
             val lut = r.getSeq[Double](3).toArray

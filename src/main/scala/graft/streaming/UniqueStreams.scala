@@ -46,7 +46,8 @@ case class GlobalState(
     pending: List[Row],                  // filling batch's rows
     prevBatch: List[Row],                // last flushed batch (expired on next flush)
     batchId: Long,
-    latched: Boolean)                    // timeLengthBatch post-flush drop latch
+    latched: Boolean,                    // timeLengthBatch post-flush drop latch
+    prevBatchId: Long = 0L)              // time-batch id of prevBatch (timeLengthBatch)
 
 /** State for externalTimeBatch-with-time.out (public for kryo). */
 case class EtbState(
@@ -215,7 +216,13 @@ object UniqueStreams {
               out += Row.fromSeq(r.toSeq.take(n))
             }
           }
-          state.update(BloomShard(bits, inserted))
+          // write the shard back ONLY when a bit changed: an unconditional
+          // update rewrites the full bitset (1 MiB at the default shard
+          // size) as one kryo value per shard per micro-batch — numShards ×
+          // bitsPerShard/8 of RocksDB write amplification even for batches
+          // that admitted nothing. A no-insert batch leaves the stored
+          // value (or its absence) bit-identical, so skipping is safe.
+          if (inserted != st.inserted) state.update(BloomShard(bits, inserted))
           out.iterator
       }(Encoders.kryo[BloomShard], outEnc)
   }
@@ -282,6 +289,7 @@ object UniqueStreams {
         (_: Int, rows: Iterator[Row], state: GroupState[BloomDedupShard]) =>
           var st = state.getOption.getOrElse(
             BloomDedupShard(Long.MinValue, new Array[Byte](nBytes), new Array[Byte](nBytes)))
+          var dirty = false // write state back only if a rotation or bit-set happened
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           val ordered = sIdx match {
             case Some(i) => sortedBySeq(rows, i)
@@ -317,15 +325,19 @@ object UniqueStreams {
                   java.util.Arrays.fill(st.cur, 0.toByte)
                   BloomDedupShard(epoch, fresh, st.cur)
                 }
+              dirty = true
             }
             val ps = positions(r.getString(kIdx))
             if (!has(st.cur, ps) && !has(st.prev, ps)) {
               val bits = st.cur
               ps.foreach(p => bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte)
+              dirty = true
               out += Row.fromSeq(r.toSeq.take(n))
             }
           }
-          state.update(st)
+          // all-duplicate batches leave both banks bit-identical — skip the
+          // 2×bank kryo rewrite (see firstStreamBloom's write-amp note)
+          if (dirty) state.update(st)
           out.iterator
       }(Encoders.kryo[BloomDedupShard], outEnc)
   }
@@ -855,10 +867,18 @@ object UniqueStreams {
     * UniqueTimeLengthBatchWindowProcessor.java:254-290). Time flushes are
     * event-driven (first event of a later batch closes the previous one) —
     * the event-time reinterpretation of the reference's scheduler.
+    * FULL change log: every flush also re-emits the PREVIOUS flushed batch
+    * tagged "expire" with its own batch_start_ms (expiredEventChunk
+    * re-emission, UniqueTimeLengthBatchWindowProcessor.java:304-336), so
+    * the last flushed batch is the only one never expired. `keepFirst`
+    * holds the first event per key instead of the latest (the first*
+    * subclass insert-direction flip) — with a never-reached `n` this is
+    * also firstTimeBatch's change-log form.
     * Update mode; output = input + change + batch_start_ms.
     */
   def timeLengthBatchStream(sdf: DataFrame, keys: Seq[String], seqCol: String,
-                            tsCol: String, windowMs: Long, n: Int): DataFrame = {
+                            tsCol: String, windowMs: Long, n: Int,
+                            keepFirst: Boolean = false): DataFrame = {
     val inSchema = sdf.schema
     val outSchema = inSchema.add("change", "string").add("batch_start_ms", "long")
     val keyed = sdf.withColumn("__k", jsonKey(keys))
@@ -875,23 +895,32 @@ object UniqueStreams {
         (_: Int, rows: Iterator[Row], state: GroupState[GlobalState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           var st = state.getOption.getOrElse(emptyGlobal)
-          def flush(startMs: Long): Unit = {
+          def flush(flushBatchId: Long): Unit = {
+            st.prevBatch.foreach(p =>
+              out += Row.fromSeq(p.toSeq.take(nCols) ++
+                Seq("expire", st.prevBatchId * windowMs)))
             st.pending.foreach(p =>
-              out += Row.fromSeq(p.toSeq.take(nCols) ++ Seq("insert", startMs)))
-            st = st.copy(batchKeys = Set.empty, pending = Nil, latched = true)
+              out += Row.fromSeq(p.toSeq.take(nCols) ++
+                Seq("insert", flushBatchId * windowMs)))
+            st = st.copy(batchKeys = Set.empty, pending = Nil, latched = true,
+              prevBatch = st.pending, prevBatchId = flushBatchId)
           }
           sortedBySeq(rows, sIdx).foreach { r =>
             val eventBatch = r.getAs[java.sql.Timestamp](tsIdx).getTime / windowMs
             if (eventBatch > st.batchId) { // time boundary crossed
-              if (st.pending.nonEmpty) flush(st.batchId * windowMs)
+              if (st.pending.nonEmpty) flush(st.batchId)
               st = st.copy(batchId = eventBatch, batchKeys = Set.empty,
                 pending = Nil, latched = false)
             }
             if (!st.latched) {
               val k = r.getString(kIdx)
-              val pending = st.pending.filterNot(_.getString(kIdx) == k) :+ r
+              val dup = st.pending.exists(_.getString(kIdx) == k)
+              val pending =
+                if (!dup) st.pending :+ r
+                else if (keepFirst) st.pending
+                else st.pending.filterNot(_.getString(kIdx) == k) :+ r
               st = st.copy(batchKeys = st.batchKeys + k, pending = pending)
-              if (st.batchKeys.size == n) flush(st.batchId * windowMs) // length flush + latch
+              if (st.batchKeys.size == n) flush(st.batchId) // length flush + latch
             } // latched: drop until next boundary
           }
           state.update(st)

@@ -142,16 +142,33 @@ object SweepVerify {
        |  FROM t) WHERE rn = 1$expFilter""".stripMargin
   }
 
-  private def timeLengthBatchSql(keys: Seq[String], w: Long, n: Int): String = {
+  private def timeLengthBatchSql(keys: Seq[String], w: Long, n: Int,
+                                 variant: String = "current"): String = {
     val kpart = pk(keys)
+    // expired = latch-filtered batches strictly before the last batch id
+    // over ALL events (UniqueOps.timeLengthBatch anchors __last on the
+    // tagged frame)
+    val expFilter =
+      if (variant == "expired")
+        s"""
+           |  AND batch_start_ms < (SELECT max(epoch_ms(ts) // $w) * $w FROM events)""".stripMargin
+      else ""
     s"""WITH t AS (SELECT *, epoch_ms(ts) // $w AS b FROM events),
        |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, $kpart) THEN 1 ELSE 0 END AS isf FROM t),
        |r AS (SELECT *, coalesce(sum(isf) OVER (PARTITION BY b ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f)
        |SELECT $EVSQL, batch_start_ms FROM (
        |  SELECT *, b * $w AS batch_start_ms,
        |    row_number() OVER (PARTITION BY b, $kpart ORDER BY event_id DESC) AS rn
-       |  FROM r WHERE bef < $n) WHERE rn = 1""".stripMargin
+       |  FROM r WHERE bef < $n) WHERE rn = 1$expFilter""".stripMargin
   }
+
+  /** `all` output mode: the change-log union of the current and expired
+    * SQL (UniqueResult.all — current tagged 'insert', expired 'expire').
+    */
+  private def allSql(cur: String, exp: String): String =
+    s"""SELECT *, 'insert' AS change FROM ($cur)
+       |UNION ALL
+       |SELECT *, 'expire' AS change FROM ($exp)""".stripMargin
 
   /** deduplicateStreamBloom's epoch recurrence (exact for a generously-
     * sized filter on the strictly-monotone events feed): next kept =
@@ -192,6 +209,27 @@ object SweepVerify {
        |  FROM events ev JOIN kept kp ON $evJoin AND epoch_ms(ev.ts) = kp.ms
        |) WHERE rn = 1""".stripMargin
   }
+
+  /** Hot-key geometry deduplicate oracle: the same epoch recurrence over a
+    * corpus where every event_id not divisible by `hotMod` collapses onto
+    * one 'HOT' key — the 1-key-dominates shape the salted twin exists for.
+    * DuckDB's `* REPLACE` mirrors the Spark-side withColumn rewrite.
+    */
+  private def hotKeyDedupSql(w: Long, hotMod: Int): String =
+    s"""WITH RECURSIVE hot AS (
+       |  SELECT * REPLACE (CASE WHEN event_id % $hotMod <> 0 THEN -1 ELSE user_id END AS user_id)
+       |  FROM events),
+       |e AS (SELECT user_id, epoch_ms(ts) AS ms FROM hot),
+       |kept AS (
+       |  SELECT user_id, min(ms) AS ms FROM e GROUP BY user_id
+       |  UNION ALL
+       |  SELECT e.user_id, min(e.ms) AS ms FROM e JOIN kept k
+       |    ON e.user_id = k.user_id AND e.ms > k.ms + $w GROUP BY e.user_id
+       |)
+       |SELECT $EVSQL FROM (
+       |  SELECT ev.*, row_number() OVER (PARTITION BY ev.user_id, epoch_ms(ev.ts) ORDER BY ev.event_id) AS rn
+       |  FROM hot ev JOIN kept kp ON ev.user_id = kp.user_id AND epoch_ms(ev.ts) = kp.ms
+       |) WHERE rn = 1""".stripMargin
 
   // ---- streaming-sweep oracle builders (the change-log shapes the fixed
   // replay rows use, parameterized by keys/window/n) ----
@@ -546,17 +584,49 @@ object SweepVerify {
     * PqEncode/PqLut/PqScore. refine > 0 appends the exact-cosine
     * re-rank of the top-refine ADC candidates (the two-stage path).
     */
-  private def embPqSql(nSub: Int, cps: Int, k: Int, refine: Int): String = {
+  private def embPqSql(nSub: Int, cps: Int, k: Int, refine: Int,
+                       lloydIters: Int = 0, sampleN: Int = 512): String = {
     val subDim = 64 / nSub
     def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
+    def sle(v: String) = s"$v[g.m*$subDim+1 : g.m*$subDim+$subDim]"
+    // unrolled per-subspace Lloyd passes on the sampleN lowest-id rows
+    // (Similarity.trainedCodebook's quantized-mean determinism — see the
+    // SparkEntry mirror for the derivation)
+    val train = (0 until lloydIters).map { i =>
+      val prev = if (i == 0) "cb0" else s"cb$i"
+      s"""sd$i AS (SELECT s.vec_id, p.m, p.j,
+         |    list_reduce(list_transform(list_zip(s.embedding[p.m*$subDim+1 : p.m*$subDim+$subDim], p.cent),
+         |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+         |      (x, y) -> x + y) AS d
+         |  FROM samp s CROSS JOIN $prev p),
+         |sasg$i AS (SELECT vec_id, m, j FROM (
+         |  SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, j) AS rn
+         |  FROM sd$i) WHERE rn = 1),
+         |supd$i AS (SELECT m, j, pos,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1048576.0) AS mean
+         |  FROM (SELECT g.m, g.j,
+         |      generate_subscripts(${sle("s.embedding")}, 1) AS pos,
+         |      unnest(${sle("s.embedding")}) AS x
+         |    FROM sasg$i g JOIN samp s USING (vec_id))
+         |  GROUP BY m, j, pos),
+         |cbu$i AS (SELECT m, j, list(mean ORDER BY pos) AS cent FROM supd$i GROUP BY m, j),
+         |cb${i + 1} AS (SELECT p.m, p.j, coalesce(u.cent, p.cent) AS cent
+         |  FROM $prev p LEFT JOIN cbu$i u ON u.m = p.m AND u.j = p.j),""".stripMargin
+    }.mkString("\n")
+    val sampCte =
+      if (lloydIters > 0)
+        s"\nsamp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN),"
+      else ""
     val core =
       s"""a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $cps),
          |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
-         |cb AS (SELECT m, j, ${sl("av")} AS cent
-         |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),
+         |cb0 AS (SELECT m, j, ${sl("av")} AS cent
+         |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),$sampCte
+         |$train
          |cbn AS (SELECT m, j, cent,
          |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
-         |  FROM cb),
+         |  FROM cb$lloydIters),
          |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
          |enc0 AS (SELECT corpus_id, m, j,
          |    list_reduce(list_transform(list_zip(${sl("cv")}, cent),
@@ -629,7 +699,7 @@ object SweepVerify {
     val ev = graft.Tables.events(spark, sfDir)
     val families = Seq("ever", "first", "time", "timebatch", "firsttimebatch",
       "externaltimebatch", "length", "lengthbatch", "firstlengthbatch",
-      "timelengthbatch", "deduplicate")
+      "timelengthbatch", "deduplicate", "deduplicate_salted_hot")
     // streaming families: the same operators via their stateful
     // Structured Streaming forms, replayed chunk-by-chunk and compared
     // to change-log oracles generated from the same draw — randomized
@@ -699,23 +769,45 @@ object SweepVerify {
         case "first" =>
           (UniqueOps.first(ev, keys, "event_id").current, firstSql(keys), "current")
         case "time" =>
-          val v = pick(Seq("current", "expired"))
+          val v = pick(Seq("current", "expired", "all"))
           val r = UniqueOps.time(ev, keys, "event_id", "ts", w)
-          (if (v == "current") r.current else r.expired, timeSql(keys, w, v), s"${v}_w$w")
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          val sql =
+            if (v == "all") allSql(timeSql(keys, w, "current"), timeSql(keys, w, "expired"))
+            else timeSql(keys, w, v)
+          (d, sql, s"${v}_w$w")
         case "timebatch" =>
-          val v = pick(Seq("current", "expired"))
+          val v = pick(Seq("current", "expired", "all"))
           val s = pick(startGrid.filter(_.isDefined)) // reference timeBatch anchors the epoch grid
           val rts = rng.nextBoolean() && v == "current"
           val r = UniqueOps.timeBatch(ev, keys, "event_id", "ts", w, s,
             replaceTsWithBatchEnd = rts)
-          (if (v == "current") r.current else r.expired,
-            timeBatchSql(keys, w, s, keepFirst = false, replaceTs = rts, v),
-            s"${v}_w${w}_s${s.get}${if (rts) "_rts" else ""}")
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          def tbSql(vv: String) =
+            timeBatchSql(keys, w, s, keepFirst = false, replaceTs = rts, vv)
+          val sql = if (v == "all") allSql(tbSql("current"), tbSql("expired")) else tbSql(v)
+          (d, sql, s"${v}_w${w}_s${s.get}${if (rts) "_rts" else ""}")
         case "firsttimebatch" =>
+          val v = pick(Seq("current", "expired", "all"))
           val s = pick(startGrid.filter(_.isDefined))
-          (UniqueOps.firstTimeBatch(ev, keys, "event_id", "ts", w, s).current,
-            timeBatchSql(keys, w, s, keepFirst = true, replaceTs = false, "current"),
-            s"current_w${w}_s${s.get}")
+          val r = UniqueOps.firstTimeBatch(ev, keys, "event_id", "ts", w, s)
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          def ftbSql(vv: String) =
+            timeBatchSql(keys, w, s, keepFirst = true, replaceTs = false, vv)
+          val sql = if (v == "all") allSql(ftbSql("current"), ftbSql("expired")) else ftbSql(v)
+          (d, sql, s"${v}_w${w}_s${s.get}")
         case "externaltimebatch" =>
           val v = pick(Seq("current", "expired"))
           val s = pick(startGrid) // None = min(ts) anchor, the reference default
@@ -724,27 +816,79 @@ object SweepVerify {
             timeBatchSql(keys, w, s, keepFirst = false, replaceTs = false, v),
             s"${v}_w${w}_s${s.map(_.toString).getOrElse("min")}")
         case "length" =>
-          val v = pick(Seq("current", "expired"))
+          val v = pick(Seq("current", "expired", "all"))
           val r = UniqueOps.length(ev, keys, "event_id", n)
-          (if (v == "current") r.current else r.expired, lengthSql(keys, n, v), s"${v}_n$n")
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          val sql =
+            if (v == "all") allSql(lengthSql(keys, n, "current"), lengthSql(keys, n, "expired"))
+            else lengthSql(keys, n, v)
+          (d, sql, s"${v}_n$n")
         case "lengthbatch" =>
-          val v = pick(Seq("current", "expired"))
+          val v = pick(Seq("current", "expired", "all"))
           val r = UniqueOps.lengthBatch(ev, keys, "event_id", n)
-          (if (v == "current") r.current else r.expired,
-            lengthBatchSql(keys, n, latest = true, expiredOnly = v == "expired"),
-            s"${v}_n$n")
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          def lbSql(e: Boolean) = lengthBatchSql(keys, n, latest = true, expiredOnly = e)
+          val sql = v match {
+            case "all" => allSql(lbSql(false), lbSql(true))
+            case vv => lbSql(vv == "expired")
+          }
+          (d, sql, s"${v}_n$n")
         case "firstlengthbatch" =>
-          (UniqueOps.firstLengthBatch(ev, keys, "event_id", n).current,
-            lengthBatchSql(keys, n, latest = false, expiredOnly = false), s"current_n$n")
+          val v = pick(Seq("current", "expired", "all"))
+          val r = UniqueOps.firstLengthBatch(ev, keys, "event_id", n)
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          def flbSql(e: Boolean) = lengthBatchSql(keys, n, latest = false, expiredOnly = e)
+          val sql = v match {
+            case "all" => allSql(flbSql(false), flbSql(true))
+            case vv => flbSql(vv == "expired")
+          }
+          (d, sql, s"${v}_n$n")
         case "timelengthbatch" =>
-          (UniqueOps.timeLengthBatch(ev, keys, "event_id", "ts", w, n).current,
-            timeLengthBatchSql(keys, w, n), s"current_w${w}_n$n")
+          val v = pick(Seq("current", "expired", "all"))
+          val r = UniqueOps.timeLengthBatch(ev, keys, "event_id", "ts", w, n)
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          val sql =
+            if (v == "all") allSql(timeLengthBatchSql(keys, w, n, "current"),
+              timeLengthBatchSql(keys, w, n, "expired"))
+            else timeLengthBatchSql(keys, w, n, v)
+          (d, sql, s"${v}_w${w}_n$n")
         case "deduplicate" =>
           val salted = rng.nextBoolean()
           val d = if (salted)
             UniqueOps.deduplicateSalted(ev, keys, "event_id", "ts", w).current
           else UniqueOps.deduplicate(ev, keys, "event_id", "ts", w).current
           (d, deduplicateSql(keys, w), s"${if (salted) "salted_" else ""}w$w")
+        case "deduplicate_salted_hot" =>
+          // 1-key-dominates geometry (VERDICT r10 ask #8): every event_id
+          // not divisible by hotMod collapses onto one 'HOT' user_id, so
+          // 1-1/hotMod of the corpus lands on a single key; the salted
+          // twin's chunk-boundary stitch (chunk width = the drawn interval)
+          // must match the recurrence oracle on the rewritten corpus.
+          // hotMod=1000 is the near-total-degeneracy corner (~99.9% hot).
+          val hotMod = pick(Seq(2, 10, 1000))
+          // user_id is numeric in the events table — the hot key is the
+          // sentinel -1 (outside the generated id range)
+          val hotEv = ev.withColumn("user_id",
+            org.apache.spark.sql.functions.when(col("event_id") % hotMod =!= 0,
+              org.apache.spark.sql.functions.lit(-1L)).otherwise(col("user_id")))
+          (UniqueOps.deduplicateSalted(hotEv, Seq("user_id"), "event_id", "ts", w).current,
+            hotKeyDedupSql(w, hotMod), s"hot${hotMod}_w$w")
 
         // ---- streaming families (replay harness, change-log oracles) ----
         case "ever_stream" =>
@@ -898,14 +1042,15 @@ object SweepVerify {
             packSql(b), s"b$b")
         case "emb_pq" =>
           // drawn PQ geometry at dim=64 (subDim = 64/nSub), pure-ADC or
-          // two-stage (refine) — the oracle re-derives the anchor
-          // codebook per draw
+          // two-stage (refine), anchor or Lloyd-trained codebook — the
+          // oracle re-derives the (possibly trained) codebook per draw
           val ns = pick(Seq(4, 8, 16)); val cp = pick(Seq(8, 16))
           val kk = pick(Seq(5, 10)); val rf = pick(Seq(0, 50))
+          val ll = pick(Seq(0, 1, 2))
           (graft.llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
             "vec_id", "embedding", kk, nSub = ns, codesPerSub = cp,
-            refine = rf).select("query_id", "corpus_id", "rank"),
-            embPqSql(ns, cp, kk, rf), s"s${ns}x${cp}_k${kk}_r$rf")
+            refine = rf, lloydIters = ll).select("query_id", "corpus_id", "rank"),
+            embPqSql(ns, cp, kk, rf, ll), s"s${ns}x${cp}_k${kk}_r${rf}_l$ll")
       }
       // llm draws don't use the event-key grid — keep their names to the
       // parameters that actually vary

@@ -329,6 +329,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     val cRecall = (truth intersect ivfpq).size.toDouble / truth.size
     assert(cRecall >= 0.30, s"IVF-PQ refined recall@10 $cRecall below the floor")
+    // TRAINED codebook (per-subspace Lloyd on the deterministic sample,
+    // VERDICT r10 ask #3). Deterministic (quantized means, fixed sample),
+    // so all of these are gates, not samples. Two claims:
+    // (1) at the DEFAULT 8×16 geometry (8 B/vector), training lifts
+    //     pure-ADC above the anchor baseline (measured 0.419 → 0.450;
+    //     the near-random planted corpus caps 8-subspace ADC well below
+    //     0.6 regardless of codebook quality — 5 iters × full-corpus
+    //     sample measured 0.489);
+    val tPq8 = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 10,
+        lloydIters = 2, trainSampleN = 2048)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val t8Recall = (truth intersect tPq8).size.toDouble / truth.size
+    info(s"trained 8x16 pure-ADC recall@10 = $t8Recall (anchor $recall)")
+    assert(t8Recall > recall,
+      s"trained ADC recall $t8Recall not above anchor $recall")
+    // (2) the trained 16-subspace geometry (16 B/vector, still 16×
+    //     compression) clears the raised floors: measured 0.6346 pure /
+    //     0.9500 refined (vs 0.4846 / 0.9154 untrained-16 / 1-iter) —
+    //     floors 0.60 / 0.80 catch a real training or scoring regression.
+    val tPq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 10,
+        nSub = 16, lloydIters = 2, trainSampleN = 2048)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val tRecall = (truth intersect tPq).size.toDouble / truth.size
+    info(s"trained 16x16 pure-ADC recall@10 = $tRecall")
+    assert(tRecall >= 0.60, s"trained PQ ADC recall@10 $tRecall below the 0.60 floor")
+    val tRef = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 10,
+        nSub = 16, refine = 100, lloydIters = 2, trainSampleN = 2048)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val trRecall = (truth intersect tRef).size.toDouble / truth.size
+    info(s"trained 16x16 refined recall@10 = $trRecall (anchor-refined $rRecall)")
+    assert(trRecall >= 0.80, s"trained refined PQ recall@10 $trRecall below the 0.80 floor")
     corpus.unpersist(); queries.unpersist()
   }
 

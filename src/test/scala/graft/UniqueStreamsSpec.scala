@@ -191,11 +191,37 @@ class UniqueStreamsSpec extends AnyFunSuite with SparkTestSession {
     q.processAllAvailable()
     ms.addData(login(1100, "d", 5), login(1200, "e", 6))
     q.processAllAvailable()
-    val inserts = spark.table("tlb_s").filter(col("change") === "insert")
-      .select("seq").as[Long].collect().toSet
+    val log = spark.table("tlb_s").select("change", "seq", "batch_start_ms")
+      .as[(String, Long, Long)].collect()
     q.stop()
     // batch oracle (UniqueOpsSpec timeLengthBatch fixture): {1, 2, 5, 6}
-    assert(inserts === Set(1L, 2L, 5L, 6L))
+    assert(log.filter(_._1 == "insert").map(_._2).toSet === Set(1L, 2L, 5L, 6L))
+    // the second flush re-emits the first flushed batch as expired, tagged
+    // with ITS batch start (UniqueTimeLengthBatchWindowProcessor.java:304-336)
+    assert(log.filter(_._1 == "expire").map(r => (r._2, r._3)).toSet ===
+      Set((1L, 0L), (2L, 0L)))
+  }
+
+  test("timeLengthBatchStream keepFirst + unreachable n = firstTimeBatch change log") {
+    val ms = MemoryStream[Login]
+    val q = startQuery(
+      UniqueStreams.timeLengthBatchStream(
+        ms.toDF().withColumn("seq", col("seq").cast("long")), Seq("ip"), "seq", "ts",
+        1000L, Int.MaxValue, keepFirst = true),
+      "ftb_cl_s", OutputMode.Update())
+    ms.addData(login(100, "a", 1), login(200, "a", 2), login(1100, "b", 3))
+    q.processAllAvailable()
+    ms.addData(login(2100, "c", 4))
+    q.processAllAvailable()
+    val log = spark.table("ftb_cl_s").select("change", "seq", "batch_start_ms")
+      .as[(String, Long, Long)].collect()
+    q.stop()
+    // keepFirst: a@1 wins over a@2; batch 0 closes when b@3 crosses, batch 1
+    // closes when c@4 crosses AND re-expires batch 0; batch 2 stays open
+    assert(log.filter(_._1 == "insert").map(r => (r._2, r._3)).toSet ===
+      Set((1L, 0L), (3L, 1000L)))
+    assert(log.filter(_._1 == "expire").map(r => (r._2, r._3)).toSet ===
+      Set((1L, 0L)))
   }
 
   test("externalTimeBatchStream time.out flushes idle batches and append-merges later events") {
