@@ -687,6 +687,32 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // CELL-BUCKETED streaming IVF-PQ (the composed streaming ANN shape):
+    // same id-ordered feed, but the state is bucketed by IVF cell — each
+    // arrival probes only its nProbe=4 nearest anchor cells' code lists
+    // (nProbe/nCells of the corpus) and scores them with the PQ ADC fold.
+    // The mirror is the batch ivfPq mirror with every vector as a query
+    // and candidates restricted to earlier arrivals, so the full
+    // retrieval log hash-matches.
+    "emb_ann_ivfpq_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val cent = llm.Similarity.anchorCentroids(emb, "vec_id", "embedding",
+          dim = 64, nCells = 16)
+        val (cb, _) = llm.Similarity.anchorCodebook(emb, "vec_id", "embedding",
+          dim = 64, nSub = 8, codesPerSub = 16)
+        streaming.Replay.replay(s, emb, "vec_id", 1000,
+          "append")(sdf => streaming.AnnStream.ivfPqAnnStream(sdf, "vec_id",
+            "embedding", centroids = cent, codebook = cb, codesPerSub = 16,
+            nProbe = 4))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ... and the embedding stream's final CLUSTER STRUCTURE (the vector
     // analog of doc_neardup_clusters_stream_replay): every drop row is a
     // union-find edge (vec → root at emission time); connected components
@@ -1203,6 +1229,7 @@ object SparkEntry {
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,
       "emb_ann_pq_stream_replay" -> embPqStreamOracle,
+      "emb_ann_ivfpq_stream_replay" -> embIvfPqStreamOracle,
       "mm_features" -> mmFeaturesOracle,
       // solid-color resize round-trip: target dims, one color, the color
       "mm_resize" ->
@@ -1993,6 +2020,66 @@ object SparkEntry {
        |        FROM q0 CROSS JOIN centt)) WHERE rn <= 4),
        |cand AS (SELECT pr.query_id, asg.corpus_id FROM asg JOIN pr USING (cell)
        |  WHERE asg.corpus_id <> pr.query_id),
+       |qn AS (SELECT query_id,
+       |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+       |  FROM q0),
+       |lut AS (SELECT query_id, m, j,
+       |    list_reduce(list_transform(list_zip(qv[m*8+1 : m*8+8], cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot,
+       |    n2
+       |  FROM q0 CROSS JOIN cbn),
+       |s0 AS (SELECT cand.query_id, cand.corpus_id,
+       |    list_reduce(list(lut.dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+       |    list_reduce(list(lut.n2 ORDER BY lut.m), (x, y) -> x + y) AS cn2
+       |  FROM cand JOIN codes ON codes.corpus_id = cand.corpus_id
+       |            JOIN lut ON lut.query_id = cand.query_id AND lut.m = codes.m AND lut.j = codes.code
+       |  GROUP BY cand.query_id, cand.corpus_id),
+       |s AS (SELECT s0.query_id, corpus_id,
+       |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
+       |  FROM s0 JOIN qn ON qn.query_id = s0.query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** DuckDB mirror of AnnStream.ivfPqAnnStream (nCells=16, nProbe=4,
+    * dim=64, nSub=8, codesPerSub=16, k=10): the embIvfPqOracle machinery
+    * with EVERY vector as a query and candidates restricted to earlier
+    * arrivals (corpus_id < query_id — the id-ordered replay's "arrived
+    * so far"), scores divided in the engine's exact order.
+    */
+  private def embIvfPqStreamOracle: String = {
+    val sub = "(SELECT unnest(generate_series(0, 7)) AS m)"
+    s"""WITH a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
+       |cb AS (SELECT m, j, av[m*8+1 : m*8+8] AS cent FROM a CROSS JOIN $sub),
+       |cbn AS (SELECT m, j, cent,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb),
+       |centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT 16),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg AS (SELECT corpus_id, cell FROM (
+       |  SELECT corpus_id, cell,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN centt)) WHERE rn = 1),
+       |enc0 AS (SELECT corpus_id, m, j,
+       |    list_reduce(list_transform(list_zip(cv[m*8+1 : m*8+8], cent),
+       |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM c CROSS JOIN cbn),
+       |codes AS (SELECT corpus_id, m, j AS code FROM (
+       |  SELECT corpus_id, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+       |pr AS (SELECT query_id, cell FROM (
+       |  SELECT query_id, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT query_id, cell, ${duckCosine("qv", "centroid")} AS csim
+       |        FROM q0 CROSS JOIN centt)) WHERE rn <= 4),
+       |cand AS (SELECT pr.query_id, asg.corpus_id FROM asg JOIN pr USING (cell)
+       |  WHERE asg.corpus_id < pr.query_id),
        |qn AS (SELECT query_id,
        |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
        |  FROM q0),

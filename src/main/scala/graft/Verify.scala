@@ -20,7 +20,13 @@ object Verify {
     // only evidence in an unharvested stderr. Persist failures as
     // errors.json beside the outputs so the record explains its own gaps.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration subset: SPARK_GRAFT_VERIFY_ONLY=q1,q2 runs just those
+    // queries (the driver never sets it, so its runs stay exhaustive)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -331,6 +331,20 @@ object Similarity {
     (codebook, codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)))
   }
 
+  /** Deterministic anchor centroids: the `nCells` lowest-id corpus rows
+    * as (cell = id, centroid) — `ivfTopK`/`ivfPqTopK`'s init policy,
+    * exposed for the streaming operator (`AnnStream.ivfPqAnnStream`)
+    * which takes centroids as literals: train offline, deploy as
+    * constants — the same contract as the PQ codebook. Constant-size
+    * collect, like the IVF centroid broadcast.
+    */
+  def anchorCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nCells: Int): Seq[(Long, Seq[Double])] =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long"),
+        requireDim(col(vecCol).cast("array<double>"), dim))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
   /** TRAINED PQ codebook: per-subspace Lloyd (k-means) refinement of the
     * anchor codebook on a deterministic sample — the PQ analog of
     * `ivfTopK`'s `lloydIters` (measured +9 recall points there; the PQ

@@ -265,4 +265,147 @@ object AnnStream {
       .groupByKey((_: Row) => 0)(Encoders.scalaInt)
       .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** CELL-BUCKETED streaming IVF-PQ — the streaming analog of
+    * `Similarity.ivfPqTopK` and the composed 100 TB streaming ANN shape:
+    * IVF bounds WHICH state a query touches (the index is bucketed by
+    * IVF cell; each arrival probes only its `nProbe` nearest cells'
+    * code lists — nProbe/nCells of the corpus, where `pqAnnStream`'s
+    * hyperplane probes touch ~(nPlanes+1)/2^nPlanes), PQ bounds the
+    * BYTES each touched row costs (nSub byte-packed codes per vector,
+    * never a raw float).
+    *
+    * Both the centroid table and the codebook are PARAMETERS (train
+    * offline, deploy as literals — the production contract;
+    * `Similarity.anchorCentroids`/`anchorCodebook` supply the
+    * deterministic oracle-mirrorable ones). The distributed stage does
+    * all the heavy math as codegen projections: one `VecCosine` per
+    * centroid (the csims array), `PqEncode`, `PqLut`, ‖q‖; the stateful
+    * stage ranks cells by `ivfPqTopK`'s exact policy — probe order
+    * (csim DESC, cell ASC), own cell = rank 1, matching the batch
+    * max_by((csim, -cell)) assignment — scores each probed cell's
+    * candidates with the `PqScore`-identical ADC fold, and emits the
+    * top k by (sim DESC, corpus_id).
+    *
+    * Same feed contract as `annStream`: id-ordered replay makes
+    * "arrived so far" ≡ corpus_id < query_id, so the full retrieval log
+    * hash-matches a DuckDB mirror (`emb_ann_ivfpq_stream_replay` — the
+    * batch ivfPq mirror with every vector as a query and candidates
+    * restricted to earlier arrivals). Null/empty/null-element vectors
+    * emit nothing and are not indexed (PqEncode/PqLut fold them to
+    * null); wrong widths raise loudly (`requireDim`).
+    */
+  def ivfPqAnnStream(sdf: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Long, Seq[Double])],
+                     codebook: Seq[Seq[Double]], codesPerSub: Int,
+                     k: Int = 10, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(nProbe > 0 && nProbe <= centroids.length,
+      s"nProbe $nProbe must be in 1..${centroids.length}")
+    require(codebook.nonEmpty && codebook.length % codesPerSub == 0,
+      s"codebook of ${codebook.length} does not divide into codes of $codesPerSub")
+    require(codesPerSub <= 256,
+      s"codesPerSub $codesPerSub exceeds the byte-packed state limit of 256")
+    val nSub = codebook.length / codesPerSub
+    val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+    val cps = codesPerSub
+    val cells = centroids.map(_._1).toArray
+    val np = nProbe
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    val v0 = coalesce(col(vecCol).cast("array<float>"),
+      array().cast("array<float>"))
+    val vd = col(vecCol).cast("array<double>")
+    val vdChecked = graft.llm.Similarity.requireDim(vd, dim)
+    val codesC = when(size(v0) === 0, lit(null).cast("array<int>"))
+      .otherwise(colOf(graft.functions.PqEncode(expr(vdChecked), codebook, nSub, cps)))
+    val lutC = when(size(v0) === 0, lit(null).cast("array<double>"))
+      .otherwise(colOf(graft.functions.PqLut(expr(vdChecked), codebook, nSub, cps)))
+    val qnC = sqrt(aggregate(coalesce(vd, array().cast("array<double>")),
+      lit(0.0d), (acc, x) => acc + x * x))
+    // one VecCosine per centroid literal — the same per-arrival centroid
+    // scan as the batch probe rank, codegen'd in the distributed stage
+    val csimsC = when(size(v0) === 0, lit(null).cast("array<double>"))
+      .otherwise(array(centroids.map(c =>
+        graft.llm.Similarity.cosine(vdChecked, typedLit(c._2))): _*))
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+        codesC.as("codes"), lutC.as("lut"), qnC.as("qn"), csimsC.as("csims"))
+      .where(col("id").isNotNull)
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("query_id", "long").add("corpus_id", "long").add("rank", "integer")
+    val outEnc = Encoders.row(outSchema)
+
+    val processor = new StatefulProcessor[Int, Row, Row] {
+      // cell id → vec-id list: the IVF inverted file, one state row per cell
+      @transient private var cellIdx: org.apache.spark.sql.streaming.MapState[Long, Array[Long]] = _
+      @transient private var codesSt: org.apache.spark.sql.streaming.MapState[Long, Array[Byte]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        cellIdx = getHandle.getMapState[Long, Array[Long]]("cellIdx",
+          Encoders.scalaLong, Encoders.kryo[Array[Long]], TTLConfig.NONE)
+        codesSt = getHandle.getMapState[Long, Array[Byte]]("codes",
+          Encoders.scalaLong, Encoders.kryo[Array[Byte]], TTLConfig.NONE)
+      }
+
+      // PqScore-identical left folds, pqAnnStream's exact division order
+      private def adcSim(codes: Array[Byte], lut: Array[Double], qn: Double): Double = {
+        var dot = 0.0; var cn2 = 0.0
+        var m = 0
+        while (m < codes.length) {
+          val idx = m * cps + (codes(m) & 0xff)
+          dot += lut(idx); cn2 += norm2(idx)
+          m += 1
+        }
+        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+      }
+
+      override def handleInputRows(key: Int, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        rows.toSeq.sortBy(_.getLong(0)).foreach { r =>
+          val id = r.getLong(0)
+          // null-element vectors fold codes/lut/csims to null — skip, don't NPE
+          if (!r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(4)) {
+            val myCodes = r.getSeq[Int](1).map(_.toByte).toArray
+            val lut = r.getSeq[Double](2).toArray
+            val qn = r.getDouble(3)
+            val csims = r.getSeq[Double](4).toArray
+            // probe order (csim DESC, cell ASC) = ivfPqTopK's probe rank;
+            // own cell is rank 1 (the batch max_by((csim, -cell)) argmax)
+            val order = cells.indices.sortBy(i => (-csims(i), cells(i)))
+            val probe = order.take(np).map(cells(_))
+            val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+            probe.foreach { cell =>
+              val cur = cellIdx.getValue(cell)
+              if (cur != null) {
+                var i = 0
+                while (i < cur.length) {
+                  scored += ((adcSim(codesSt.getValue(cur(i)), lut, qn), cur(i)))
+                  i += 1
+                }
+              }
+            }
+            scored.sortBy { case (sim, cid) => (-sim, cid) }
+              .take(k).zipWithIndex.foreach { case ((_, cid), rk) =>
+                out += Row(id, cid, rk + 1)
+              }
+            val own = probe.head
+            val ownCur = cellIdx.getValue(own)
+            cellIdx.updateValue(own,
+              if (ownCur == null) Array(id) else ownCur :+ id)
+            codesSt.updateValue(id, myCodes)
+          }
+        }
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -115,7 +115,7 @@ object ScaleBench {
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
       "emb_ann_stream_soak", "emb_ann_pq_stream_soak", "corpus_curation", "dup_spans",
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
-      "decontam_large_eval", "lengthbatch_phaseb")
+      "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -263,6 +263,43 @@ object ScaleBench {
           minCount = 2, hashedKeys = true)
           .agg(sum(length(col("clean_text")))).head().getLong(0)
       }
+    }
+    // Adversarial CutSpans probe (VERDICT r10 ask #7): the kernel's
+    // documented bound is O(tokens + spans log spans) per doc; its worst
+    // case is the FULLY-FRAGMENTED doc — a disjoint single-token span at
+    // every other position, so spans ≈ tokens/2 and nothing merges away.
+    // Feed that span relation straight into removeSpans (the public API
+    // the bound is attached to) at 1× and 10× doc length with the doc
+    // count fixed: a ~10× wall ratio pins the linear-ish bound; the
+    // pre-r10 HOF (per-token `exists` over the span array) would go
+    // ~100× here. Spans are synthesized, not detected — the probe
+    // isolates the kernel from the gram pipeline measured above.
+    if (wanted("cutspans_adversarial")) {
+      val nDocs = 20000L
+      // range-derived inputs carry rows-only stats, so Catalyst would
+      // broadcast a multi-GB generated side at the bigger sizes; at the
+      // operator's real scale neither side of the span join broadcasts
+      val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      def run(tokensPerDoc: Int): Long = {
+        val corpus = spark.range(nDocs).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+            i => concat(lit("t"), pmod(i, lit(7)).cast("string"))), " ").as("text"))
+        val spans = spark.range(nDocs).select(col("id").as("doc_id"),
+            explode(sequence(lit(0L), lit(tokensPerDoc - 1L), lit(2L))).as("span_start"))
+          .withColumn("span_end", col("span_start"))
+        graft.llm.TextDedup.removeSpans(corpus, "doc_id", "text", spans)
+          .agg(sum(col("n_dup_tokens")) + sum(length(col("clean_text"))))
+          .head().getLong(0)
+      }
+      // sizes via SPARK_GRAFT_CUTSPANS_TOKENS (comma-separated tokens/doc)
+      sys.env.getOrElse("SPARK_GRAFT_CUTSPANS_TOKENS", "2000,20000")
+        .split(",").map(_.trim.toInt).foreach { l =>
+          parts += timed(s"cutspans_adversarial_${l}tok") { run(l) }
+        }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
     val embSf1 = spark.read.parquet(embPath)
     var embDropped = -1L
@@ -944,10 +981,18 @@ object ScaleBench {
       implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
       val (cb, _) = graft.llm.Similarity.anchorCodebook(embSf1, "vec_id", "embedding",
         dim = 64, nSub = 8, codesPerSub = 16)
+      // third arm: the CELL-BUCKETED IVF-PQ stream (nCells=64, nProbe=4 —
+      // each arrival probes 4/64 of the inverted file instead of the
+      // hyperplane probes' ~9/256; same byte-packed code state as pq)
+      val cent = graft.llm.Similarity.anchorCentroids(embSf1, "vec_id", "embedding",
+        dim = 64, nCells = 64)
       val variants = Seq(
         "pq" -> ((df: org.apache.spark.sql.DataFrame) =>
           graft.streaming.AnnStream.pqAnnStream(df, "vec_id", "embedding",
             codebook = cb, codesPerSub = 16)),
+        "ivfpq" -> ((df: org.apache.spark.sql.DataFrame) =>
+          graft.streaming.AnnStream.ivfPqAnnStream(df, "vec_id", "embedding",
+            centroids = cent, codebook = cb, codesPerSub = 16, nProbe = 4)),
         "exact" -> ((df: org.apache.spark.sql.DataFrame) =>
           graft.streaming.AnnStream.annStream(df, "vec_id", "embedding")))
       variants.foreach { case (tag, build) =>

@@ -678,6 +678,78 @@ object SweepVerify {
     }
   }
 
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)))
+       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x))))""".stripMargin
+
+  /** Parametrized mirror of Similarity.ivfPqTopK (batch: the 20 lowest-id
+    * queries, candidates <> query) and AnnStream.ivfPqAnnStream (stream:
+    * EVERY vector queries, candidates restricted to earlier arrivals —
+    * the id-ordered replay's "arrived so far"). Anchor centroids = the
+    * nCells lowest-id rows; anchor codebook = subspace slices of the cps
+    * lowest-id rows; cell assignment/probe rank (csim DESC, cell); ADC
+    * scores divided in the engine's exact order ((adc/√cn2)/‖q‖).
+    */
+  private def embIvfPqSql(nCells: Int, nProbe: Int, nSub: Int, cps: Int,
+                          k: Int, stream: Boolean): String = {
+    val subDim = 64 / nSub
+    def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
+    val qFilter = if (stream) "" else " WHERE vec_id < 20"
+    val candRestrict = if (stream) "<" else "<>"
+    s"""WITH a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $cps),
+       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
+       |cb AS (SELECT m, j, ${sl("av")} AS cent
+       |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),
+       |cbn AS (SELECT m, j, cent,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb),
+       |centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT $nCells),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg AS (SELECT corpus_id, cell FROM (
+       |  SELECT corpus_id, cell,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cell, ${duckCos("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN centt)) WHERE rn = 1),
+       |enc0 AS (SELECT corpus_id, m, j,
+       |    list_reduce(list_transform(list_zip(${sl("cv")}, cent),
+       |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM c CROSS JOIN cbn),
+       |codes AS (SELECT corpus_id, m, j AS code FROM (
+       |  SELECT corpus_id, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings$qFilter),
+       |pr AS (SELECT query_id, cell FROM (
+       |  SELECT query_id, cell,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT query_id, cell, ${duckCos("qv", "centroid")} AS csim
+       |        FROM q0 CROSS JOIN centt)) WHERE rn <= $nProbe),
+       |cand AS (SELECT pr.query_id, asg.corpus_id FROM asg JOIN pr USING (cell)
+       |  WHERE asg.corpus_id $candRestrict pr.query_id),
+       |qn AS (SELECT query_id,
+       |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+       |  FROM q0),
+       |lut AS (SELECT query_id, m, j,
+       |    list_reduce(list_transform(list_zip(${sl("qv")}, cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot,
+       |    n2
+       |  FROM q0 CROSS JOIN cbn),
+       |s0 AS (SELECT cand.query_id, cand.corpus_id,
+       |    list_reduce(list(lut.dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+       |    list_reduce(list(lut.n2 ORDER BY lut.m), (x, y) -> x + y) AS cn2
+       |  FROM cand JOIN codes ON codes.corpus_id = cand.corpus_id
+       |            JOIN lut ON lut.query_id = cand.query_id AND lut.m = codes.m AND lut.j = codes.code
+       |  GROUP BY cand.query_id, cand.corpus_id),
+       |s AS (SELECT s0.query_id, corpus_id,
+       |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
+       |  FROM s0 JOIN qn ON qn.query_id = s0.query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= $k""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -716,7 +788,8 @@ object SweepVerify {
     val llmFamilies = Seq("minhash_pairs", "ngram_pairs", "simhash_pairs",
       "neardup_clusters", "neardup_dedup", "dup_spans", "span_removal",
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
-      "emb_pairs", "boilerplate", "pack", "emb_pq")
+      "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
+      "emb_ivfpq_stream")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1051,6 +1124,42 @@ object SweepVerify {
             "vec_id", "embedding", kk, nSub = ns, codesPerSub = cp,
             refine = rf, lloydIters = ll).select("query_id", "corpus_id", "rank"),
             embPqSql(ns, cp, kk, rf, ll), s"s${ns}x${cp}_k${kk}_r${rf}_l$ll")
+        case "emb_ivfpq" =>
+          // drawn IVF×PQ composition geometry (anchor centroids + anchor
+          // codebook, the closed-form mirror): cells × probes × subspaces
+          val nc = pick(Seq(8, 16, 32)); val np = pick(Seq(2, 4))
+          val ns = pick(Seq(4, 8, 16)); val kk = pick(Seq(5, 10))
+          (graft.llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
+            "vec_id", "embedding", kk, nCells = nc, nProbe = np,
+            nSub = ns, codesPerSub = 16)
+            .select("query_id", "corpus_id", "rank"),
+            embIvfPqSql(nc, np, ns, 16, kk, stream = false),
+            s"c${nc}p${np}s${ns}_k$kk")
+        case "emb_ivfpq_stream" =>
+          // the CELL-BUCKETED streaming form through the replay harness:
+          // every arrival retrieves against earlier arrivals from its
+          // nProbe nearest cells' code lists; randomized geometry through
+          // the PROCESSOR, not just the batch reinterpretation
+          val nc = pick(Seq(8, 16, 32)); val np = pick(Seq(2, 4))
+          val ns = pick(Seq(4, 8)); val kk = pick(Seq(5, 10))
+          val pKey = "spark.sql.streaming.stateStore.providerClass"
+          val prev = spark.conf.getOption(pKey)
+          graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+          val d = try {
+            val cent = graft.llm.Similarity.anchorCentroids(emb, "vec_id",
+              "embedding", dim = 64, nCells = nc)
+            val (cb, _) = graft.llm.Similarity.anchorCodebook(emb, "vec_id",
+              "embedding", dim = 64, nSub = ns, codesPerSub = 16)
+            graft.streaming.Replay.replay(spark, emb, "vec_id", 1000,
+              "append")(sdf => graft.streaming.AnnStream.ivfPqAnnStream(sdf,
+                "vec_id", "embedding", centroids = cent, codebook = cb,
+                codesPerSub = 16, k = kk, nProbe = np))
+          } finally prev match {
+            case Some(v) => spark.conf.set(pKey, v)
+            case None => spark.conf.unset(pKey)
+          }
+          (d, embIvfPqSql(nc, np, ns, 16, kk, stream = true),
+            s"c${nc}p${np}s${ns}_k$kk")
       }
       // llm draws don't use the event-key grid — keep their names to the
       // parameters that actually vary

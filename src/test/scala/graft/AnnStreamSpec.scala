@@ -94,6 +94,51 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqAnnStream: per-prefix batch ivfPqTopK equality; chunking-invariant; nulls skipped") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val NCELLS = 4; val NPROBE = 2
+      // anchors = the 4 lowest-id fixture rows, so every prefix of >= 4
+      // rows derives the SAME anchors as the full set — the regime where
+      // the batch operator run on the prefix is the exact model
+      val cent = llm.Similarity.anchorCentroids(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nCells = NCELLS)
+      val (cb, _) = llm.Similarity.anchorCodebook(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nSub = 2, codesPerSub = 4)
+      def run(chunk: Int) =
+        Replay.replay(spark, vecs.toDF(), "vec_id", chunk, "append")(sdf =>
+          AnnStream.ivfPqAnnStream(sdf, "vec_id", "embedding", centroids = cent,
+            codebook = cb, codesPerSub = 4, k = 100, nProbe = NPROBE, dim = DIM))
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      val streamed = run(1)
+      assert(streamed === run(3), "micro-batch boundaries changed the log")
+      val minFullAnchorId = vecs.map(_.vec_id).sorted.apply(NCELLS - 1)
+      val expected = vecs.filter(_.vec_id > minFullAnchorId).flatMap { q =>
+        val prefix = vecs.filter(_.vec_id < q.vec_id)
+        llm.Similarity.ivfPqTopK(prefix.toDF(), Seq(q).toDF(), "vec_id", "embedding",
+            k = 100, nCells = NCELLS, nProbe = NPROBE, dim = DIM,
+            nSub = 2, codesPerSub = 4)
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSeq
+      }.toSet
+      assert(expected.nonEmpty, "fixture drift: no prefix candidates at all")
+      assert(streamed.filter(_._1 > minFullAnchorId) === expected)
+      // null vectors neither query nor index
+      val withNull = vecs.take(5) ++ Seq(Vec(6, null)) ++ Seq(Vec(7, at(5)))
+      val logN = Replay.replay(spark, withNull.toDF(), "vec_id", 1, "append")(sdf =>
+          AnnStream.ivfPqAnnStream(sdf, "vec_id", "embedding", centroids = cent,
+            codebook = cb, codesPerSub = 4, k = 100, nProbe = NPROBE, dim = DIM))
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSeq
+      assert(!logN.exists(_._1 == 6L) && !logN.exists(_._2 == 6L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("empty vector emits nothing and is not indexed") {
     val withNull = vecs.take(3) ++ Seq(Vec(4, null)) ++ Seq(Vec(5, at(5)))
     val key = "spark.sql.streaming.stateStore.providerClass"
