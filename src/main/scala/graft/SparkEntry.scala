@@ -208,6 +208,17 @@ object SparkEntry {
       llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10)
         .select("query_id", "corpus_id", "rank")
     }),
+    // RESIDUAL IVF-PQ (Faiss IndexIVFPQ's layout): corpus rows PQ-encode
+    // v − centroid(cell) instead of v — same plan shape, tighter code
+    // distribution (recall lift pinned by LlmOpsSpec); the mirror
+    // re-derives the residual anchors (rows 17–32 by id, assigned and
+    // centroid-subtracted) and the per-cell norm-correction tables in SQL
+    "emb_ann_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 10,
+          residual = true)
+        .select("query_id", "corpus_id", "rank")
+    }),
     // embedding-cosine near-dup: banded hyperplane LSH + exact cosine
     // verify. The synthetic corpus peaks at cosine ~0.48, so the query
     // runs the short-band (4-plane) low-similarity configuration; cosine
@@ -1220,6 +1231,7 @@ object SparkEntry {
       "emb_ann_pq" -> embPqOracle,
       "emb_ann_pq_trained" -> embPqOracleSql(lloydIters = 1),
       "emb_ann_ivfpq" -> embIvfPqOracle,
+      "emb_ann_ivfpq_residual" -> embIvfPqResidualOracle,
       "emb_neardup_pairs" -> embNearDupOracle,
       // batch clusters/dedup share the stream rows' closure oracles: the
       // batch CC and the streaming union-find must reduce to the same sets
@@ -2037,6 +2049,94 @@ object SparkEntry {
        |s AS (SELECT s0.query_id, corpus_id,
        |    (CASE WHEN cn2 = 0 THEN 0.0 ELSE adc / sqrt(cn2) END) / qn.qn AS sim
        |  FROM s0 JOIN qn ON qn.query_id = s0.query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= 10""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.ivfPqTopK(residual = true) (nCells=16,
+    * nProbe=4, dim=64, nSub=8, codesPerSub=16, k=10, lloydIters=0):
+    * Faiss-IndexIVFPQ-style — each corpus row PQ-encodes its RESIDUAL
+    * against its assigned cell's centroid. The mirror re-derives every
+    * deployed literal in SQL: the 16 anchor centroids; the residual
+    * anchors (rows 17–32 by id, argmax-cosine-assigned, centroid-
+    * subtracted); the residual codebook (subspace slices of those
+    * residuals); the per-(m, j) ‖cb‖² and the per-cell norm-correction
+    * table w(cell, m, j) = 2·dot(centroidₘ, cb(m, j)) + ‖cb(m, j)‖².
+    * Scoring reassembles cosine exactly like the engine:
+    * (q·c + Σ lut) / (√(‖c‖² + Σ w) · ‖q‖), 0 when the reconstructed
+    * norm² ≤ 0. sim itself is excluded from the compared columns (rank
+    * only), the same policy as every ANN row.
+    */
+  private def embIvfPqResidualOracle: String = {
+    val sub = "(SELECT unnest(generate_series(0, 7)) AS m)"
+    s"""WITH centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT 16),
+       |cn2 AS (SELECT cell,
+       |    list_reduce(list_transform(centroid, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS cn2
+       |  FROM centt),
+       |ra AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16 OFFSET 16)),
+       |rasg AS (SELECT j, av, centroid FROM (
+       |  SELECT j, av, centroid,
+       |    row_number() OVER (PARTITION BY j ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT ra.j, ra.av, centt.cell, centt.centroid,
+       |          ${duckCosine("av", "centroid")} AS csim
+       |        FROM ra CROSS JOIN centt)) WHERE rn = 1),
+       |rv AS (SELECT j, list_transform(list_zip(av, centroid),
+       |    z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS resid FROM rasg),
+       |cb AS (SELECT m, j, resid[m*8+1 : m*8+8] AS cent FROM rv CROSS JOIN $sub),
+       |rn2 AS (SELECT m, j,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb),
+       |w AS (SELECT centt.cell, cb.m, cb.j,
+       |    2.0 * list_reduce(list_transform(list_zip(centt.centroid[cb.m*8+1 : cb.m*8+8], cb.cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) + rn2.n2 AS w
+       |  FROM centt CROSS JOIN cb JOIN rn2 ON rn2.m = cb.m AND rn2.j = cb.j),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg AS (SELECT corpus_id, cell, cv, centroid FROM (
+       |  SELECT corpus_id, cell, cv, centroid,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cell, cv, centroid, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN centt)) WHERE rn = 1),
+       |crv AS (SELECT corpus_id, cell, list_transform(list_zip(cv, centroid),
+       |    z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS rvv FROM asg),
+       |enc0 AS (SELECT corpus_id, cell, cb.m, cb.j,
+       |    list_reduce(list_transform(list_zip(rvv[cb.m*8+1 : cb.m*8+8], cb.cent),
+       |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM crv CROSS JOIN cb),
+       |codes AS (SELECT corpus_id, cell, m, j AS code FROM (
+       |  SELECT corpus_id, cell, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |qn AS (SELECT query_id,
+       |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+       |  FROM q0),
+       |pr AS (SELECT query_id, cell, qdotc FROM (
+       |  SELECT query_id, cell, qdotc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT query_id, cell, ${duckCosine("qv", "centroid")} AS csim,
+       |          list_reduce(list_transform(list_zip(qv, centroid),
+       |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS qdotc
+       |        FROM q0 CROSS JOIN centt)) WHERE rn <= 4),
+       |lut AS (SELECT query_id, m, j,
+       |    list_reduce(list_transform(list_zip(qv[m*8+1 : m*8+8], cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot
+       |  FROM q0 CROSS JOIN cb),
+       |s0 AS (SELECT pr.query_id, codes.corpus_id, pr.cell, pr.qdotc,
+       |    list_reduce(list(lut.dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+       |    list_reduce(list(w.w ORDER BY w.m), (x, y) -> x + y) AS cw
+       |  FROM pr JOIN codes USING (cell)
+       |       JOIN lut ON lut.query_id = pr.query_id AND lut.m = codes.m AND lut.j = codes.code
+       |       JOIN w ON w.cell = pr.cell AND w.m = codes.m AND w.j = codes.code
+       |  WHERE codes.corpus_id <> pr.query_id
+       |  GROUP BY pr.query_id, codes.corpus_id, pr.cell, pr.qdotc),
+       |s AS (SELECT s0.query_id, corpus_id,
+       |    CASE WHEN (cn2.cn2 + cw) <= 0 THEN 0.0
+       |         ELSE (qdotc + adc) / (sqrt(cn2.cn2 + cw) * qn.qn) END AS sim
+       |  FROM s0 JOIN qn ON qn.query_id = s0.query_id
+       |          JOIN cn2 ON cn2.cell = s0.cell)
        |SELECT query_id, corpus_id,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
        |FROM s QUALIFY rank <= 10""".stripMargin

@@ -881,3 +881,79 @@ case class PqScore(left: Expression, right: Expression,
          |""".stripMargin
     })
 }
+
+/** Raw ADC gather-sum: Σ_m lut(m·codesPerSub + codes(m)), left-fold in
+  * m order — the building block `PqScore` fuses with its norm division,
+  * exposed bare for RESIDUAL IVF-PQ scoring where the score is assembled
+  * from three gathered sums that CANNOT share one fused division:
+  * query·residual (lut = the query's `PqLut` against the residual
+  * codebook), the candidate's cell-dependent norm correction (lut = the
+  * probed cell's precomputed 2·centroidₘ·codebook[m][j] + ‖codebook[m][j]‖²
+  * table, a per-cell literal column), and any other per-(m, code)
+  * tabulated term. Null on geometry mismatch / out-of-range codes / null
+  * elements, matching `PqScore`'s guards. The subspace count is derived
+  * from the lut length at eval time (lut length % codesPerSub == 0,
+  * codes length == lut length / codesPerSub), so one expression instance
+  * serves any geometry.
+  */
+case class PqAdcSum(left: Expression, right: Expression, codesPerSub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ExpectsInputTypes {
+  require(codesPerSub > 1, s"codesPerSub must be > 1, got $codesPerSub")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_sum"
+  override def nullable: Boolean = true
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcSum =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val lutLen = lut.numElements()
+    if (lutLen == 0 || lutLen % codesPerSub != 0) return null
+    val nSub = lutLen / codesPerSub
+    if (codes.numElements() != nSub) return null
+    var acc = 0.0
+    var m = 0
+    while (m < nSub) {
+      if (codes.isNullAt(m)) return null
+      val c = codes.getInt(m)
+      if (c < 0 || c >= codesPerSub) return null
+      val idx = m * codesPerSub + c
+      if (lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      m += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val lutLen = ctx.freshName("lutLen"); val nSub = ctx.freshName("nSub")
+      val acc = ctx.freshName("acc"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val idx = ctx.freshName("idx")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $lutLen = $lut.numElements();
+         |if ($lutLen == 0 || $lutLen % $codesPerSub != 0) { ${ev.isNull} = true; }
+         |else {
+         |  final int $nSub = $lutLen / $codesPerSub;
+         |  if ($codes.numElements() != $nSub) { ${ev.isNull} = true; }
+         |  else {
+         |    double $acc = 0.0;
+         |    boolean $bad = false;
+         |    for (int $m = 0; $m < $nSub; $m++) {
+         |      if ($codes.isNullAt($m)) { $bad = true; break; }
+         |      final int $c = $codes.getInt($m);
+         |      if ($c < 0 || $c >= $codesPerSub) { $bad = true; break; }
+         |      final int $idx = $m * $codesPerSub + $c;
+         |      if ($lut.isNullAt($idx)) { $bad = true; break; }
+         |      $acc += $lut.getDouble($idx);
+         |    }
+         |    if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |  }
+         |}
+         |""".stripMargin
+    })
+}

@@ -376,44 +376,173 @@ object Similarity {
     require(lloydIters >= 0 && sampleN > 0,
       s"lloydIters/sampleN must be >= 0 / > 0, got $lloydIters/$sampleN")
     val subDim = dim / nSub
-    val scale = 1048576.0d // 2^20 — see ivfTopK's determinism note
     var (cb, _) = anchorCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub)
     if (lloydIters > 0) {
-      def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
-      def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-        org.apache.spark.sql.GraftColumnBridge.column(e)
       val sample = corpus.orderBy(col(idCol)).limit(sampleN)
         .select(requireDim(col(vecCol).cast("array<double>"), dim).as("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        for (_ <- 0 until lloydIters) {
-          val updated = sample
-            .select(colOf(graft.functions.PqEncode(expr(col("v")), cb, nSub,
-              codesPerSub)).as("codes"), col("v"))
-            .where(col("codes").isNotNull) // null-element vectors train nothing
-            .select(explode(sequence(lit(0), lit(nSub - 1))).as("m"),
-              col("codes"), col("v"))
-            .select(col("m"), element_at(col("codes"), col("m") + 1).as("j"),
-              posexplode(slice(col("v"), col("m") * subDim + 1, lit(subDim))))
-            .select(col("m"), col("j"), col("pos"),
-              floor(col("col") * lit(scale)).cast("long").as("q"))
-            .groupBy("m", "j", "pos")
-            .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-            .select(col("m"), col("j"), col("pos"),
-              (col("s").cast("double") / (col("n").cast("double") * lit(scale))).as("mean"))
-            .groupBy("m", "j")
-            .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
-            .select(col("m"), col("j"),
-              transform(col("pm"), p => p.getField("mean")).as("cent"))
-            .collect() // <= nSub * codesPerSub rows — constant-size
-          val byKey = updated.map(r =>
-            (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-          cb = (for (m <- 0 until nSub; j <- 0 until codesPerSub)
-            yield byKey.getOrElse((m, j), cb(m * codesPerSub + j))).toIndexedSeq
-        }
-      } finally sample.unpersist(false)
+      cb = lloydRefine(sample, cb, nSub, codesPerSub, subDim, lloydIters)
     }
     (cb, cb.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+  }
+
+  /** The Lloyd loop `trainedCodebook` documents, extracted over an
+    * arbitrary sample relation (one `array<double>` column `v`) so the
+    * RESIDUAL codebook trains with the identical passes on residual
+    * vectors. Constant-size collect per pass; the sample is persisted
+    * for the duration of the loop.
+    */
+  private def lloydRefine(sampleV: DataFrame, cb0: Seq[Seq[Double]], nSub: Int,
+                          codesPerSub: Int, subDim: Int, iters: Int): Seq[Seq[Double]] = {
+    val scale = 1048576.0d // 2^20 — see ivfTopK's determinism note
+    def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    var cb = cb0
+    val sample = sampleV
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        val updated = sample
+          .select(colOf(graft.functions.PqEncode(expr(col("v")), cb, nSub,
+            codesPerSub)).as("codes"), col("v"))
+          .where(col("codes").isNotNull) // null-element vectors train nothing
+          .select(explode(sequence(lit(0), lit(nSub - 1))).as("m"),
+            col("codes"), col("v"))
+          .select(col("m"), element_at(col("codes"), col("m") + 1).as("j"),
+            posexplode(slice(col("v"), col("m") * subDim + 1, lit(subDim))))
+          .select(col("m"), col("j"), col("pos"),
+            floor(col("col") * lit(scale)).cast("long").as("q"))
+          .groupBy("m", "j", "pos")
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .select(col("m"), col("j"), col("pos"),
+            (col("s").cast("double") / (col("n").cast("double") * lit(scale))).as("mean"))
+          .groupBy("m", "j")
+          .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+          .select(col("m"), col("j"),
+            transform(col("pm"), p => p.getField("mean")).as("cent"))
+          .collect() // <= nSub * codesPerSub rows — constant-size
+        val byKey = updated.map(r =>
+          (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        cb = (for (m <- 0 until nSub; j <- 0 until codesPerSub)
+          yield byKey.getOrElse((m, j), cb(m * codesPerSub + j))).toIndexedSeq
+      }
+    } finally sample.unpersist(false)
+    cb
+  }
+
+  /** Everything RESIDUAL IVF-PQ deploys as literals, computed driver-side
+    * from constant-size collects (Faiss IndexIVFPQ's layout,
+    * faiss/IndexIVFPQ.h — residual vectors `v − centroid(cell(v))` are
+    * what gets product-quantized, not `v` itself):
+    * `cells` = per-IVF-cell (cell id, centroid, ‖centroid‖²,
+    * norm-correction table), `codebook` = the residual-trained PQ
+    * codebook. The correction table is the cell-dependent part of the
+    * reconstructed norm: ‖c + r̃‖² = ‖c‖² + Σ_m (2·cₘ·cb[m][jₘ] +
+    * ‖cb[m][jₘ]‖²), so entry (m, j) = 2·dot(centroid slice m, cb[m][j])
+    * + ‖cb[m][j]‖² and a candidate's correction is one `PqAdcSum`
+    * gather over its codes.
+    */
+  case class ResidualPqModel(
+      cells: Seq[(Long, Seq[Double], Double, Seq[Double])],
+      codebook: Seq[Seq[Double]])
+
+  /** Driver-side replica of `cosine` (VecCosine's left-fold double loop)
+    * for the constant-size anchor assignments — same arithmetic, same
+    * doubles.
+    */
+  private def cosineScalar(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Argmax-cosine cell for one vector — the driver replica of the
+    * DataFrame assignment's `max_by(struct(cell, …), struct(csim,
+    * -cell))` policy (ties → smallest cell id).
+    */
+  private def assignCellScalar(v: Array[Double],
+                               cents: Seq[(Long, Array[Double])]): (Long, Array[Double]) = {
+    var bestCell = Long.MaxValue
+    var bestCent: Array[Double] = null
+    var best = Double.NegativeInfinity
+    cents.foreach { case (cell, c) =>
+      val s = cosineScalar(v, c)
+      if (s > best || (s == best && cell < bestCell)) {
+        best = s; bestCell = cell; bestCent = c
+      }
+    }
+    require(bestCent != null, "no centroids to assign against")
+    (bestCell, bestCent)
+  }
+
+  /** Build the residual IVF-PQ model: anchor centroids (`nCells`
+    * lowest-id rows), then a PQ codebook over RESIDUALS. The residual
+    * anchors are the `codesPerSub` lowest-id rows AFTER the centroid
+    * rows (OFFSET nCells) — the centroid rows' own residuals are
+    * identically zero, so anchoring on them would collapse the codebook
+    * to a single zero code. `lloydIters` > 0 refines with the same
+    * per-subspace quantized-mean passes as `trainedCodebook`, on the
+    * assigned residuals of the `sampleN` lowest-id rows. All collects
+    * are constant-size (nCells + codesPerSub rows; nSub·codesPerSub
+    * centroid rows per Lloyd pass) — train offline, deploy literals.
+    */
+  def residualPqModel(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nCells: Int, nSub: Int, codesPerSub: Int,
+                      lloydIters: Int = 0, sampleN: Int = 512): ResidualPqModel = {
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    require(lloydIters >= 0 && sampleN > 0,
+      s"lloydIters/sampleN must be >= 0 / > 0, got $lloydIters/$sampleN")
+    val subDim = dim / nSub
+    val cents = anchorCentroids(corpus, idCol, vecCol, dim, nCells)
+      .map { case (id, v) => (id, v.toArray) }
+    val anchorRows = corpus.orderBy(col(idCol)).limit(nCells + codesPerSub)
+      .select(col(idCol).cast("long"),
+        requireDim(col(vecCol).cast("array<double>"), dim))
+      .collect().drop(nCells)
+    require(anchorRows.length == codesPerSub,
+      s"corpus has only ${nCells + anchorRows.length} rows, need ${nCells + codesPerSub} " +
+        "for residual anchors")
+    val resAnchors = anchorRows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val (_, c) = assignCellScalar(v, cents)
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    var rcb: Seq[Seq[Double]] =
+      (for (m <- 0 until nSub; j <- 0 until codesPerSub)
+        yield resAnchors(j).slice(m * subDim, (m + 1) * subDim).toSeq).toIndexedSeq
+    if (lloydIters > 0) {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val centDf = broadcast(
+        cents.map { case (id, c) => (id, c.toSeq) }.toDF("cell", "centroid"))
+      val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+        .select(col(idCol).as("__sid"),
+          requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
+        .crossJoin(centDf)
+        .select(col("__sid"), col("cv"), col("centroid"), col("cell"),
+          cosine(col("cv"), col("centroid")).as("csim"))
+        .groupBy("__sid")
+        .agg(max_by(struct(col("cv"), col("centroid")),
+          struct(col("csim"), -col("cell"))).as("__a"))
+        .select(zip_with(col("__a.cv"), col("__a.centroid"), (a, b) => a - b).as("v"))
+      rcb = lloydRefine(sample, rcb, nSub, codesPerSub, subDim, lloydIters)
+    }
+    val rn2 = rcb.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val cells = cents.map { case (cell, c) =>
+      val cn2 = c.foldLeft(0.0)((a, x) => a + x * x)
+      val clut = (for (m <- 0 until nSub; j <- 0 until codesPerSub) yield {
+        val e = rcb(m * codesPerSub + j)
+        var dot = 0.0
+        var i = 0
+        while (i < subDim) { dot += c(m * subDim + i) * e(i); i += 1 }
+        2.0 * dot + rn2(m * codesPerSub + j)
+      }).toIndexedSeq
+      (cell, c.toSeq, cn2, clut: Seq[Double])
+    }
+    ResidualPqModel(cells, rcb)
   }
 
   /** IVF × PQ — the composed 100 TB ANN shape: IVF bounds WHICH cells a
@@ -432,7 +561,10 @@ object Similarity {
                 vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 dim: Int = 64, nSub: Int = 8, codesPerSub: Int = 16,
                 refine: Int = 0, lloydIters: Int = 0,
-                trainSampleN: Int = 512): DataFrame = {
+                trainSampleN: Int = 512, residual: Boolean = false): DataFrame = {
+    if (residual)
+      return ivfPqResidualTopK(corpus, queries, idCol, vecCol, k, nCells,
+        nProbe, dim, nSub, codesPerSub, refine, lloydIters, trainSampleN)
     val (codebook, norm2) =
       trainedCodebook(corpus, idCol, vecCol, dim, nSub, codesPerSub,
         lloydIters, trainSampleN)
@@ -471,6 +603,19 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         (colOf(graft.functions.PqScore(expr(col("codes")), expr(col("lut")),
           norm2, codesPerSub)) / col("qn")).as("sim"))
+    rankAndRefine(scored, corpus, queries, idCol, vecCol, dim, k, refine)
+  }
+
+  /** Rank an ADC-scored (query_id, corpus_id, sim) relation and apply
+    * the optional exact-cosine re-rank of the top-`refine` candidates
+    * (refine = 0 → pure ADC order). Two-stage retrieval: only
+    * refine × |queries| raw vectors are fetched — id-keyed point reads
+    * against the corpus; at 100 TB the compressed scan does the work
+    * and the refine join touches a vanishing fraction.
+    */
+  private def rankAndRefine(scored: DataFrame, corpus: DataFrame,
+                            queries: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, k: Int, refine: Int): DataFrame = {
     val ranked = scored.withColumn("rank",
       row_number().over(Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("corpus_id"))))
@@ -490,6 +635,81 @@ object Similarity {
             .orderBy(col("sim").desc, col("corpus_id"))))
         .filter(col("rank") <= k)
     }
+  }
+
+  /** RESIDUAL IVF-PQ retrieval (`ivfPqTopK(residual = true)`) — the
+    * Faiss IndexIVFPQ composition: each corpus row PQ-encodes its
+    * RESIDUAL against its assigned cell's centroid instead of the raw
+    * vector. Residuals concentrate near zero once cells capture corpus
+    * structure, so the same codebook budget spends its codes on a much
+    * tighter distribution — the classic IVFPQ recall lever (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011, §IV.B). Scoring reassembles cosine from tabulated pieces:
+    *
+    *   q·ṽ   = q·c_cell + Σ_m qlut[m][jₘ]          (qlut = PqLut vs rcb)
+    *   ‖ṽ‖²  = ‖c_cell‖² + Σ_m clut_cell[m][jₘ]    (clut = the model's
+    *                                                norm-correction table)
+    *   sim   = q·ṽ / (√‖ṽ‖² · ‖q‖), 0 when ‖ṽ‖² ≤ 0
+    *
+    * — three `PqAdcSum`/`PqLut` gathers per candidate, no raw vectors in
+    * the scan. Plan shape is identical to `ivfPqTopK`: per-query cost is
+    * nProbe/nCells of the corpus × nSub byte-reads per row; the per-cell
+    * tables ride the (tiny) broadcast probes relation. Reference
+    * semantics anchor: siddhi-execution-unique has no ANN tier — this is
+    * the beyond-reference LLM-pipeline component (SURVEY.md §2.5).
+    */
+  private def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String, k: Int,
+                                nCells: Int, nProbe: Int, dim: Int, nSub: Int,
+                                codesPerSub: Int, refine: Int, lloydIters: Int,
+                                trainSampleN: Int): DataFrame = {
+    val model = residualPqModel(corpus, idCol, vecCol, dim, nCells, nSub,
+      codesPerSub, lloydIters, trainSampleN)
+    def expr(c: Column) = org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the deployed literals: cell → (centroid, ‖c‖², norm-correction lut)
+    val centDf = model.cells.toDF("cell", "centroid", "cn2", "clut")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
+    val assigned = c.crossJoin(broadcast(centDf.select("cell", "centroid")))
+      .select(col("corpus_id"), col("cv"), col("cell"), col("centroid"),
+        cosine(col("cv"), col("centroid")).as("csim"))
+      .groupBy("corpus_id")
+      .agg(max_by(struct(col("cell"), col("cv"), col("centroid")),
+        struct(col("csim"), -col("cell"))).as("__a"))
+      .select(col("corpus_id"), col("__a.cell").as("cell"),
+        zip_with(col("__a.cv"), col("__a.centroid"), (a, b) => a - b).as("rv"))
+    val codes = assigned.select(col("corpus_id"), col("cell"),
+      colOf(graft.functions.PqEncode(expr(col("rv")), model.codebook, nSub,
+        codesPerSub)).as("codes"))
+    val probes = queries.select(col(idCol).as("query_id"),
+        requireDim(col(vecCol).cast("array<double>"), dim).as("qv"))
+      .crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("qv"), col("cell"), col("cn2"), col("clut"),
+        col("centroid"), cosine(col("qv"), col("centroid")).as("csim"))
+      .withColumn("crank",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cell"), col("cn2"), col("clut"),
+        aggregate(zip_with(col("qv"), col("centroid"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x).as("qdotc"),
+        colOf(graft.functions.PqLut(expr(col("qv")), model.codebook, nSub,
+          codesPerSub)).as("lut"),
+        sqrt(aggregate(col("qv"), lit(0.0d), (acc, x) => acc + x * x)).as("qn"))
+    val adc = colOf(graft.functions.PqAdcSum(expr(col("codes")),
+      expr(col("lut")), codesPerSub))
+    val vn2 = col("cn2") + colOf(graft.functions.PqAdcSum(expr(col("codes")),
+      expr(col("clut")), codesPerSub))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        when(vn2 <= 0, lit(0.0d))
+          .otherwise((col("qdotc") + adc) / (sqrt(vn2) * col("qn"))).as("sim"))
+    rankAndRefine(scored, corpus, queries, idCol, vecCol, dim, k, refine)
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -516,31 +736,9 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"),
         (colOf(graft.functions.PqScore(expr(col("codes")), expr(col("lut")),
           norm2, codesPerSub)) / col("qn")).as("sim"))
-    val ranked = scored.withColumn("rank",
-      row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("sim").desc, col("corpus_id"))))
-    if (refine <= 0) ranked.filter(col("rank") <= k)
-    else {
-      // two-stage retrieval: ADC generates `refine` candidates per query,
-      // exact cosine re-ranks — only refine × |queries| raw vectors are
-      // fetched (id-keyed point reads against the corpus; at 100 TB the
-      // compressed scan does the work and the refine join touches a
-      // vanishing fraction). Anchor-codebook ADC alone measures ~0.42
-      // recall@10 on the planted-clique spec corpus; refine=5k lifts it
-      // to the candidate-coverage ceiling (see LlmOpsSpec's floors).
-      require(refine >= k, s"refine $refine must be >= k $k")
-      val cand = ranked.filter(col("rank") <= refine).drop("rank", "sim")
-      val cvs = corpus.select(col(idCol).as("corpus_id"),
-        requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
-      val qvs = queries.select(col(idCol).as("query_id"),
-        requireDim(col(vecCol).cast("array<double>"), dim).as("qvr"))
-      cand.join(cvs, Seq("corpus_id")).join(broadcast(qvs), Seq("query_id"))
-        .select(col("query_id"), col("corpus_id"),
-          cosine(col("qvr"), col("cv")).as("sim"))
-        .withColumn("rank",
-          row_number().over(Window.partitionBy("query_id")
-            .orderBy(col("sim").desc, col("corpus_id"))))
-        .filter(col("rank") <= k)
-    }
+    // Anchor-codebook ADC alone measures ~0.42 recall@10 on the
+    // planted-clique spec corpus; refine=5k lifts it to the
+    // candidate-coverage ceiling (see LlmOpsSpec's floors).
+    rankAndRefine(scored, corpus, queries, idCol, vecCol, dim, k, refine)
   }
 }

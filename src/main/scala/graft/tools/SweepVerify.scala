@@ -750,6 +750,92 @@ object SweepVerify {
        |FROM s QUALIFY rank <= $k""".stripMargin
   }
 
+  /** Parameterized mirror of `Similarity.ivfPqTopK(residual = true)`
+    * (lloydIters = 0): the SparkEntry fixed-geometry oracle
+    * (`embIvfPqResidualOracle`) generalized over cells × probes ×
+    * subspaces for randomized draws. Residual anchors are rows
+    * OFFSET nCells LIMIT cps by id, assigned and centroid-subtracted;
+    * scoring reassembles cosine from q·c + Σ lut over the residual
+    * codebook and the per-cell norm correction Σ w.
+    */
+  private def embIvfPqResidualSql(nCells: Int, nProbe: Int, nSub: Int,
+                                  cps: Int, k: Int): String = {
+    val subDim = 64 / nSub
+    def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
+    def slq(v: String, m: String) = s"$v[$m*$subDim+1 : $m*$subDim+$subDim]"
+    s"""WITH centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT $nCells),
+       |cn2t AS (SELECT cell,
+       |    list_reduce(list_transform(centroid, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS cn2
+       |  FROM centt),
+       |ra AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $cps OFFSET $nCells)),
+       |rasg AS (SELECT j, av, centroid FROM (
+       |  SELECT j, av, centroid,
+       |    row_number() OVER (PARTITION BY j ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT ra.j, ra.av, centt.cell, centt.centroid,
+       |          ${duckCos("av", "centroid")} AS csim
+       |        FROM ra CROSS JOIN centt)) WHERE rn = 1),
+       |rv AS (SELECT j, list_transform(list_zip(av, centroid),
+       |    z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS resid FROM rasg),
+       |cb AS (SELECT m, j, ${sl("resid")} AS cent
+       |  FROM rv CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),
+       |rn2 AS (SELECT m, j,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb),
+       |w AS (SELECT centt.cell, cb.m, cb.j,
+       |    2.0 * list_reduce(list_transform(list_zip(${slq("centt.centroid", "cb.m")}, cb.cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) + rn2.n2 AS w
+       |  FROM centt CROSS JOIN cb JOIN rn2 ON rn2.m = cb.m AND rn2.j = cb.j),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg AS (SELECT corpus_id, cell, cv, centroid FROM (
+       |  SELECT corpus_id, cell, cv, centroid,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cell, cv, centroid, ${duckCos("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN centt)) WHERE rn = 1),
+       |crv AS (SELECT corpus_id, cell, list_transform(list_zip(cv, centroid),
+       |    z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS rvv FROM asg),
+       |enc0 AS (SELECT corpus_id, cell, cb.m, cb.j,
+       |    list_reduce(list_transform(list_zip(${slq("rvv", "cb.m")}, cb.cent),
+       |      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS d
+       |  FROM crv CROSS JOIN cb),
+       |codes AS (SELECT corpus_id, cell, m, j AS code FROM (
+       |  SELECT corpus_id, cell, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
+       |  FROM enc0) WHERE rn = 1),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |qn AS (SELECT query_id,
+       |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
+       |  FROM q0),
+       |pr AS (SELECT query_id, cell, qdotc FROM (
+       |  SELECT query_id, cell, qdotc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT query_id, cell, ${duckCos("qv", "centroid")} AS csim,
+       |          list_reduce(list_transform(list_zip(qv, centroid),
+       |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS qdotc
+       |        FROM q0 CROSS JOIN centt)) WHERE rn <= $nProbe),
+       |lut AS (SELECT query_id, m, j,
+       |    list_reduce(list_transform(list_zip(${sl("qv")}, cent),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dot
+       |  FROM q0 CROSS JOIN cb),
+       |s0 AS (SELECT pr.query_id, codes.corpus_id, pr.cell, pr.qdotc,
+       |    list_reduce(list(lut.dot ORDER BY lut.m), (x, y) -> x + y) AS adc,
+       |    list_reduce(list(w.w ORDER BY w.m), (x, y) -> x + y) AS cw
+       |  FROM pr JOIN codes USING (cell)
+       |       JOIN lut ON lut.query_id = pr.query_id AND lut.m = codes.m AND lut.j = codes.code
+       |       JOIN w ON w.cell = pr.cell AND w.m = codes.m AND w.j = codes.code
+       |  WHERE codes.corpus_id <> pr.query_id
+       |  GROUP BY pr.query_id, codes.corpus_id, pr.cell, pr.qdotc),
+       |s AS (SELECT s0.query_id, corpus_id,
+       |    CASE WHEN (cn2t.cn2 + cw) <= 0 THEN 0.0
+       |         ELSE (qdotc + adc) / (sqrt(cn2t.cn2 + cw) * qn.qn) END AS sim
+       |  FROM s0 JOIN qn ON qn.query_id = s0.query_id
+       |          JOIN cn2t ON cn2t.cell = s0.cell)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= $k""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -1127,14 +1213,18 @@ object SweepVerify {
         case "emb_ivfpq" =>
           // drawn IVF×PQ composition geometry (anchor centroids + anchor
           // codebook, the closed-form mirror): cells × probes × subspaces
+          // × DIRECT-vs-RESIDUAL encoding (residual = the Faiss
+          // IndexIVFPQ layout, mirrored by embIvfPqResidualSql)
           val nc = pick(Seq(8, 16, 32)); val np = pick(Seq(2, 4))
           val ns = pick(Seq(4, 8, 16)); val kk = pick(Seq(5, 10))
+          val rs = pick(Seq(false, true))
           (graft.llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
             "vec_id", "embedding", kk, nCells = nc, nProbe = np,
-            nSub = ns, codesPerSub = 16)
+            nSub = ns, codesPerSub = 16, residual = rs)
             .select("query_id", "corpus_id", "rank"),
-            embIvfPqSql(nc, np, ns, 16, kk, stream = false),
-            s"c${nc}p${np}s${ns}_k$kk")
+            if (rs) embIvfPqResidualSql(nc, np, ns, 16, kk)
+            else embIvfPqSql(nc, np, ns, 16, kk, stream = false),
+            s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}")
         case "emb_ivfpq_stream" =>
           // the CELL-BUCKETED streaming form through the replay harness:
           // every arrival retrieves against earlier arrivals from its

@@ -363,6 +363,95 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     corpus.unpersist(); queries.unpersist()
   }
 
+  test("residual IVF-PQ: residual anchors encode to their own codes; recall beats direct encoding") {
+    // Crisp exactness pin first: with lloydIters=0 the residual codebook's
+    // anchor j IS row (16 + j)'s residual, so encoding that row's residual
+    // must yield codes = [j] * nSub (PqEncode distance 0, ties impossible
+    // on distinct anchors).
+    val model = Similarity.residualPqModel(embs, "vec_id", "embedding",
+      dim = 64, nCells = 16, nSub = 8, codesPerSub = 16)
+    val cents = model.cells.map { case (cell, c, _, _) => cell -> c.toArray }.toMap
+    val anchorRows = embs.orderBy("vec_id").limit(32)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect().drop(16)
+    anchorRows.zipWithIndex.foreach { case (row, j) =>
+      val v = row.getSeq[Double](1).toArray
+      // assign exactly like the engine: argmax cosine, ties → smallest cell
+      val (_, cBest) = model.cells
+        .map { case (cell, c, _, _) =>
+          val ca = c.toArray
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          for (i <- v.indices) { dot += v(i) * ca(i); na += v(i) * v(i); nb += ca(i) * ca(i) }
+          val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+          (cell, ca, s)
+        }
+        .sortBy { case (cell, _, s) => (-s, cell) }
+        .headOption.map { case (cell, ca, _) => (cell, ca) }.get
+      val rv = Array.tabulate(64)(i => v(i) - cBest(i))
+      val enc = spark.range(1).select(
+        org.apache.spark.sql.GraftColumnBridge.column(graft.functions.PqEncode(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            lit(rv).cast("array<double>")), model.codebook, 8, 16)).as("codes"))
+        .head().getSeq[Int](0)
+      assert(enc === Seq.fill(8)(j),
+        s"residual anchor $j did not encode to its own centroid index")
+    }
+    // Recall A/B on the planted-clique corpus (same construction as the
+    // PQ gate above): residuals against 64 Lloyd-less anchor cells are
+    // far tighter than the raw vectors, so the same 8×16 codebook budget
+    // must lift pure-ADC recall. Deterministic end to end — a gate.
+    val copies = 5
+    val maxVec = embs.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1
+    val corpus = (0 until copies).map { i =>
+      embs.select(
+        (col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"), (x, p) =>
+           when(p === lit((i - 1) % 64), (x * lit(1.0 + 0.05 * i)).cast("float"))
+             .otherwise(x))).as("embedding"))
+    }.reduce(_ unionByName _).cache()
+    val queries = corpus.filter(col("vec_id") % 97 === 0).cache()
+    val truth = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallOf(residual: Boolean, nProbe: Int, refine: Int = 0,
+                 lloydIters: Int = 0): Double = {
+      val got = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", 10,
+          nCells = 64, nProbe = nProbe, refine = refine, lloydIters = lloydIters,
+          residual = residual)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    // FULL probe (nProbe = nCells): coverage is 1.0, so recall isolates
+    // pure ADC ranking quality — the claim residual encoding makes.
+    val directFull = recallOf(residual = false, nProbe = 64)
+    val resFull = recallOf(residual = true, nProbe = 64)
+    info(s"full-probe pure-ADC recall@10: direct = $directFull, residual = $resFull")
+    assert(resFull > directFull,
+      s"residual encoding recall $resFull not above direct $directFull")
+    // measured 0.4846 residual vs 0.4192 direct (deterministic); floor
+    // 0.46 catches a real residual-scoring regression
+    assert(resFull >= 0.46, s"residual ADC recall@10 $resFull below the 0.46 floor")
+    // Composed shape (nProbe = 8 of 64): recall is coverage-bounded —
+    // both encodings retrieve every probed true neighbor on this corpus,
+    // so the gate here is only that residual never loses to direct.
+    val direct = recallOf(residual = false, nProbe = 8)
+    val res = recallOf(residual = true, nProbe = 8)
+    info(s"nProbe=8 pure-ADC recall@10: direct = $direct, residual = $res")
+    assert(res >= direct,
+      s"composed residual recall $res below direct $direct")
+    val resRefined = recallOf(residual = true, nProbe = 8, refine = 100)
+    info(s"residual IVF-PQ refined recall@10 = $resRefined")
+    assert(resRefined >= res, s"refined residual recall $resRefined below pure-ADC $res")
+    // training composes with residuals: measured 0.55 (vs 0.450 for
+    // trained-direct in the PQ gate above — residual + Lloyd is the best
+    // 8-byte-per-vector configuration in the tier)
+    val resTrained = recallOf(residual = true, nProbe = 64, lloydIters = 2)
+    info(s"full-probe residual+trained pure-ADC recall@10 = $resTrained")
+    assert(resTrained >= 0.52,
+      s"residual+trained ADC recall@10 $resTrained below the 0.52 floor")
+    corpus.unpersist(); queries.unpersist()
+  }
+
   test("ivfTopK recall@20 floor — the quality gate a refactor must not break") {
     // Deterministic planted-clique corpus (the ScaleBench §round-6
     // construction at spec scale): 5 copies of the 500 sf0.001 vectors,

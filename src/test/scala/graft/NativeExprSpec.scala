@@ -194,4 +194,29 @@ class NativeExprSpec extends AnyFunSuite with SparkTestSession {
     assert(!s1(1L).isNullAt(1) && s1(1L).getDouble(1) > 0.0)
     assert(s1(3L).isNullAt(1) && s1(4L).isNullAt(1) && s1(5L).isNullAt(1))
   }
+
+  test("PqAdcSum: interpreted == codegen; gather-sum matches hand fold; guards null") {
+    // codes/lut pairs incl. every guard: wrong code count, out-of-range
+    // code, null code element, null lut element, lut length not a
+    // multiple of codesPerSub (cps = 2 → nSub derived from lut)
+    val rows = Seq(
+      (1L, Seq[Integer](1, 0), Seq[java.lang.Double](0.5, 1.5, 2.5, 3.5)),  // 1.5 + 2.5
+      (2L, Seq[Integer](0, 1), Seq[java.lang.Double](-1.0, 0.0, 0.0, 4.0)), // -1.0 + 4.0
+      (3L, Seq[Integer](1, 0, 1), Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)), // wrong nSub → null
+      (4L, Seq[Integer](2, 0), Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)),  // code ≥ cps → null
+      (5L, Seq[Integer](null, 0), Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)), // null code → null
+      (6L, Seq[Integer](1, 0), Seq[java.lang.Double](1.0, null, 3.0, 4.0)), // null lut hit → null
+      (7L, Seq[Integer](1, 0), Seq[java.lang.Double](1.0, 2.0, 3.0)),       // ragged lut → null
+      (8L, null.asInstanceOf[Seq[Integer]], Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0))
+    ).toDF("id", "codes", "lut")
+    val df = rows.select(col("id"),
+      c(PqAdcSum(e(col("codes")), e(col("lut")), 2)).as("s"))
+    assertParity(df)
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getDouble(1) === 4.0)
+    assert(byId(2L).getDouble(1) === 3.0)
+    Seq(3L, 4L, 5L, 6L, 7L, 8L).foreach(i =>
+      assert(byId(i).isNullAt(1), s"row $i must be null"))
+    // row 6 gathers lut(0*2+1)=null → null even though other entries are set
+  }
 }
