@@ -724,6 +724,28 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // ... and its RESIDUAL form: state codes are v − centroid(own cell),
+    // scored with the per-cell norm-correction tables — the streaming
+    // analog of emb_ann_ivfpq_residual, same deployed-literal contract
+    "emb_ann_ivfpq_residual_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val model = llm.Similarity.residualPqModel(emb, "vec_id", "embedding",
+          dim = 64, nCells = 16, nSub = 8, codesPerSub = 16)
+        streaming.Replay.replay(s, emb, "vec_id", 1000,
+          "append")(sdf => streaming.AnnStream.ivfPqAnnStream(sdf, "vec_id",
+            "embedding",
+            centroids = model.cells.map { case (cell, c, _, _) => (cell, c) },
+            codebook = model.codebook, codesPerSub = 16,
+            nProbe = 4, residual = true))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ... and the embedding stream's final CLUSTER STRUCTURE (the vector
     // analog of doc_neardup_clusters_stream_replay): every drop row is a
     // union-find edge (vec → root at emission time); connected components
@@ -1242,6 +1264,7 @@ object SparkEntry {
       "emb_ann_stream_replay" -> embAnnStreamOracle,
       "emb_ann_pq_stream_replay" -> embPqStreamOracle,
       "emb_ann_ivfpq_stream_replay" -> embIvfPqStreamOracle,
+      "emb_ann_ivfpq_residual_stream_replay" -> embIvfPqResidualStreamOracle,
       "mm_features" -> mmFeaturesOracle,
       // solid-color resize round-trip: target dims, one color, the color
       "mm_resize" ->
@@ -2068,8 +2091,21 @@ object SparkEntry {
     * norm² ≤ 0. sim itself is excluded from the compared columns (rank
     * only), the same policy as every ANN row.
     */
-  private def embIvfPqResidualOracle: String = {
+  private def embIvfPqResidualOracle: String =
+    embIvfPqResidualOracleSql(stream = false)
+
+  /** The stream variant (`AnnStream.ivfPqAnnStream(residual = true)`
+    * through the id-ordered replay): every vector is a query, candidates
+    * are earlier arrivals (corpus_id < query_id) — same full-set deployed
+    * literals, so no prefix-model divergence exists to account for.
+    */
+  private def embIvfPqResidualStreamOracle: String =
+    embIvfPqResidualOracleSql(stream = true)
+
+  private def embIvfPqResidualOracleSql(stream: Boolean): String = {
     val sub = "(SELECT unnest(generate_series(0, 7)) AS m)"
+    val qFilter = if (stream) "" else " WHERE vec_id < 20"
+    val candRestrict = if (stream) "<" else "<>"
     s"""WITH centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
        |    FROM embeddings ORDER BY vec_id LIMIT 16),
        |cn2 AS (SELECT cell,
@@ -2109,7 +2145,7 @@ object SparkEntry {
        |codes AS (SELECT corpus_id, cell, m, j AS code FROM (
        |  SELECT corpus_id, cell, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
        |  FROM enc0) WHERE rn = 1),
-       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings$qFilter),
        |qn AS (SELECT query_id,
        |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
        |  FROM q0),
@@ -2130,7 +2166,7 @@ object SparkEntry {
        |  FROM pr JOIN codes USING (cell)
        |       JOIN lut ON lut.query_id = pr.query_id AND lut.m = codes.m AND lut.j = codes.code
        |       JOIN w ON w.cell = pr.cell AND w.m = codes.m AND w.j = codes.code
-       |  WHERE codes.corpus_id <> pr.query_id
+       |  WHERE codes.corpus_id $candRestrict pr.query_id
        |  GROUP BY pr.query_id, codes.corpus_id, pr.cell, pr.qdotc),
        |s AS (SELECT s0.query_id, corpus_id,
        |    CASE WHEN (cn2.cn2 + cw) <= 0 THEN 0.0

@@ -294,11 +294,23 @@ object AnnStream {
     * restricted to earlier arrivals). Null/empty/null-element vectors
     * emit nothing and are not indexed (PqEncode/PqLut fold them to
     * null); wrong widths raise loudly (`requireDim`).
+    *
+    * `residual = true` switches to the Faiss-IndexIVFPQ layout
+    * (`ivfPqTopK(residual = true)`'s streaming analog): `codebook` is
+    * then a RESIDUAL codebook (`Similarity.residualPqModel(...)
+    * .codebook`), each arrival encodes v − centroid(own cell) into
+    * state, and scoring reassembles cosine from q·c_cell + the LUT
+    * gather over residual codes, with the per-cell norm correction
+    * tables (2·cₘ·cb[m][j] + ‖cb[m][j]‖², derived here from the
+    * centroid + codebook literals) replacing the direct ‖cb‖² sum.
+    * State stays nSub bytes per vector; the per-arrival cost adds one
+    * dim-multiply dot per probed cell.
     */
   def ivfPqAnnStream(sdf: DataFrame, idCol: String, vecCol: String,
                      centroids: Seq[(Long, Seq[Double])],
                      codebook: Seq[Seq[Double]], codesPerSub: Int,
-                     k: Int = 10, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+                     k: Int = 10, nProbe: Int = 4, dim: Int = 64,
+                     residual: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(nProbe > 0 && nProbe <= centroids.length,
       s"nProbe $nProbe must be in 1..${centroids.length}")
@@ -330,9 +342,55 @@ object AnnStream {
     val csimsC = when(size(v0) === 0, lit(null).cast("array<double>"))
       .otherwise(array(centroids.map(c =>
         graft.llm.Similarity.cosine(vdChecked, typedLit(c._2))): _*))
-    val prepared = sdf.select(col(idCol).cast("long").as("id"),
-        codesC.as("codes"), lutC.as("lut"), qnC.as("qn"), csimsC.as("csims"))
-      .where(col("id").isNotNull)
+    // residual mode: per-cell literals the scoring reassembles cosine
+    // from — centroid arrays (for q·c), ‖c‖², and the norm-correction
+    // tables w(cell)(m·cps + j) = 2·dot(centroidₘ, cb(m, j)) + ‖cb(m, j)‖²
+    // (index order identical to Similarity.residualPqModel's clut)
+    val centArrs: Array[Array[Double]] = centroids.map(_._2.toArray).toArray
+    val cn2s: Array[Double] = centArrs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val subDim = dim / nSub
+    val wLuts: Array[Array[Double]] =
+      if (!residual) null
+      else centArrs.map { c =>
+        Array.tabulate(nSub * cps) { e =>
+          val m = e / cps
+          val entry = codebook(e)
+          var dot = 0.0
+          var i = 0
+          while (i < subDim) { dot += c(m * subDim + i) * entry(i); i += 1 }
+          2.0 * dot + norm2(e)
+        }
+      }
+    val prepared =
+      if (!residual)
+        sdf.select(col(idCol).cast("long").as("id"),
+            codesC.as("codes"), lutC.as("lut"), qnC.as("qn"), csimsC.as("csims"))
+          .where(col("id").isNotNull)
+      else {
+        // encode the RESIDUAL against the own (argmax-csim, ties →
+        // smallest cell = first index, centroids are id-ascending) cell's
+        // centroid; carry the raw double vector for the per-probed-cell
+        // q·c dots in the stateful stage
+        require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+        val centLit = typedLit(centroids.map(_._2))
+        val staged = sdf.select(col(idCol).cast("long").as("id"),
+            vd.as("vd"), v0.as("v0"), csimsC.as("csims"))
+          .where(col("id").isNotNull)
+        val vdc = graft.llm.Similarity.requireDim(col("vd"), dim)
+        val ownIdx = array_position(col("csims"), array_max(col("csims")))
+        val residualC = when(col("csims").isNull || ownIdx === 0,
+            lit(null).cast("array<double>"))
+          .otherwise(zip_with(vdc, element_at(centLit, ownIdx.cast("int")),
+            (a, b) => a - b))
+        val codesR = colOf(graft.functions.PqEncode(expr(residualC), codebook,
+          nSub, cps))
+        val lutR = when(size(col("v0")) === 0, lit(null).cast("array<double>"))
+          .otherwise(colOf(graft.functions.PqLut(expr(vdc), codebook, nSub, cps)))
+        val qnR = sqrt(aggregate(coalesce(col("vd"), array().cast("array<double>")),
+          lit(0.0d), (acc, x) => acc + x * x))
+        staged.select(col("id"), codesR.as("codes"), lutR.as("lut"),
+          qnR.as("qn"), col("csims"), col("vd"))
+      }
     val rowEnc = Encoders.row(prepared.schema)
     val outSchema = new org.apache.spark.sql.types.StructType()
       .add("query_id", "long").add("corpus_id", "long").add("rank", "integer")
@@ -362,6 +420,23 @@ object AnnStream {
         (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
       }
 
+      // residual scoring: ivfPqResidualTopK's exact assembly —
+      // (q·c + Σ lut) / (√(‖c‖² + Σ w) · ‖q‖), 0 when norm² ≤ 0; the
+      // adc and w gathers are PqAdcSum's left folds in m order
+      private def residualSim(codes: Array[Byte], lut: Array[Double],
+                              qdotc: Double, cn2: Double, w: Array[Double],
+                              qn: Double): Double = {
+        var adc = 0.0; var wsum = 0.0
+        var m = 0
+        while (m < codes.length) {
+          val idx = m * cps + (codes(m) & 0xff)
+          adc += lut(idx); wsum += w(idx)
+          m += 1
+        }
+        val vn2 = cn2 + wsum
+        if (vn2 <= 0.0) 0.0 else (qdotc + adc) / (math.sqrt(vn2) * qn)
+      }
+
       override def handleInputRows(key: Int, rows: Iterator[Row],
                                    timerValues: TimerValues): Iterator[Row] = {
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -376,15 +451,31 @@ object AnnStream {
             // probe order (csim DESC, cell ASC) = ivfPqTopK's probe rank;
             // own cell is rank 1 (the batch max_by((csim, -cell)) argmax)
             val order = cells.indices.sortBy(i => (-csims(i), cells(i)))
-            val probe = order.take(np).map(cells(_))
+            val probeIdx = order.take(np)
+            val vdArr = if (residual) r.getSeq[Double](5).toArray else null
             val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-            probe.foreach { cell =>
-              val cur = cellIdx.getValue(cell)
+            probeIdx.foreach { pi =>
+              val cur = cellIdx.getValue(cells(pi))
               if (cur != null) {
-                var i = 0
-                while (i < cur.length) {
-                  scored += ((adcSim(codesSt.getValue(cur(i)), lut, qn), cur(i)))
-                  i += 1
+                if (residual) {
+                  // q·c for THIS probed cell — aggregate(zip_with)'s fold
+                  val c = centArrs(pi)
+                  var qdotc = 0.0
+                  var j = 0
+                  while (j < c.length) { qdotc += vdArr(j) * c(j); j += 1 }
+                  val w = wLuts(pi); val cn2c = cn2s(pi)
+                  var i = 0
+                  while (i < cur.length) {
+                    scored += ((residualSim(codesSt.getValue(cur(i)), lut,
+                      qdotc, cn2c, w, qn), cur(i)))
+                    i += 1
+                  }
+                } else {
+                  var i = 0
+                  while (i < cur.length) {
+                    scored += ((adcSim(codesSt.getValue(cur(i)), lut, qn), cur(i)))
+                    i += 1
+                  }
                 }
               }
             }
@@ -392,7 +483,7 @@ object AnnStream {
               .take(k).zipWithIndex.foreach { case ((_, cid), rk) =>
                 out += Row(id, cid, rk + 1)
               }
-            val own = probe.head
+            val own = cells(probeIdx.head)
             val ownCur = cellIdx.getValue(own)
             cellIdx.updateValue(own,
               if (ownCur == null) Array(id) else ownCur :+ id)

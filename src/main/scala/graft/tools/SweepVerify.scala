@@ -759,10 +759,13 @@ object SweepVerify {
     * codebook and the per-cell norm correction Σ w.
     */
   private def embIvfPqResidualSql(nCells: Int, nProbe: Int, nSub: Int,
-                                  cps: Int, k: Int): String = {
+                                  cps: Int, k: Int,
+                                  stream: Boolean = false): String = {
     val subDim = 64 / nSub
     def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
     def slq(v: String, m: String) = s"$v[$m*$subDim+1 : $m*$subDim+$subDim]"
+    val qFilter = if (stream) "" else " WHERE vec_id < 20"
+    val candRestrict = if (stream) "<" else "<>"
     s"""WITH centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
        |    FROM embeddings ORDER BY vec_id LIMIT $nCells),
        |cn2t AS (SELECT cell,
@@ -803,7 +806,7 @@ object SweepVerify {
        |codes AS (SELECT corpus_id, cell, m, j AS code FROM (
        |  SELECT corpus_id, cell, m, j, row_number() OVER (PARTITION BY corpus_id, m ORDER BY d ASC, j) AS rn
        |  FROM enc0) WHERE rn = 1),
-       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings$qFilter),
        |qn AS (SELECT query_id,
        |    sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y)) AS qn
        |  FROM q0),
@@ -824,7 +827,7 @@ object SweepVerify {
        |  FROM pr JOIN codes USING (cell)
        |       JOIN lut ON lut.query_id = pr.query_id AND lut.m = codes.m AND lut.j = codes.code
        |       JOIN w ON w.cell = pr.cell AND w.m = codes.m AND w.j = codes.code
-       |  WHERE codes.corpus_id <> pr.query_id
+       |  WHERE codes.corpus_id $candRestrict pr.query_id
        |  GROUP BY pr.query_id, codes.corpus_id, pr.cell, pr.qdotc),
        |s AS (SELECT s0.query_id, corpus_id,
        |    CASE WHEN (cn2t.cn2 + cw) <= 0 THEN 0.0
@@ -1229,27 +1232,38 @@ object SweepVerify {
           // the CELL-BUCKETED streaming form through the replay harness:
           // every arrival retrieves against earlier arrivals from its
           // nProbe nearest cells' code lists; randomized geometry through
-          // the PROCESSOR, not just the batch reinterpretation
+          // the PROCESSOR, not just the batch reinterpretation — and a
+          // drawn DIRECT-vs-RESIDUAL state encoding
           val nc = pick(Seq(8, 16, 32)); val np = pick(Seq(2, 4))
           val ns = pick(Seq(4, 8)); val kk = pick(Seq(5, 10))
+          val rs = pick(Seq(false, true))
           val pKey = "spark.sql.streaming.stateStore.providerClass"
           val prev = spark.conf.getOption(pKey)
           graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
           val d = try {
-            val cent = graft.llm.Similarity.anchorCentroids(emb, "vec_id",
-              "embedding", dim = 64, nCells = nc)
-            val (cb, _) = graft.llm.Similarity.anchorCodebook(emb, "vec_id",
-              "embedding", dim = 64, nSub = ns, codesPerSub = 16)
+            val (cent, cb) =
+              if (rs) {
+                val model = graft.llm.Similarity.residualPqModel(emb, "vec_id",
+                  "embedding", dim = 64, nCells = nc, nSub = ns, codesPerSub = 16)
+                (model.cells.map { case (cell, c, _, _) => (cell, c) },
+                  model.codebook)
+              } else {
+                (graft.llm.Similarity.anchorCentroids(emb, "vec_id",
+                    "embedding", dim = 64, nCells = nc),
+                  graft.llm.Similarity.anchorCodebook(emb, "vec_id",
+                    "embedding", dim = 64, nSub = ns, codesPerSub = 16)._1)
+              }
             graft.streaming.Replay.replay(spark, emb, "vec_id", 1000,
               "append")(sdf => graft.streaming.AnnStream.ivfPqAnnStream(sdf,
                 "vec_id", "embedding", centroids = cent, codebook = cb,
-                codesPerSub = 16, k = kk, nProbe = np))
+                codesPerSub = 16, k = kk, nProbe = np, residual = rs))
           } finally prev match {
             case Some(v) => spark.conf.set(pKey, v)
             case None => spark.conf.unset(pKey)
           }
-          (d, embIvfPqSql(nc, np, ns, 16, kk, stream = true),
-            s"c${nc}p${np}s${ns}_k$kk")
+          (d, if (rs) embIvfPqResidualSql(nc, np, ns, 16, kk, stream = true)
+              else embIvfPqSql(nc, np, ns, 16, kk, stream = true),
+            s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}")
       }
       // llm draws don't use the event-key grid — keep their names to the
       // parameters that actually vary

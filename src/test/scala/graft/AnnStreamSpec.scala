@@ -139,6 +139,44 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ivfPqAnnStream residual: per-prefix batch ivfPqTopK(residual) equality; chunking-invariant") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val NCELLS = 4; val NPROBE = 2; val CPS = 4
+      // the residual model needs NCELLS + CPS = 8 anchor rows, so every
+      // prefix of >= 8 rows derives the SAME model as the full set —
+      // queries 9 and 10 are the exactly-modeled regime
+      val model = llm.Similarity.residualPqModel(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nCells = NCELLS, nSub = 2, codesPerSub = CPS)
+      val cent = model.cells.map { case (cell, c, _, _) => (cell, c) }
+      def run(chunk: Int) =
+        Replay.replay(spark, vecs.toDF(), "vec_id", chunk, "append")(sdf =>
+          AnnStream.ivfPqAnnStream(sdf, "vec_id", "embedding", centroids = cent,
+            codebook = model.codebook, codesPerSub = CPS, k = 100,
+            nProbe = NPROBE, dim = DIM, residual = true))
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+      val streamed = run(1)
+      assert(streamed === run(3), "micro-batch boundaries changed the log")
+      val minFullModelId = vecs.map(_.vec_id).sorted.apply(NCELLS + CPS - 1)
+      val expected = vecs.filter(_.vec_id > minFullModelId).flatMap { q =>
+        val prefix = vecs.filter(_.vec_id < q.vec_id)
+        llm.Similarity.ivfPqTopK(prefix.toDF(), Seq(q).toDF(), "vec_id", "embedding",
+            k = 100, nCells = NCELLS, nProbe = NPROBE, dim = DIM,
+            nSub = 2, codesPerSub = CPS, residual = true)
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSeq
+      }.toSet
+      assert(expected.nonEmpty, "fixture drift: no prefix candidates at all")
+      assert(streamed.filter(_._1 > minFullModelId) === expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("empty vector emits nothing and is not indexed") {
     val withNull = vecs.take(3) ++ Seq(Vec(4, null)) ++ Seq(Vec(5, at(5)))
     val key = "spark.sql.streaming.stateStore.providerClass"
