@@ -261,6 +261,20 @@ object GraftSql {
           codesPerSub = litLong(es(6), "codes_per_sub").toInt,
           refine = litLong(es(7), "refine").toInt))
       },
+      // `graft_ann_ivfpq(corpus, queries, id, vec, k, n_cells, n_probe,
+      // n_sub, residual)` — the composed IVF×PQ scan; residual <> 0
+      // switches to the Faiss-style residual encoding
+      // (`ivfPqTopK(residual = true)`). codesPerSub fixed at 16 (the
+      // byte-code default), refine/lloyd via the Scala API.
+      "graft_ann_ivfpq" -> { (es: Seq[Expression]) =>
+        plan(llm.Similarity.ivfPqTopK(tableArg(es.head),
+          tableArg(es(1)), litStr(es(2), "id column"),
+          litStr(es(3), "vector column"), litLong(es(4), "k").toInt,
+          nCells = litLong(es(5), "n_cells").toInt,
+          nProbe = litLong(es(6), "n_probe").toInt,
+          nSub = litLong(es(7), "n_sub").toInt,
+          residual = litLong(es(8), "residual") != 0L))
+      },
       // ---- corpus-curation TVFs (llm.CorpusOps) —
       // `graft_repetition(t, id, text)`,
       // `graft_boilerplate_phrases(t, id, text, n, min_df)`,

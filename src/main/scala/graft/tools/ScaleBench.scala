@@ -986,6 +986,11 @@ object ScaleBench {
       // hyperplane probes' ~9/256; same byte-packed code state as pq)
       val cent = graft.llm.Similarity.anchorCentroids(embSf1, "vec_id", "embedding",
         dim = 64, nCells = 64)
+      // fourth arm: RESIDUAL state codes (same geometry as ivfpq) — the
+      // A/B isolates the residual scoring overhead: one q·c dot per
+      // probed cell per arrival, state bytes unchanged
+      val model = graft.llm.Similarity.residualPqModel(embSf1, "vec_id",
+        "embedding", dim = 64, nCells = 64, nSub = 8, codesPerSub = 16)
       val variants = Seq(
         "pq" -> ((df: org.apache.spark.sql.DataFrame) =>
           graft.streaming.AnnStream.pqAnnStream(df, "vec_id", "embedding",
@@ -993,6 +998,11 @@ object ScaleBench {
         "ivfpq" -> ((df: org.apache.spark.sql.DataFrame) =>
           graft.streaming.AnnStream.ivfPqAnnStream(df, "vec_id", "embedding",
             centroids = cent, codebook = cb, codesPerSub = 16, nProbe = 4)),
+        "ivfpq_res" -> ((df: org.apache.spark.sql.DataFrame) =>
+          graft.streaming.AnnStream.ivfPqAnnStream(df, "vec_id", "embedding",
+            centroids = model.cells.map { case (cell, c, _, _) => (cell, c) },
+            codebook = model.codebook, codesPerSub = 16, nProbe = 4,
+            residual = true)),
         "exact" -> ((df: org.apache.spark.sql.DataFrame) =>
           graft.streaming.AnnStream.annStream(df, "vec_id", "embedding")))
       variants.foreach { case (tag, build) =>

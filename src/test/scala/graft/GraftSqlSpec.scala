@@ -185,6 +185,27 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(pq === Seq(1L))
   }
 
+  test("graft_ann_ivfpq TVF pins to ivfPqTopK for direct AND residual encoding") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("emb_ivfpq_tvf")
+    Seq(0L, 1L).foreach { res =>
+      val viaSql = spark.sql(
+        s"""SELECT query_id, corpus_id, rank FROM graft_ann_ivfpq(
+           |  TABLE(emb_ivfpq_tvf),
+           |  TABLE(SELECT * FROM emb_ivfpq_tvf WHERE vec_id < 5),
+           |  'vec_id', 'embedding', 10, 16, 4, 8, $res)
+           |""".stripMargin).as[(Long, Long, Int)].collect().toSet
+      val viaApi = llm.Similarity.ivfPqTopK(emb,
+          emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+          "vec_id", "embedding", 10, nCells = 16, nProbe = 4, nSub = 8,
+          residual = res != 0L)
+        .select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(viaSql === viaApi, s"residual=$res TVF diverged from the Scala API")
+      assert(viaSql.nonEmpty)
+    }
+  }
+
   test("corpus-curation TVFs pin to the Scala API") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
