@@ -746,6 +746,28 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // ... and the same residual stream through the mid-replay KILL +
+    // RESTART harness: the cell→id-list and id→codes MapStates must
+    // restore from the checkpoint such that the accumulated retrieval
+    // log equals the uninterrupted replay's (shared oracle)
+    "emb_ann_ivfpq_residual_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val model = llm.Similarity.residualPqModel(emb, "vec_id", "embedding",
+          dim = 64, nCells = 16, nSub = 8, codesPerSub = 16)
+        streaming.Replay.replayWithRestart(s, emb, "vec_id", 1000)(sdf =>
+          streaming.AnnStream.ivfPqAnnStream(sdf, "vec_id", "embedding",
+            centroids = model.cells.map { case (cell, c, _, _) => (cell, c) },
+            codebook = model.codebook, codesPerSub = 16,
+            nProbe = 4, residual = true))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ... and the embedding stream's final CLUSTER STRUCTURE (the vector
     // analog of doc_neardup_clusters_stream_replay): every drop row is a
     // union-find edge (vec → root at emission time); connected components
@@ -1265,6 +1287,7 @@ object SparkEntry {
       "emb_ann_pq_stream_replay" -> embPqStreamOracle,
       "emb_ann_ivfpq_stream_replay" -> embIvfPqStreamOracle,
       "emb_ann_ivfpq_residual_stream_replay" -> embIvfPqResidualStreamOracle,
+      "emb_ann_ivfpq_residual_restart_stream_replay" -> embIvfPqResidualStreamOracle,
       "mm_features" -> mmFeaturesOracle,
       // solid-color resize round-trip: target dims, one color, the color
       "mm_resize" ->
