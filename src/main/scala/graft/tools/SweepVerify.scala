@@ -271,6 +271,15 @@ object SweepVerify {
        |  SELECT max((epoch_ms(ts) - s2.m) // $w)
        |  FROM events CROSS JOIN (SELECT min(epoch_ms(ts)) AS m FROM events) s2)""".stripMargin
 
+  /** Full insert+expire change-log mirror of `timeLengthBatchStream`
+    * (the round-11 operator emits the full log, matching the fixed
+    * `timelengthbatch_stream_replay` oracle): every flushed batch
+    * 'insert'; every flushed batch except the LAST FLUSHED re-emitted
+    * 'expire' (with its own batch_start_ms) when the next flush happens.
+    * The pre-round-11 insert-only form of this builder silently
+    * half-covered the operator once the engine grew the expire stream —
+    * caught by the seed-1105/1106 streaming sweeps (rows ≈ 2× oracle).
+    */
   private def tlbStreamSql(keys: Seq[String], w: Long, n: Int): String = {
     val kpart = pk(keys)
     s"""WITH t AS (SELECT *, epoch_ms(ts) // $w AS b FROM events),
@@ -280,11 +289,15 @@ object SweepVerify {
        |fl AS (
        |  SELECT b FROM (SELECT DISTINCT b, $kpart FROM k) GROUP BY b HAVING count(*) = $n
        |  UNION
-       |  SELECT DISTINCT b FROM k WHERE b < (SELECT max(b) FROM t))
-       |SELECT $EVSQL, batch_start_ms FROM (
+       |  SELECT DISTINCT b FROM k WHERE b < (SELECT max(b) FROM t)),
+       |w AS (SELECT $EVSQL, batch_start_ms FROM (
        |  SELECT *, b * $w AS batch_start_ms,
        |    row_number() OVER (PARTITION BY b, $kpart ORDER BY event_id DESC) AS rn
-       |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1""".stripMargin
+       |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1)
+       |SELECT *, 'insert' AS change FROM w
+       |UNION ALL
+       |SELECT *, 'expire' AS change FROM w
+       |WHERE batch_start_ms < (SELECT max(b) * $w FROM fl)""".stripMargin
   }
 
   // ---- LLM-tier parameterized oracle builders (VERDICT r9 ask #4
@@ -1117,9 +1130,11 @@ object SweepVerify {
               "event_id", "ts", w, timeOutMs = 0L)).drop("flush_kind"),
             etbStreamSql(keys, w), s"replay_w$w")
         case "timelengthbatch_stream" =>
+          // FULL change log compared, change column included (the
+          // operator emits insert+expire since round 11's widening)
           (replayed("event_id", "update")(sdf =>
             graft.streaming.UniqueStreams.timeLengthBatchStream(sdf, keys,
-              "event_id", "ts", w, n)).drop("change"),
+              "event_id", "ts", w, n)),
             tlbStreamSql(keys, w, n), s"replay_w${w}_n$n")
 
         // ---- llm families (randomized operator parameters) ----
