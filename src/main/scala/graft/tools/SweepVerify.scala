@@ -280,8 +280,10 @@ object SweepVerify {
     * half-covered the operator once the engine grew the expire stream —
     * caught by the seed-1105/1106 streaming sweeps (rows ≈ 2× oracle).
     */
-  private def tlbStreamSql(keys: Seq[String], w: Long, n: Int): String = {
+  private def tlbStreamSql(keys: Seq[String], w: Long, n: Int,
+                           keepFirst: Boolean = false): String = {
     val kpart = pk(keys)
+    val ord = if (keepFirst) "ASC" else "DESC"
     s"""WITH t AS (SELECT *, epoch_ms(ts) // $w AS b FROM events),
        |f AS (SELECT *, CASE WHEN event_id = min(event_id) OVER (PARTITION BY b, $kpart) THEN 1 ELSE 0 END AS isf FROM t),
        |r AS (SELECT *, coalesce(sum(isf) OVER (PARTITION BY b ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM f),
@@ -292,7 +294,7 @@ object SweepVerify {
        |  SELECT DISTINCT b FROM k WHERE b < (SELECT max(b) FROM t)),
        |w AS (SELECT $EVSQL, batch_start_ms FROM (
        |  SELECT *, b * $w AS batch_start_ms,
-       |    row_number() OVER (PARTITION BY b, $kpart ORDER BY event_id DESC) AS rn
+       |    row_number() OVER (PARTITION BY b, $kpart ORDER BY event_id $ord) AS rn
        |  FROM k WHERE b IN (SELECT b FROM fl)) WHERE rn = 1)
        |SELECT *, 'insert' AS change FROM w
        |UNION ALL
@@ -896,9 +898,23 @@ object SweepVerify {
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
     def pick[A](xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+    // RESTART INJECTION: half the streaming draws (drawn per iteration)
+    // run through the mid-replay kill+restart harness instead of the
+    // plain replay — state-store restore + offset recovery under
+    // RANDOMIZED operator parameters, at zero oracle cost (the restart
+    // contract is output-equality with the uninterrupted replay, so the
+    // draw's oracle is unchanged). Only update-mode replays restart
+    // (replayWithRestart's idempotent foreachBatch collector is
+    // update-shaped; the append-mode timebatch family keeps its
+    // watermarked windowed-agg semantics un-injected).
+    var drawRestart = false
+    var usedRestart = false
     def replayed(seqCol: String, mode: String)(
         build: DataFrame => DataFrame): DataFrame =
-      graft.streaming.Replay.replay(spark, ev, seqCol, 2000, mode)(build)
+      if (drawRestart && mode == "update") {
+        usedRestart = true
+        graft.streaming.Replay.replayWithRestart(spark, ev, seqCol, 2000)(build)
+      } else graft.streaming.Replay.replay(spark, ev, seqCol, 2000, mode)(build)
 
     val oracles = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -930,6 +946,8 @@ object SweepVerify {
       val keys = pick(keyGrid)
       val w = pick(windowGrid)
       val n = pick(nGrid)
+      drawRestart = streamingMode && rng.nextBoolean()
+      usedRestart = false
       // draw a result (engine DataFrame) and its param-matched oracle SQL
       val (df, sql, tag): (DataFrame, String, String) = fam match {
         case "ever" =>
@@ -984,12 +1002,19 @@ object SweepVerify {
           val sql = if (v == "all") allSql(ftbSql("current"), ftbSql("expired")) else ftbSql(v)
           (d, sql, s"${v}_w${w}_s${s.get}")
         case "externaltimebatch" =>
-          val v = pick(Seq("current", "expired"))
+          val v = pick(Seq("current", "expired", "all"))
           val s = pick(startGrid) // None = min(ts) anchor, the reference default
           val r = UniqueOps.externalTimeBatch(ev, keys, "event_id", "ts", w, s)
-          (if (v == "current") r.current else r.expired,
-            timeBatchSql(keys, w, s, keepFirst = false, replaceTs = false, v),
-            s"${v}_w${w}_s${s.map(_.toString).getOrElse("min")}")
+          val d = v match {
+            case "current" => r.current
+            case "expired" => r.expired
+            case "all" => r.all
+          }
+          def etbSql(vv: String) =
+            timeBatchSql(keys, w, s, keepFirst = false, replaceTs = false, vv)
+          val sql = if (v == "all") allSql(etbSql("current"), etbSql("expired"))
+                    else etbSql(v)
+          (d, sql, s"${v}_w${w}_s${s.map(_.toString).getOrElse("min")}")
         case "length" =>
           val v = pick(Seq("current", "expired", "all"))
           val r = UniqueOps.length(ev, keys, "event_id", n)
@@ -1131,11 +1156,15 @@ object SweepVerify {
             etbStreamSql(keys, w), s"replay_w$w")
         case "timelengthbatch_stream" =>
           // FULL change log compared, change column included (the
-          // operator emits insert+expire since round 11's widening)
+          // operator emits insert+expire since round 11's widening);
+          // keepFirst drawn — the firstTimeBatch/firstLengthBatch latch
+          // semantics under randomized window × length geometry
+          val kf = rng.nextBoolean()
           (replayed("event_id", "update")(sdf =>
             graft.streaming.UniqueStreams.timeLengthBatchStream(sdf, keys,
-              "event_id", "ts", w, n)),
-            tlbStreamSql(keys, w, n), s"replay_w${w}_n$n")
+              "event_id", "ts", w, n, keepFirst = kf)),
+            tlbStreamSql(keys, w, n, keepFirst = kf),
+            s"replay_w${w}_n$n${if (kf) "_first" else ""}")
 
         // ---- llm families (randomized operator parameters) ----
         case "minhash_pairs" =>
@@ -1282,8 +1311,9 @@ object SweepVerify {
       }
       // llm draws don't use the event-key grid — keep their names to the
       // parameters that actually vary
+      val rsTag = if (usedRestart) "_restart" else ""
       val name = if (llmMode) f"draw$i%03d_${fam}_$tag"
-                 else f"draw$i%03d_${fam}_${keys.mkString("-")}_$tag"
+                 else f"draw$i%03d_${fam}_${keys.mkString("-")}_$tag$rsTag"
       try {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         oracles(name) = sql
