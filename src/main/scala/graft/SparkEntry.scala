@@ -145,6 +145,32 @@ object SparkEntry {
     // `benchQueries`) are the throughput path.
     "doc_minhash_pairs_md5" -> ((s, d) =>
       llm.TextDedup.minhashPairsMd5(Tables.documents(s, d), "text", "doc_id")),
+    // CROSS-CORPUS near-dup pairs (fuzzy decontamination's candidate
+    // relation): synthetic train/eval split by doc_id % 10, candidates
+    // only ACROSS the split — the banded bipartite join, never the
+    // self-join square
+    "doc_fuzzy_pairs_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.crossMinhashPairsMd5(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+    }),
+    // ... and the end-to-end FUZZY decontamination deliverable: train
+    // docs surviving after dropping everything with an exact-Jaccard-
+    // verified near-dup in eval (the paraphrased/partial-overlap tail
+    // that exact n-gram decontam — doc_decontam — cannot catch)
+    "doc_fuzzy_decontam_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.fuzzyDecontaminateMd5(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select("doc_id")
+    }),
+    // per-source document cap (RefinedWeb-style per-domain quota): at
+    // most 10 docs per source, priority = ascending doc_id
+    "doc_source_cap" -> ((s, d) =>
+      llm.CorpusOps.capPerGroup(Tables.documents(s, d), "source", "doc_id", 10)
+        .select("doc_id", "source")),
     "doc_simhash_md5" -> ((s, d) =>
       llm.TextDedup.simhashDfMd5(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -921,6 +947,15 @@ object SparkEntry {
     "doc_dup_span_removal_xx" -> ((s, d) =>
       llm.TextDedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
         k = 5, minCount = 2, hashedKeys = true)),
+    // production fuzzy decontamination: xxhash64 shingles (the md5 twin
+    // carries the oracle check)
+    "doc_fuzzy_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select("doc_id")
+    }),
     // production float-feature path (the `queries` entry is the
     // integer-lane checked twin); same key so the bench metric keeps
     // measuring the production shape across rounds
@@ -1260,6 +1295,13 @@ object SparkEntry {
           |    '\+\d{1,3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones
           |FROM p""".stripMargin,
       "doc_minhash_pairs_md5" -> docMinhashMd5Oracle,
+      "doc_fuzzy_pairs_md5" -> docFuzzyPairsOracle,
+      "doc_fuzzy_decontam_md5" -> docFuzzyDecontamOracle,
+      "doc_source_cap" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+          |  FROM documents) WHERE rk <= 10""".stripMargin,
       "doc_neardup_clusters_md5" -> docNeardupClustersOracle,
       "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
       // the streaming operator's final survivors = the batch CC survivors
@@ -1716,6 +1758,54 @@ object SparkEntry {
        |            JOIN s2 sb ON sb.doc_id = cand.id_b),
        |mp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2)""".stripMargin
   }
+
+  /** The crossMinhashPairsMd5 mirror (train = doc_id % 10 <> 0, eval =
+    * doc_id % 10 = 0, shingleN=3, bands=4, rowsPerBand=2, threshold=0.2,
+    * maxBucket=1000) as a CTE chain ending in `mp(id_a, id_b, jaccard)`:
+    * both sides derive the same md5 signatures and band hashes as the
+    * self-join mirror; a (band, bucket) is admitted iff both sides
+    * appear AND the combined occupancy is ≤ maxBucket; candidates are
+    * the bipartite bucket product, verified with one exact Jaccard.
+    */
+  private def docCrossMd5PairsCtes: String = {
+    val bands = 4; val r = 2; val k = bands * r
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""$md5ShingleCtes,
+       |trn AS (SELECT * FROM s2 WHERE doc_id % 10 <> 0),
+       |evl AS (SELECT * FROM s2 WHERE doc_id % 10 = 0),
+       |sigT AS (SELECT doc_id, [$sigItems] AS sig FROM trn),
+       |sigE AS (SELECT doc_id, [$sigItems] AS sig FROM evl),
+       |bT AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sigT CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |bE AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sigE CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |cnt AS (SELECT ct.band, ct.bh, ct.cl, ce.cr FROM
+       |  (SELECT band, bh, count(*) AS cl FROM bT GROUP BY band, bh) ct
+       |  JOIN (SELECT band, bh, count(*) AS cr FROM bE GROUP BY band, bh) ce
+       |    ON ce.band = ct.band AND ce.bh = ct.bh),
+       |ok AS (SELECT band, bh FROM cnt WHERE cl + cr <= 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+       |  FROM bT a JOIN ok USING (band, bh)
+       |       JOIN bE e ON e.band = a.band AND e.bh = a.bh),
+       |j AS (SELECT id_a, id_b, ${md5JaccardExpr("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN trn sa ON sa.doc_id = cand.id_a
+       |            JOIN evl sb ON sb.doc_id = cand.id_b),
+       |mp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2)""".stripMargin
+  }
+
+  private def docFuzzyPairsOracle: String =
+    s"""WITH $docCrossMd5PairsCtes
+       |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
+
+  private def docFuzzyDecontamOracle: String =
+    s"""WITH $docCrossMd5PairsCtes
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT id_a FROM mp)""".stripMargin
 
   /** Connected components of the md5 minhash pairs as a recursive-CTE
     * transitive closure (feasible at oracle scale: closure size is

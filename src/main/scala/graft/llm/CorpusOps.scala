@@ -158,6 +158,27 @@ object CorpusOps {
       .withColumn("bin_id", floor(col("tok_offset") / budget))
   }
 
+  /** Per-group document cap — the RefinedWeb-style per-domain quota
+    * (cap how much any one domain/source contributes to the corpus, so
+    * boilerplate-heavy hosts can't dominate the training mix): keep at
+    * most `cap` rows per `groupCol`, deterministic priority = ascending
+    * `orderCol` (callers rank by quality score, recency, or id — any
+    * total order makes the kept set engine-independent). One group-keyed
+    * exchange + window rank, then filter: at 100 TB the group key is the
+    * shuffle key; a pathologically hot group concentrates its rank scan
+    * on one task, but the scan is O(group size) row passes with no
+    * buffering beyond the window frame, and AQE skew-split applies —
+    * same profile as every per-key window in the engine.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(orderCol))))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Deterministic stratified sampling: keep a row iff the first 4 hex
     * chars of md5(id ":" text) fall below the stratum's threshold prefix
     * (e.g. "1999" ≈ 10%, "3333" ≈ 20%). Engine- and run-independent —

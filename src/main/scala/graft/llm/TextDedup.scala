@@ -264,6 +264,110 @@ object TextDedup {
     PairsWithStats(pairs, dropped, cached = Seq(withSig))
   }
 
+  /** CROSS-CORPUS banded MinHash near-dup pairs — FUZZY decontamination's
+    * candidate generator (the Llama/GPT-style eval-contamination removal
+    * for cases exact n-gram matching misses: light paraphrase,
+    * punctuation/casing drift, partial overlap). Same shingle → signature
+    * → band machinery as `minhashPairs`, but candidates are generated
+    * ONLY across the two relations — a left doc × a right doc sharing a
+    * band bucket — never within one side, so the join cost is the
+    * bipartite bucket product, not the self-join square. Bucket cap: a
+    * (band, bucket) is admitted iff both sides appear and the COMBINED
+    * occupancy is ≤ maxBucket (dropped buckets reported, same telemetry
+    * contract as `minhashPairsWithStats`). Verification is one exact
+    * Jaccard per distinct candidate pair. At 100 TB: both sides shuffle
+    * once on (band, bucket); ids-only band relations; the verify join
+    * fetches shingle sets for candidate ids only.
+    */
+  def crossMinhashPairs(left: DataFrame, right: DataFrame, textCol: String,
+                        idCol: String, shingleN: Int = 3, bands: Int = 4,
+                        rowsPerBand: Int = 2, threshold: Double = 0.2,
+                        maxBucket: Int = 1000): DataFrame =
+    crossMinhashPairsStats(left, right, textCol, idCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucket, XxHash).pairs
+
+  /** DuckDB-checkable md5 twin of [[crossMinhashPairs]]. */
+  def crossMinhashPairsMd5(left: DataFrame, right: DataFrame, textCol: String,
+                           idCol: String, shingleN: Int = 3, bands: Int = 4,
+                           rowsPerBand: Int = 2, threshold: Double = 0.2,
+                           maxBucket: Int = 1000): DataFrame =
+    crossMinhashPairsStats(left, right, textCol, idCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucket, Md5Hash).pairs
+
+  private[llm] def crossMinhashPairsStats(left: DataFrame, right: DataFrame,
+                                          textCol: String, idCol: String,
+                                          shingleN: Int, bands: Int,
+                                          rowsPerBand: Int, threshold: Double,
+                                          maxBucket: Int,
+                                          fam: HashFamily): PairsWithStats = {
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokenize(col("text")))
+      .withColumn("sh", array_distinct(shingleHashes(col("toks"), shingleN, fam)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashFromBaseHashes(col("sh"), k, fam))
+      .select("id", "sh", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(withSig: DataFrame) = withSig.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          fam.band(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b).as("bh"))): _*))
+        .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val l = prep(left); val r = prep(right)
+    val lb = band(l); val rb = band(r)
+    val counts = lb.groupBy("band", "bh").agg(count(lit(1)).as("cl"))
+      .join(rb.groupBy("band", "bh").agg(count(lit(1)).as("cr")), Seq("band", "bh"))
+    val ok = counts.filter(col("cl") + col("cr") <= maxBucket).select("band", "bh")
+    val dropped = counts.filter(col("cl") + col("cr") > maxBucket)
+      .select(col("band"), col("bh").cast("string").as("bucket"),
+        (col("cl") + col("cr")).as("size"))
+    val cand = lb.join(ok, Seq("band", "bh"))
+      .select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(rb.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cand
+      .join(l.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(r.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    PairsWithStats(pairs, dropped, cached = Seq(l, r))
+  }
+
+  /** FUZZY decontamination: drop every `train` doc with a cross-corpus
+    * near-dup in `eval` ([[crossMinhashPairs]] candidates, exact-Jaccard
+    * verified at `threshold`). The complement of `CorpusOps.decontaminate`
+    * (exact eval n-grams): that catches verbatim inclusion, this catches
+    * the paraphrased/partial tail. Anti-join on contaminated train ids —
+    * the eval side never ships text beyond its shingle sets.
+    */
+  def fuzzyDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 3, bands: Int = 4,
+                         rowsPerBand: Int = 2, threshold: Double = 0.2,
+                         maxBucket: Int = 1000): DataFrame = {
+    val pws = crossMinhashPairsStats(train, eval, textCol, idCol, shingleN,
+      bands, rowsPerBand, threshold, maxBucket, XxHash)
+    val out = train.join(pws.pairs.select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    pws.unpersist()
+    out
+  }
+
+  /** md5 twin of [[fuzzyDecontaminate]] (oracle-checkable end to end). */
+  def fuzzyDecontaminateMd5(train: DataFrame, eval: DataFrame, idCol: String,
+                            textCol: String, shingleN: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 2, threshold: Double = 0.2,
+                            maxBucket: Int = 1000): DataFrame = {
+    val pws = crossMinhashPairsStats(train, eval, textCol, idCol, shingleN,
+      bands, rowsPerBand, threshold, maxBucket, Md5Hash)
+    val out = train.join(pws.pairs.select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    pws.unpersist()
+    out
+  }
+
   /** Jaccard similarity of two string arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column =
     jaccardDistinct(array_distinct(a), array_distinct(b))

@@ -360,6 +360,56 @@ object SweepVerify {
     s"""WITH ${minhashCtes(shingleN, bands, r, threshold, maxBucket)}
        |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
 
+  /** Parameterized mirror of `TextDedup.crossMinhashPairsMd5` over the
+    * doc_id % evalMod train/eval split — the fuzzy-decontamination
+    * candidate relation with DRAWN geometry: a (band, bucket) is
+    * admitted iff both sides appear AND the combined occupancy is
+    * ≤ maxBucket; candidates are the bipartite product.
+    */
+  private def crossMinhashCtes(shingleN: Int, bands: Int, r: Int,
+                               threshold: Double, maxBucket: Int,
+                               evalMod: Int): String = {
+    val k = bands * r
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""${md5ShingleCtesN(shingleN)},
+       |trn AS (SELECT * FROM s2 WHERE doc_id % $evalMod <> 0),
+       |evl AS (SELECT * FROM s2 WHERE doc_id % $evalMod = 0),
+       |sigT AS (SELECT doc_id, [$sigItems] AS sig FROM trn),
+       |sigE AS (SELECT doc_id, [$sigItems] AS sig FROM evl),
+       |bT AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sigT CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |bE AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sigE CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |cnt AS (SELECT ct.band, ct.bh, ct.cl, ce.cr FROM
+       |  (SELECT band, bh, count(*) AS cl FROM bT GROUP BY band, bh) ct
+       |  JOIN (SELECT band, bh, count(*) AS cr FROM bE GROUP BY band, bh) ce
+       |    ON ce.band = ct.band AND ce.bh = ct.bh),
+       |okx AS (SELECT band, bh FROM cnt WHERE cl + cr <= $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+       |  FROM bT a JOIN okx USING (band, bh)
+       |       JOIN bE e ON e.band = a.band AND e.bh = a.bh),
+       |j AS (SELECT id_a, id_b, ${md5JaccardExpr("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN trn sa ON sa.doc_id = cand.id_a
+       |            JOIN evl sb ON sb.doc_id = cand.id_b),
+       |mp AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold)""".stripMargin
+  }
+
+  private def crossPairsSql(shingleN: Int, bands: Int, r: Int,
+                            threshold: Double, maxBucket: Int, evalMod: Int): String =
+    s"""WITH ${crossMinhashCtes(shingleN, bands, r, threshold, maxBucket, evalMod)}
+       |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
+
+  private def fuzzyDecontamSql(shingleN: Int, bands: Int, r: Int,
+                               threshold: Double, maxBucket: Int, evalMod: Int): String =
+    s"""WITH ${crossMinhashCtes(shingleN, bands, r, threshold, maxBucket, evalMod)}
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % $evalMod <> 0 AND doc_id NOT IN (SELECT id_a FROM mp)""".stripMargin
+
   /** Recursive closure over mp → cc(id, cluster_id). */
   private def clusterTail: String =
     s"""nodes AS (SELECT DISTINCT id FROM (
@@ -893,7 +943,7 @@ object SweepVerify {
       "neardup_clusters", "neardup_dedup", "dup_spans", "span_removal",
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
-      "emb_ivfpq_stream")
+      "emb_ivfpq_stream", "fuzzy_decontam", "source_cap")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1257,6 +1307,36 @@ object SweepVerify {
             "vec_id", "embedding", kk, nSub = ns, codesPerSub = cp,
             refine = rf, lloydIters = ll).select("query_id", "corpus_id", "rank"),
             embPqSql(ns, cp, kk, rf, ll), s"s${ns}x${cp}_k${kk}_r${rf}_l$ll")
+        case "fuzzy_decontam" =>
+          // drawn cross-corpus geometry AND split fraction; half the
+          // draws verify the pair relation, half the end-to-end
+          // decontamination deliverable
+          val sn = pick(Seq(2, 3)); val bands = pick(Seq(2, 4, 6))
+          val r = pick(Seq(1, 2)); val th = pick(Seq(0.2, 0.5))
+          val mb = pick(Seq(50, 1000)); val em = pick(Seq(5, 10))
+          val docsT = docs.filter(col("doc_id") % em =!= 0)
+          val docsE = docs.filter(col("doc_id") % em === 0)
+          if (rng.nextBoolean())
+            (graft.llm.TextDedup.crossMinhashPairsMd5(docsT, docsE, "text",
+              "doc_id", sn, bands, r, th, mb),
+              crossPairsSql(sn, bands, r, th, mb, em),
+              s"pairs_sn${sn}_b${bands}x${r}_t${th}_m$em")
+          else
+            (graft.llm.TextDedup.fuzzyDecontaminateMd5(docsT, docsE,
+              "doc_id", "text", sn, bands, r, th, mb).select("doc_id"),
+              fuzzyDecontamSql(sn, bands, r, th, mb, em),
+              s"decontam_sn${sn}_b${bands}x${r}_t${th}_m$em")
+        case "source_cap" =>
+          // drawn per-group quota over both natural group columns
+          val cap = pick(Seq(1, 3, 10, 26))
+          val gcol = pick(Seq("source", "lang"))
+          (graft.llm.CorpusOps.capPerGroup(docs, gcol, "doc_id", cap)
+            .select("doc_id", gcol),
+            s"""SELECT doc_id, $gcol FROM (
+               |  SELECT doc_id, $gcol,
+               |    row_number() OVER (PARTITION BY $gcol ORDER BY doc_id) AS rk
+               |  FROM documents) WHERE rk <= $cap""".stripMargin,
+            s"${gcol}_c$cap")
         case "emb_ivfpq" =>
           // drawn IVF×PQ composition geometry (anchor centroids + anchor
           // codebook, the closed-form mirror): cells × probes × subspaces

@@ -52,6 +52,51 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(found === truth)
   }
 
+  test("crossMinhashPairs: equals brute-force cross pairs; never emits within-side pairs") {
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    // brute-force cross ground truth at the high-similarity threshold
+    def withSh(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"),
+          TextDedup.shingles(TextDedup.tokenize(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+    val truth = withSh(train).select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(withSh(eval).select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .select(col("id_a"), col("id_b"), TextDedup.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = TextDedup.crossMinhashPairs(train, eval, "text", "doc_id",
+        bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "corpus should contain cross-split near-dup pairs")
+    assert(found === truth)
+    // side discipline: id_a is always train, id_b always eval
+    found.foreach { case (a, b) =>
+      assert(a % 10 != 0, s"id_a $a is an eval doc")
+      assert(b % 10 == 0, s"id_b $b is a train doc")
+    }
+    // fuzzy decontamination = train minus pairs' train side
+    val survivors = TextDedup.fuzzyDecontaminate(train, eval, "doc_id", "text",
+        bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val contaminated = truth.map(_._1)
+    val trainIds = train.select("doc_id").as[Long].collect().toSet
+    assert(survivors === (trainIds -- contaminated))
+  }
+
+  test("capPerGroup: keeps exactly the cap lowest-priority rows per group") {
+    val capped = llm.CorpusOps.capPerGroup(docs, "source", "doc_id", 7)
+    val bySrc = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ <= 7), s"a source exceeds the cap: $bySrc")
+    // deterministic keep set: the 7 lowest doc_ids per source
+    val expect = docs.select("doc_id", "source").as[(Long, String)].collect()
+      .groupBy(_._2).values.flatMap(rows => rows.map(_._1).sorted.take(7)).toSet
+    val got = capped.select("doc_id").as[Long].collect().toSet
+    assert(got === expect)
+    // cap larger than any group is the identity
+    assert(llm.CorpusOps.capPerGroup(docs, "source", "doc_id", 1000000).count() === docs.count())
+  }
+
   test("nearDupClusters: min-label CC equals an in-memory union-find closure") {
     // chain 1-2-3 (transitive: 1~3 never paired), clique 10/11/12,
     // isolated pair 20-21, and a 4-hop path 30..34 (exercises >1 round)
