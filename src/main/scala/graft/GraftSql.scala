@@ -333,6 +333,24 @@ object GraftSql {
         plan(llm.CorpusOps.duplicateLines(tableArg(es.head),
           litStr(es(1), "id column"), litStr(es(2), "text column"),
           minDf = litInt(es(3), "min doc frequency")))
+      },
+      // `graft_fuzzy_decontam(train, eval, id, text, threshold)` — drop
+      // every train doc with an exact-Jaccard-verified cross-corpus
+      // near-dup in eval (the paraphrase-tolerant complement to
+      // graft_decontam's exact n-grams)
+      "graft_fuzzy_decontam" -> { (es: Seq[Expression]) =>
+        plan(llm.TextDedup.fuzzyDecontaminate(tableArg(es.head),
+          tableArg(es(1)), litStr(es(2), "id column"),
+          litStr(es(3), "text column"),
+          threshold = litDouble(es(4), "threshold")))
+      },
+      // `graft_cap_per_group(t, group, order, cap)` — RefinedWeb-style
+      // per-domain quota: at most cap rows per group, priority =
+      // ascending order column
+      "graft_cap_per_group" -> { (es: Seq[Expression]) =>
+        plan(llm.CorpusOps.capPerGroup(tableArg(es.head),
+          litStr(es(1), "group column"), litStr(es(2), "order column"),
+          litInt(es(3), "cap")))
       })
   }
 

@@ -185,6 +185,31 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(pq === Seq(1L))
   }
 
+  test("graft_fuzzy_decontam and graft_cap_per_group pin to the Scala API") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_fz_tvf")
+    val viaSql = spark.sql(
+      """SELECT doc_id FROM graft_fuzzy_decontam(
+        |  TABLE(SELECT * FROM docs_fz_tvf WHERE doc_id % 10 <> 0),
+        |  TABLE(SELECT * FROM docs_fz_tvf WHERE doc_id % 10 = 0),
+        |  'doc_id', 'text', 0.2)""".stripMargin)
+      .as[Long].collect().toSet
+    val viaApi = llm.TextDedup.fuzzyDecontaminate(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSql === viaApi)
+    assert(viaSql.nonEmpty)
+    val capSql = spark.sql(
+      "SELECT doc_id FROM graft_cap_per_group('docs_fz_tvf', 'source', 'doc_id', 5)")
+      .as[Long].collect().toSet
+    val capApi = llm.CorpusOps.capPerGroup(docs, "source", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capSql === capApi)
+    assert(capSql.nonEmpty)
+  }
+
   test("graft_ann_ivfpq TVF pins to ivfPqTopK for direct AND residual encoding") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     emb.createOrReplaceTempView("emb_ivfpq_tvf")
