@@ -772,6 +772,19 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // STREAMING fuzzy-contamination detection: train docs replayed
+    // through the STREAM-STATIC join against the pre-banded eval index
+    // (FuzzyDecontamStream) — the full contamination log must equal the
+    // batch cross-pairs relation (caps unbound at this geometry, where
+    // the eval-side-only online cap and the batch combined cap admit
+    // identical bucket sets)
+    "doc_fuzzy_pairs_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      streaming.Replay.replay(s, docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", 100, "append")(sdf =>
+        streaming.FuzzyDecontamStream.contaminationLogMd5(sdf,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"))
+    }),
     // ... and the same residual stream through the mid-replay KILL +
     // RESTART harness: the cell→id-list and id→codes MapStates must
     // restore from the checkpoint such that the accumulated retrieval
@@ -1297,6 +1310,10 @@ object SparkEntry {
       "doc_minhash_pairs_md5" -> docMinhashMd5Oracle,
       "doc_fuzzy_pairs_md5" -> docFuzzyPairsOracle,
       "doc_fuzzy_decontam_md5" -> docFuzzyDecontamOracle,
+      // stream-static replay shares the batch cross-pairs mirror: with
+      // neither cap binding (50 eval docs, cap 1000) the admitted bucket
+      // sets coincide, and the replay feeds every train doc
+      "doc_fuzzy_pairs_stream_replay" -> docFuzzyPairsOracle,
       "doc_source_cap" ->
         """SELECT doc_id, source FROM (
           |  SELECT doc_id, source,

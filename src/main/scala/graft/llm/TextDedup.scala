@@ -38,19 +38,19 @@ object TextDedup {
     * LSH banding and set-Jaccard are hash-oblivious, so both families
     * exercise identical pipeline semantics.
     */
-  private[llm] sealed trait HashFamily {
+  private[graft] sealed trait HashFamily {
     def token(t: Column): Column               // base hash of one token
     def combine(x: Column, y: Column): Column  // order-sensitive pair combine
     def rehash(h: Column, i: Int): Column      // i-th seeded rehash
     def band(sigSlice: Column, b: Int): Column // hash of a signature band (array col)
   }
-  private[llm] case object XxHash extends HashFamily {
+  private[graft] case object XxHash extends HashFamily {
     def token(t: Column): Column = xxhash64(t)
     def combine(x: Column, y: Column): Column = xxhash64(x, y)
     def rehash(h: Column, i: Int): Column = xxhash64(h, lit(i))
     def band(s: Column, b: Int): Column = xxhash64(s, lit(b))
   }
-  private[llm] case object Md5Hash extends HashFamily {
+  private[graft] case object Md5Hash extends HashFamily {
     def token(t: Column): Column = md5(t)
     def combine(x: Column, y: Column): Column = md5(concat(x, y))
     def rehash(h: Column, i: Int): Column = md5(concat(h, lit("#" + i)))
@@ -105,7 +105,7 @@ object TextDedup {
   def minhashFromBaseHashes(baseHashes: Column, k: Int): Column =
     minhashFromBaseHashes(baseHashes, k, XxHash)
 
-  private[llm] def minhashFromBaseHashes(baseHashes: Column, k: Int,
+  private[graft] def minhashFromBaseHashes(baseHashes: Column, k: Int,
                                          fam: HashFamily): Column = fam match {
     case XxHash =>
       org.apache.spark.sql.GraftColumnBridge.column(
@@ -125,7 +125,7 @@ object TextDedup {
     */
   def shingleHashes(toks: Column, n: Int): Column = shingleHashes(toks, n, XxHash)
 
-  private[llm] def shingleHashes(toks: Column, n: Int, fam: HashFamily): Column = fam match {
+  private[graft] def shingleHashes(toks: Column, n: Int, fam: HashFamily): Column = fam match {
     // xxhash64: one native codegen'd loop (hash tokens once, fold n
     // consecutive) — same values as the HOF fold below, no interpreted
     // lambdas (graft.functions.XxShingleHashes; equality pinned in tests)
@@ -373,7 +373,7 @@ object TextDedup {
     jaccardDistinct(array_distinct(a), array_distinct(b))
 
   /** Jaccard over arrays already deduplicated (skips the re-distinct). */
-  private[llm] def jaccardDistinct(ad: Column, bd: Column): Column = {
+  private[graft] def jaccardDistinct(ad: Column, bd: Column): Column = {
     val inter = size(array_intersect(ad, bd))
     val union = size(ad) + size(bd) - inter
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)

@@ -404,6 +404,25 @@ object SweepVerify {
     s"""WITH ${crossMinhashCtes(shingleN, bands, r, threshold, maxBucket, evalMod)}
        |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
 
+  /** Mirror of `FuzzyDecontamStream.contaminationLogMd5`'s STREAM cap
+    * semantics: the bucket cap applies to the STATIC EVAL side only
+    * (the stream side's occupancy is unknowable online), so `ok` admits
+    * a bucket iff its eval occupancy is ≤ maxBucket — differential
+    * coverage for exactly the regime where the batch combined-cap and
+    * the stream eval-cap DIVERGE (drawn small caps bind differently).
+    */
+  private def crossPairsStreamSql(shingleN: Int, bands: Int, r: Int,
+                                  threshold: Double, maxBucket: Int,
+                                  evalMod: Int): String = {
+    val base = crossMinhashCtes(shingleN, bands, r, threshold, maxBucket, evalMod)
+    val streamOk =
+      s"okx AS (SELECT band, bh FROM bE GROUP BY band, bh HAVING count(*) <= $maxBucket)"
+    val batchOk = s"okx AS (SELECT band, bh FROM cnt WHERE cl + cr <= $maxBucket)"
+    require(base.contains(batchOk), "crossMinhashCtes drifted from the expected ok CTE")
+    s"""WITH ${base.replace(batchOk, streamOk)}
+       |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
+  }
+
   private def fuzzyDecontamSql(shingleN: Int, bands: Int, r: Int,
                                threshold: Double, maxBucket: Int, evalMod: Int): String =
     s"""WITH ${crossMinhashCtes(shingleN, bands, r, threshold, maxBucket, evalMod)}
@@ -943,7 +962,7 @@ object SweepVerify {
       "neardup_clusters", "neardup_dedup", "dup_spans", "span_removal",
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
-      "emb_ivfpq_stream", "fuzzy_decontam", "source_cap")
+      "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1326,6 +1345,23 @@ object SweepVerify {
               "doc_id", "text", sn, bands, r, th, mb).select("doc_id"),
               fuzzyDecontamSql(sn, bands, r, th, mb, em),
               s"decontam_sn${sn}_b${bands}x${r}_t${th}_m$em")
+        case "fuzzy_stream" =>
+          // the STREAM-STATIC contamination log with drawn geometry —
+          // including small caps, where the stream's eval-side-only cap
+          // diverges from the batch combined cap (the stream mirror's
+          // point); drawn chunk size varies the micro-batch boundaries
+          val sn = pick(Seq(2, 3)); val bands = pick(Seq(2, 4))
+          val r = pick(Seq(1, 2)); val th = pick(Seq(0.2, 0.5))
+          val mb = pick(Seq(2, 50, 1000)); val em = pick(Seq(5, 10))
+          val chunk = pick(Seq(60, 250))
+          val docsT = docs.filter(col("doc_id") % em =!= 0)
+          val docsE = docs.filter(col("doc_id") % em === 0)
+          (graft.streaming.Replay.replay(spark, docsT, "doc_id", chunk,
+            "append")(sdf =>
+              graft.streaming.FuzzyDecontamStream.contaminationLogMd5(sdf,
+                docsE, "doc_id", "text", sn, bands, r, th, mb)),
+            crossPairsStreamSql(sn, bands, r, th, mb, em),
+            s"sn${sn}_b${bands}x${r}_t${th}_mb${mb}_m${em}_c$chunk")
         case "source_cap" =>
           // drawn per-group quota over both natural group columns
           val cap = pick(Seq(1, 3, 10, 26))
