@@ -115,7 +115,8 @@ object ScaleBench {
       "emb_neardup_stream_soak", "neardup_stream_shuffled",
       "emb_ann_stream_soak", "emb_ann_pq_stream_soak", "corpus_curation", "dup_spans",
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
-      "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial")
+      "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
+      "fuzzy_decontam_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -242,6 +243,34 @@ object ScaleBench {
         graft.llm.CorpusOps.decontaminate(docsSf1, "doc_id", "text",
           evalMod = 3L, n = 5)
           .agg(sum(col("n_hit_grams")) + sum(col("n_eval_docs"))).head().getLong(0)
+      }
+    }
+    // fuzzy decontamination at 10×: the REALISTIC scaling shape — the
+    // TRAIN side is the 10×-copies corpus, the EVAL side stays the
+    // base-corpus eval split (eval sets don't grow with training data).
+    // Cost should scale ~linearly in train size: the eval band index is
+    // fixed, the bipartite bucket products are bounded by the fixed eval
+    // occupancy × train occupancy, and the verify join is candidate-
+    // sized. Compared against the base-corpus run of the same op.
+    if (wanted("fuzzy_decontam_scale")) {
+      val base = graft.Tables.documents(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      val evalSide = base.filter(col("doc_id") % 10 === 0)
+      // untimed warmup: absorbs JVM/codegen/parquet-footer cost so the
+      // 1× vs 10× comparison isolates the operator's scaling
+      graft.llm.TextDedup.fuzzyDecontaminate(
+        base.filter(col("doc_id") % 10 =!= 0), evalSide,
+        "doc_id", "text").count()
+      parts += timed("fuzzy_decontam_1x") {
+        graft.llm.TextDedup.fuzzyDecontaminate(
+          base.filter(col("doc_id") % 10 =!= 0), evalSide,
+          "doc_id", "text").count()
+      }
+      parts += timed("fuzzy_decontam_10x_train") {
+        // docsSf1 ids are shifted per copy, so the eval split still
+        // comes from the BASE corpus — train grows 10×, eval fixed
+        graft.llm.TextDedup.fuzzyDecontaminate(docsSf1, evalSide,
+          "doc_id", "text").count()
       }
     }
     // span dedup at N×: the copy construction duplicates every doc body
