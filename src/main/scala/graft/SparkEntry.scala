@@ -780,10 +780,17 @@ object SparkEntry {
     // identical bucket sets)
     "doc_fuzzy_pairs_stream_replay" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      streaming.Replay.replay(s, docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", 100, "append")(sdf =>
-        streaming.FuzzyDecontamStream.contaminationLogMd5(sdf,
-          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"))
+      // Stats form: the persisted eval index is released once the replay
+      // has drained (the sink table is materialized by then)
+      var cs: streaming.FuzzyDecontamStream.ContaminationStream = null
+      try
+        streaming.Replay.replay(s, docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", 100, "append") { sdf =>
+          cs = streaming.FuzzyDecontamStream.contaminationLogStatsMd5(sdf,
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+          cs.log
+        }
+      finally if (cs != null) cs.unpersist()
     }),
     // ... and the same residual stream through the mid-replay KILL +
     // RESTART harness: the cell→id-list and id→codes MapStates must

@@ -24,6 +24,15 @@ object Verify {
     // queries (the driver never sets it, so its runs stay exhaustive)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled name must fail loudly, not run zero queries and write
+    // an empty output dir (same contract as SPARK_GRAFT_SCALE_QUERIES /
+    // SPARK_GRAFT_BENCH_QUERIES)
+    only.foreach { qs =>
+      val unknown = qs -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

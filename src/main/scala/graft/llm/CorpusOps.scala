@@ -163,17 +163,71 @@ object CorpusOps {
     * boilerplate-heavy hosts can't dominate the training mix): keep at
     * most `cap` rows per `groupCol`, deterministic priority = ascending
     * `orderCol` (callers rank by quality score, recency, or id — any
-    * total order makes the kept set engine-independent). One group-keyed
-    * exchange + window rank, then filter: at 100 TB the group key is the
-    * shuffle key; a pathologically hot group concentrates its rank scan
-    * on one task, but the scan is O(group size) row passes with no
-    * buffering beyond the window frame, and AQE skew-split applies —
-    * same profile as every per-key window in the engine.
+    * total order makes the kept set engine-independent).
+    *
+    * TWO-LEVEL plan: the hot groups are precisely the ones the cap
+    * exists for (a head domain can be ~1% of a 100 TB corpus), and a
+    * bare per-group window would ship every such row to ONE task — a
+    * window partition cannot be split (AQE skew handling covers joins
+    * and rebalance partitioning, not window partitions). So a LOCAL
+    * PRE-CAP runs first, inside each input partition, before any
+    * exchange: a row is dropped iff `cap` rows with strictly smaller
+    * `orderCol` were already seen in the same partition+group — which
+    * can never drop a row whose global rank is ≤ cap (fewer than `cap`
+    * strictly-smaller rows exist globally, hence in any subset; ties at
+    * the boundary are always admitted, so the surviving multiset of
+    * order values is exactly preserved). At most partitions × cap rows
+    * per group reach the group-keyed exchange; the global window rank
+    * then runs on that bounded relation and emits the identical result.
+    * Pre-cap memory: O(distinct groups per partition × cap) order
+    * values (bounded admission heaps, not buffered rows). Order columns
+    * whose runtime values are not Comparable (arrays, structs, binary)
+    * skip the pre-cap and run the plain window.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                   cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    df.withColumn("__rk", row_number().over(
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val oIdx = schema.fieldIndex(orderCol)
+    val preCappable = schema(oIdx).dataType match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val pre =
+      if (!preCappable) df
+      else {
+        val capN = cap
+        implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+          org.apache.spark.sql.Encoders.row(schema)
+        df.mapPartitions { it =>
+          // nulls sort FIRST (Spark's ascending null ordering, which the
+          // window's orderBy uses), so null is the smallest order value
+          def cmp(a: Any, b: Any): Int =
+            if (a == null && b == null) 0
+            else if (a == null) -1
+            else if (b == null) 1
+            else a.asInstanceOf[Comparable[Any]].compareTo(b)
+          // per-group bounded MAX-heap of the cap smallest order values
+          // seen so far in this partition; admit unless cap strictly-
+          // smaller values precede the row (heapMax < v ⇒ reject is the
+          // only safe rejection — boundary ties always pass)
+          val heaps = scala.collection.mutable.HashMap
+            .empty[Any, scala.collection.mutable.PriorityQueue[Any]]
+          val ord: Ordering[Any] = (a: Any, b: Any) => cmp(a, b)
+          it.filter { r =>
+            val h = heaps.getOrElseUpdate(r.get(gIdx),
+              scala.collection.mutable.PriorityQueue.empty[Any](ord))
+            val v = r.get(oIdx)
+            if (h.size < capN) { h.enqueue(v); true }
+            else if (cmp(v, h.head) <= 0) { h.enqueue(v); h.dequeue(); true }
+            else false
+          }
+        }
+      }
+    pre.withColumn("__rk", row_number().over(
         Window.partitionBy(groupCol).orderBy(col(orderCol))))
       .filter(col("__rk") <= cap)
       .drop("__rk")

@@ -346,26 +346,40 @@ object TextDedup {
   def fuzzyDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                          textCol: String, shingleN: Int = 3, bands: Int = 4,
                          rowsPerBand: Int = 2, threshold: Double = 0.2,
-                         maxBucket: Int = 1000): DataFrame = {
-    val pws = crossMinhashPairsStats(train, eval, textCol, idCol, shingleN,
-      bands, rowsPerBand, threshold, maxBucket, XxHash)
-    val out = train.join(pws.pairs.select(col("id_a").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-    pws.unpersist()
-    out
-  }
+                         maxBucket: Int = 1000): DataFrame =
+    fuzzyDecontaminateImpl(train, eval, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucket, XxHash)
 
   /** md5 twin of [[fuzzyDecontaminate]] (oracle-checkable end to end). */
   def fuzzyDecontaminateMd5(train: DataFrame, eval: DataFrame, idCol: String,
                             textCol: String, shingleN: Int = 3, bands: Int = 4,
                             rowsPerBand: Int = 2, threshold: Double = 0.2,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = 1000): DataFrame =
+    fuzzyDecontaminateImpl(train, eval, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucket, Md5Hash)
+
+  private def fuzzyDecontaminateImpl(train: DataFrame, eval: DataFrame,
+                                     idCol: String, textCol: String,
+                                     shingleN: Int, bands: Int,
+                                     rowsPerBand: Int, threshold: Double,
+                                     maxBucket: Int, fam: HashFamily): DataFrame = {
     val pws = crossMinhashPairsStats(train, eval, textCol, idCol, shingleN,
-      bands, rowsPerBand, threshold, maxBucket, Md5Hash)
-    val out = train.join(pws.pairs.select(col("id_a").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+      bands, rowsPerBand, threshold, maxBucket, fam)
+    // MATERIALIZE the contaminated id set (an eager checkpoint — tiny: one
+    // id per contaminated train doc) BEFORE releasing the persisted prep
+    // relations: unpersisting while the anti-join is still a lazy plan
+    // would recompute tokenize/shingle/minhash ~3× per side when the
+    // caller finally executes it (the graft_neardup_dedup pattern —
+    // materialize, then unpersist). Reliable checkpoint when the caller
+    // configured a checkpoint dir, executor-resident localCheckpoint
+    // otherwise, same availability contract as nearDupClusters.
+    val contaminatedLazy = pws.pairs.select(col("id_a").as(idCol)).distinct()
+    val contaminated =
+      if (train.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        contaminatedLazy.checkpoint(true)
+      else contaminatedLazy.localCheckpoint(true)
     pws.unpersist()
-    out
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Jaccard similarity of two string arrays (set semantics). */

@@ -312,6 +312,15 @@ object AnnStream {
                      k: Int = 10, nProbe: Int = 4, dim: Int = 64,
                      residual: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
+    require(centroids.map(_._1).distinct.length == centroids.length,
+      "centroid cell ids must be distinct")
+    // id-ascending order is load-bearing, not just documented: the
+    // residual encode cell is array_position(csims, array_max(csims)) —
+    // the FIRST argmax index — while probe rank sorts by (-csim, cellId);
+    // these agree on exact csim ties only when position order IS cell-id
+    // order. Sort here so an unsorted caller can't get a silent
+    // encode-vs-index cell mismatch.
+    val centroidsSorted = centroids.sortBy(_._1)
     require(nProbe > 0 && nProbe <= centroids.length,
       s"nProbe $nProbe must be in 1..${centroids.length}")
     require(codebook.nonEmpty && codebook.length % codesPerSub == 0,
@@ -321,7 +330,7 @@ object AnnStream {
     val nSub = codebook.length / codesPerSub
     val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
     val cps = codesPerSub
-    val cells = centroids.map(_._1).toArray
+    val cells = centroidsSorted.map(_._1).toArray
     val np = nProbe
     def expr(c: org.apache.spark.sql.Column) =
       org.apache.spark.sql.GraftColumnBridge.expression(c)
@@ -340,13 +349,13 @@ object AnnStream {
     // one VecCosine per centroid literal — the same per-arrival centroid
     // scan as the batch probe rank, codegen'd in the distributed stage
     val csimsC = when(size(v0) === 0, lit(null).cast("array<double>"))
-      .otherwise(array(centroids.map(c =>
+      .otherwise(array(centroidsSorted.map(c =>
         graft.llm.Similarity.cosine(vdChecked, typedLit(c._2))): _*))
     // residual mode: per-cell literals the scoring reassembles cosine
     // from — centroid arrays (for q·c), ‖c‖², and the norm-correction
     // tables w(cell)(m·cps + j) = 2·dot(centroidₘ, cb(m, j)) + ‖cb(m, j)‖²
     // (index order identical to Similarity.residualPqModel's clut)
-    val centArrs: Array[Array[Double]] = centroids.map(_._2.toArray).toArray
+    val centArrs: Array[Array[Double]] = centroidsSorted.map(_._2.toArray).toArray
     val cn2s: Array[Double] = centArrs.map(_.foldLeft(0.0)((a, x) => a + x * x))
     val subDim = dim / nSub
     val wLuts: Array[Array[Double]] =
@@ -372,7 +381,7 @@ object AnnStream {
         // centroid; carry the raw double vector for the per-probed-cell
         // q·c dots in the stateful stage
         require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
-        val centLit = typedLit(centroids.map(_._2))
+        val centLit = typedLit(centroidsSorted.map(_._2))
         val staged = sdf.select(col(idCol).cast("long").as("id"),
             vd.as("vd"), v0.as("v0"), csimsC.as("csims"))
           .where(col("id").isNotNull)

@@ -11,48 +11,97 @@ import graft.llm.TextDedup
   * shingle-set) index; each arriving doc computes its own MinHash bands
   * as pure expressions and joins the static index — Spark's native
   * STREAM-STATIC join, which is STATELESS on the stream side (no
-  * watermark, no state store growth with corpus size; the only stateful
-  * operator is the pair-level `dropDuplicates`, bounded by the emitted
-  * pair count, the same shape as `everStream`). Verified hits
-  * (exact Jaccard ≥ threshold) emit as a contamination log
+  * watermark-keyed join state, no state store growth with corpus size).
+  * Verified hits (exact Jaccard ≥ threshold) emit as a contamination log
   * (id_a = train, id_b = eval, jaccard) — the relation a pipeline
   * quarantines or anti-joins downstream.
+  *
+  * Pair-level dedup is WATERMARK-BOUNDED: a pair matching in m bands
+  * emits m rows, but all m arise from the SAME input row (one arrival's
+  * band array, exploded and joined within one micro-batch) — so
+  * duplicates only ever co-occur inside a single micro-batch, and
+  * `dropDuplicatesWithinWatermark` over a batch-time event-time column
+  * (`current_timestamp()` is the micro-batch timestamp — constant within
+  * a batch, monotone across batches) removes them exactly while RocksDB
+  * evicts pair state older than `dedupRetention` — the state is bounded
+  * by the pairs emitted inside the retention window, not the lifetime
+  * log. The one divergence: a train doc REDELIVERED (at-least-once
+  * source) more than `dedupRetention` after its first delivery re-emits
+  * its pairs; the downstream anti-join is idempotent to that, which is
+  * the operator's sink contract.
   *
   * Cap semantics vs the batch twin: online, the stream side's bucket
   * occupancy is unknowable, so `maxBucket` caps the STATIC EVAL side
   * only (a band bucket with more than maxBucket eval members is dropped
   * from the index). The batch operator caps the combined occupancy;
-  * when neither cap binds — the verified regime for the oracle rows —
-  * the two admitted sets are identical.
+  * when neither cap binds the two admitted sets are identical, and the
+  * divergence when a cap DOES bind is pinned by the
+  * `doc_fuzzy_pairs_capped*` oracle rows (each policy against its own
+  * DuckDB mirror).
   *
   * 100 TB shape: the eval index is a small static relation (broadcast
   * by Catalyst when under the threshold), the stream side is a pure
-  * projection + join per micro-batch, and nothing on the stream side
-  * accumulates — the right decontamination topology for a continuous
-  * ingestion pipeline.
+  * projection + join per micro-batch, and the only stream-side state is
+  * the watermark-bounded pair window — the right decontamination
+  * topology for a continuous ingestion pipeline.
   */
 object FuzzyDecontamStream {
 
+  /** [[contaminationLogStats]] holder: the log plus the persisted eval
+    * index, which the CALLER must release after the stream finishes
+    * (`unpersist()`) — the `PairsWithStats` cached-relation contract.
+    * The persist is load-bearing across micro-batches (each batch
+    * re-executes the static side), so the operator cannot release it
+    * itself.
+    */
+  final case class ContaminationStream(log: DataFrame, cached: Seq[DataFrame]) {
+    def unpersist(): Unit = cached.foreach(_.unpersist(false))
+  }
+
+  /** One-shot convenience form of [[contaminationLogStats]]: the persisted
+    * eval index is left for ContextCleaner GC. Harnesses and repeated
+    * invocations (sweeps, benches) should use the Stats form and
+    * `unpersist()` after the stream finishes.
+    */
   def contaminationLog(stream: DataFrame, evalStatic: DataFrame,
                        idCol: String, textCol: String, shingleN: Int = 3,
                        bands: Int = 4, rowsPerBand: Int = 2,
-                       threshold: Double = 0.2, maxBucket: Int = 1000): DataFrame =
-    contaminationLogImpl(stream, evalStatic, idCol, textCol, shingleN, bands,
-      rowsPerBand, threshold, maxBucket, TextDedup.XxHash)
+                       threshold: Double = 0.2, maxBucket: Int = 1000,
+                       dedupRetention: String = "10 minutes"): DataFrame =
+    contaminationLogStats(stream, evalStatic, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucket, dedupRetention).log
 
   /** DuckDB-checkable md5 twin of [[contaminationLog]]. */
   def contaminationLogMd5(stream: DataFrame, evalStatic: DataFrame,
                           idCol: String, textCol: String, shingleN: Int = 3,
                           bands: Int = 4, rowsPerBand: Int = 2,
-                          threshold: Double = 0.2, maxBucket: Int = 1000): DataFrame =
+                          threshold: Double = 0.2, maxBucket: Int = 1000,
+                          dedupRetention: String = "10 minutes"): DataFrame =
+    contaminationLogStatsMd5(stream, evalStatic, idCol, textCol, shingleN,
+      bands, rowsPerBand, threshold, maxBucket, dedupRetention).log
+
+  def contaminationLogStats(stream: DataFrame, evalStatic: DataFrame,
+                            idCol: String, textCol: String, shingleN: Int = 3,
+                            bands: Int = 4, rowsPerBand: Int = 2,
+                            threshold: Double = 0.2, maxBucket: Int = 1000,
+                            dedupRetention: String = "10 minutes"): ContaminationStream =
     contaminationLogImpl(stream, evalStatic, idCol, textCol, shingleN, bands,
-      rowsPerBand, threshold, maxBucket, TextDedup.Md5Hash)
+      rowsPerBand, threshold, maxBucket, dedupRetention, TextDedup.XxHash)
+
+  def contaminationLogStatsMd5(stream: DataFrame, evalStatic: DataFrame,
+                               idCol: String, textCol: String, shingleN: Int = 3,
+                               bands: Int = 4, rowsPerBand: Int = 2,
+                               threshold: Double = 0.2, maxBucket: Int = 1000,
+                               dedupRetention: String = "10 minutes"): ContaminationStream =
+    contaminationLogImpl(stream, evalStatic, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold, maxBucket, dedupRetention, TextDedup.Md5Hash)
 
   private def contaminationLogImpl(stream: DataFrame, evalStatic: DataFrame,
                                    idCol: String, textCol: String,
                                    shingleN: Int, bands: Int, rowsPerBand: Int,
                                    threshold: Double, maxBucket: Int,
-                                   fam: TextDedup.HashFamily): DataFrame = {
+                                   dedupRetention: String,
+                                   fam: TextDedup.HashFamily): ContaminationStream = {
     val k = bands * rowsPerBand
     def prep(df: DataFrame) = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
@@ -75,15 +124,25 @@ object FuzzyDecontamStream {
     val evalIdx = evalBanded.join(okBuckets, Seq("band", "bh"))
       .select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stream side: pure projections + the stream-static join
-    band(prep(stream))
-      .select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bh"))
+    // stream side: pure projections + the stream-static join. The
+    // event-time column is the MICRO-BATCH timestamp (constant within a
+    // batch, monotone across batches), which is exactly the granularity
+    // the pair dedup needs — see the watermark note in the scaladoc.
+    val log = band(prep(stream))
+      .select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bh"),
+        current_timestamp().as("__arrival_ts"))
+      .withWatermark("__arrival_ts", dedupRetention)
       .join(evalIdx, Seq("band", "bh"))
       .select(col("id_a"), col("id_b"),
-        TextDedup.jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
+        TextDedup.jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"),
+        col("__arrival_ts"))
       .filter(col("jaccard") >= threshold)
-      // a pair matching in m bands emits m times without this; pair-keyed
-      // built-in dedup state, bounded by the contamination log size
-      .dropDuplicates("id_a", "id_b")
+      // a pair matching in m bands emits m times without this; all m
+      // co-occur in one micro-batch (one arrival's exploded bands), so
+      // the within-watermark dedup is exact while its state stays
+      // bounded by the retention window
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+      .select("id_a", "id_b", "jaccard")
+    ContaminationStream(log, cached = Seq(evalIdx))
   }
 }

@@ -1356,10 +1356,18 @@ object SweepVerify {
           val chunk = pick(Seq(60, 250))
           val docsT = docs.filter(col("doc_id") % em =!= 0)
           val docsE = docs.filter(col("doc_id") % em === 0)
-          (graft.streaming.Replay.replay(spark, docsT, "doc_id", chunk,
-            "append")(sdf =>
-              graft.streaming.FuzzyDecontamStream.contaminationLogMd5(sdf,
-                docsE, "doc_id", "text", sn, bands, r, th, mb)),
+          // Stats form + unpersist: each draw would otherwise leave its
+          // persisted eval index behind until ContextCleaner GC
+          var cs: graft.streaming.FuzzyDecontamStream.ContaminationStream = null
+          val streamed =
+            try graft.streaming.Replay.replay(spark, docsT, "doc_id", chunk,
+              "append") { sdf =>
+                cs = graft.streaming.FuzzyDecontamStream.contaminationLogStatsMd5(
+                  sdf, docsE, "doc_id", "text", sn, bands, r, th, mb)
+                cs.log
+              }
+            finally if (cs != null) cs.unpersist()
+          (streamed,
             crossPairsStreamSql(sn, bands, r, th, mb, em),
             s"sn${sn}_b${bands}x${r}_t${th}_mb${mb}_m${em}_c$chunk")
         case "source_cap" =>
