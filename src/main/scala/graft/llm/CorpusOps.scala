@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Per-partition cap on groups tracked by the [[capPerGroup]] pre-cap
+    * heap map: 64k groups × cap order values is a bounded few-MB
+    * executor-heap structure; beyond it new groups pass through to the
+    * (spillable) window unfiltered. Exactness is unaffected — the
+    * pre-cap only ever REDUCES what reaches the exchange.
+    */
+  private[llm] val PreCapMaxGroups = 1 << 16
+
   /** Max multiplicity of any element in an array column — the native
     * one-pass expression (graft.functions.MaxRunLength: compiled sort +
     * run-length; an `aggregate` HOF fold here runs its lambda interpreted
@@ -180,9 +188,21 @@ object CorpusOps {
     * per group reach the group-keyed exchange; the global window rank
     * then runs on that bounded relation and emits the identical result.
     * Pre-cap memory: O(distinct groups per partition × cap) order
-    * values (bounded admission heaps, not buffered rows). Order columns
-    * whose runtime values are not Comparable (arrays, structs, binary)
-    * skip the pre-cap and run the plain window.
+    * values (bounded admission heaps, not buffered rows), and the heap
+    * map itself is bounded at `PreCapMaxGroups` tracked groups per
+    * partition — past that, rows of UNTRACKED groups pass straight
+    * through (any pass-through is safe: the global window still
+    * enforces the cap), so a high-cardinality group column degrades to
+    * the plain-window plan instead of growing an unbounded executor-
+    * heap map. Order columns whose runtime values are not Comparable
+    * (arrays, structs, binary) skip the pre-cap and run the plain
+    * window. String order values compare as UTF8String (UTF-8 binary
+    * order — identical to the window orderBy's comparator), NOT as
+    * java.lang.String: the two orders disagree on supplementary
+    * characters (UTF-16 surrogates sort below U+E000..U+FFFF chars in
+    * Java), and a pre-cap admitting under a DIFFERENT order than the
+    * window ranks under could silently drop a row the window ranks
+    * ≤ cap.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                   cap: Int): DataFrame = {
@@ -195,6 +215,16 @@ object CorpusOps {
       case _: NumericType | StringType | BooleanType | DateType |
            TimestampType | TimestampNTZType => true
       case _ => false
+    }
+    // string order values wrapped as UTF8String so the pre-cap admits
+    // under the EXACT comparator the window orderBy ranks with (UTF-8
+    // binary order); java.lang.String.compareTo (UTF-16 code units)
+    // disagrees on supplementary characters and could drop a kept row
+    val toOrd: Any => Any = schema(oIdx).dataType match {
+      case StringType => v =>
+        if (v == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+      case _ => identity
     }
     val pre =
       if (!preCappable) df
@@ -218,12 +248,24 @@ object CorpusOps {
             .empty[Any, scala.collection.mutable.PriorityQueue[Any]]
           val ord: Ordering[Any] = (a: Any, b: Any) => cmp(a, b)
           it.filter { r =>
-            val h = heaps.getOrElseUpdate(r.get(gIdx),
-              scala.collection.mutable.PriorityQueue.empty[Any](ord))
-            val v = r.get(oIdx)
-            if (h.size < capN) { h.enqueue(v); true }
-            else if (cmp(v, h.head) <= 0) { h.enqueue(v); h.dequeue(); true }
-            else false
+            val g = r.get(gIdx)
+            val h0 = heaps.get(g)
+            // group-cardinality bound: once PreCapMaxGroups groups are
+            // tracked in this partition, rows of NEW groups pass through
+            // unfiltered (still exact — the window enforces the cap)
+            // instead of growing the heap map without a spill path
+            if (h0.isEmpty && heaps.size >= PreCapMaxGroups) true
+            else {
+              val h = h0.getOrElse {
+                val nh = scala.collection.mutable.PriorityQueue.empty[Any](ord)
+                heaps(g) = nh
+                nh
+              }
+              val v = toOrd(r.get(oIdx))
+              if (h.size < capN) { h.enqueue(v); true }
+              else if (cmp(v, h.head) <= 0) { h.enqueue(v); h.dequeue(); true }
+              else false
+            }
           }
         }
       }

@@ -373,6 +373,11 @@ object TextDedup {
     // materialize, then unpersist). Reliable checkpoint when the caller
     // configured a checkpoint dir, executor-resident localCheckpoint
     // otherwise, same availability contract as nearDupClusters.
+    // NOTE for long-lived sessions: Spark never deletes reliable
+    // checkpoint dirs on its own — a session invoking this repeatedly
+    // (sweeps, services) with a checkpoint dir configured must set
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true, or the
+    // per-call directories accumulate on disk.
     val contaminatedLazy = pws.pairs.select(col("id_a").as(idCol)).distinct()
     val contaminated =
       if (train.sparkSession.sparkContext.getCheckpointDir.isDefined)

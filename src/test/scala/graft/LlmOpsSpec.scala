@@ -97,6 +97,49 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(llm.CorpusOps.capPerGroup(docs, "source", "doc_id", 1000000).count() === docs.count())
   }
 
+  test("capPerGroup pre-cap: string order uses UTF8String (UTF-8) order, not UTF-16") {
+    // U+1F600 (😀, UTF-16 lead surrogate 0xD83D) vs U+FF21 (Ａ): Java
+    // String order says 😀 < Ａ; Spark's UTF8String binary order says
+    // Ａ < 😀. A pre-cap admitting under Java order would reject Ａ
+    // after seeing 😀 at cap=1 — dropping the row the window keeps.
+    val rows = Seq((1L, "g", "😀"), (2L, "g", "Ａ"))
+      .toDF("id", "grp", "ord").repartition(1) // same partition: heap sees both
+    val kept = llm.CorpusOps.capPerGroup(rows, "grp", "ord", 1)
+      .select("id").as[Long].collect().toSeq
+    assert(kept === Seq(2L), s"expected the UTF-8-smaller Ａ row, got ids $kept")
+  }
+
+  test("capPerGroup pre-cap: tie-heavy order column keeps exactly cap rows") {
+    // 50 rows, ONE order value: boundary ties must all pass the pre-cap
+    // (any rejection would be unsound), and the window still emits cap
+    val ties = spark.range(50).select(col("id"), lit("g").as("grp"), lit(7).as("ord"))
+    assert(llm.CorpusOps.capPerGroup(ties, "grp", "ord", 5).count() === 5L)
+  }
+
+  test("capPerGroup: non-Comparable order column falls back to the plain window") {
+    // array<bigint> order values are not runtime-Comparable — the pre-cap
+    // must skip (not ClassCastException) and the window result stands
+    val arr = spark.range(20).select((col("id") % 4).cast("string").as("grp"),
+      array(col("id"), col("id") * 2).as("ord"), col("id"))
+    val capped = llm.CorpusOps.capPerGroup(arr, "grp", "ord", 2)
+    assert(capped.groupBy("grp").count().as[(String, Long)].collect().forall(_._2 === 2L))
+    // lowest array values (lexicographic = lowest ids here) are the kept set
+    val keptIds = capped.select("id").as[Long].collect().toSet
+    assert(keptIds === Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("capPerGroup pre-cap: group cardinality past the tracked bound stays exact") {
+    // more distinct groups in one partition than PreCapMaxGroups: late
+    // groups pass through untracked; the window still enforces the cap
+    val n = (1 << 16) + 500
+    val wide = spark.range(n * 2).select(
+      (col("id") % n).cast("string").as("grp"), col("id")).repartition(1)
+    val capped = llm.CorpusOps.capPerGroup(wide, "grp", "id", 1)
+    assert(capped.count() === n.toLong)
+    // each group's survivor is its minimum id (ids i and i+n share group i)
+    assert(capped.agg(max("id")).as[Long].head() < n.toLong)
+  }
+
   test("nearDupClusters: min-label CC equals an in-memory union-find closure") {
     // chain 1-2-3 (transitive: 1~3 never paired), clique 10/11/12,
     // isolated pair 20-21, and a 4-hop path 30..34 (exercises >1 round)
