@@ -305,56 +305,50 @@ object AnnStream {
     * centroid + codebook literals) replacing the direct ‖cb‖² sum.
     * State stays nSub bytes per vector; the per-arrival cost adds one
     * dim-multiply dot per probed cell.
+    *
+    * This form keeps ONE authoritative index task (simplest deployment;
+    * throughput ceiling ~ hundreds of vecs/s). The scale-out path is the
+    * CELL-SHARDED twin — [[shardedIvfPqCellHits]] → [[annMergeStage]] —
+    * which distributes the same state and the same math across cells
+    * and is pinned sym-diff-0 against this operator.
     */
-  def ivfPqAnnStream(sdf: DataFrame, idCol: String, vecCol: String,
-                     centroids: Seq[(Long, Seq[Double])],
-                     codebook: Seq[Seq[Double]], codesPerSub: Int,
-                     k: Int = 10, nProbe: Int = 4, dim: Int = 64,
-                     residual: Boolean = false): DataFrame = {
+  /** Shared validation for the IVF-PQ streaming forms (monolith and
+    * sharded twin): returns the centroid list sorted by cell id.
+    * Id-ascending order is load-bearing, not just documented: the
+    * residual encode cell is array_position(csims, array_max(csims)) —
+    * the FIRST argmax index — while probe rank sorts by (-csim, cellId);
+    * these agree on exact csim ties only when position order IS cell-id
+    * order. Sort here so an unsorted caller can't get a silent
+    * encode-vs-index cell mismatch.
+    */
+  private def validateIvfPq(centroids: Seq[(Long, Seq[Double])],
+                            codebook: Seq[Seq[Double]], codesPerSub: Int,
+                            nProbe: Int): Seq[(Long, Seq[Double])] = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(centroids.map(_._1).distinct.length == centroids.length,
       "centroid cell ids must be distinct")
-    // id-ascending order is load-bearing, not just documented: the
-    // residual encode cell is array_position(csims, array_max(csims)) —
-    // the FIRST argmax index — while probe rank sorts by (-csim, cellId);
-    // these agree on exact csim ties only when position order IS cell-id
-    // order. Sort here so an unsorted caller can't get a silent
-    // encode-vs-index cell mismatch.
-    val centroidsSorted = centroids.sortBy(_._1)
     require(nProbe > 0 && nProbe <= centroids.length,
       s"nProbe $nProbe must be in 1..${centroids.length}")
     require(codebook.nonEmpty && codebook.length % codesPerSub == 0,
       s"codebook of ${codebook.length} does not divide into codes of $codesPerSub")
     require(codesPerSub <= 256,
       s"codesPerSub $codesPerSub exceeds the byte-packed state limit of 256")
+    centroids.sortBy(_._1)
+  }
+
+  /** Per-cell constant tables both IVF-PQ processors close over:
+    * centroid arrays (for q·c), ‖c‖², and — residual mode — the
+    * norm-correction tables w(cell)(m·cps + j) = 2·dot(centroidₘ,
+    * cb(m, j)) + ‖cb(m, j)‖² (index order identical to
+    * Similarity.residualPqModel's clut).
+    */
+  private def ivfPqCellTables(centroidsSorted: Seq[(Long, Seq[Double])],
+                              codebook: Seq[Seq[Double]], codesPerSub: Int,
+                              dim: Int, residual: Boolean,
+                              norm2: Array[Double])
+      : (Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
     val nSub = codebook.length / codesPerSub
-    val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
     val cps = codesPerSub
-    val cells = centroidsSorted.map(_._1).toArray
-    val np = nProbe
-    def expr(c: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftColumnBridge.expression(c)
-    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-      org.apache.spark.sql.GraftColumnBridge.column(e)
-    val v0 = coalesce(col(vecCol).cast("array<float>"),
-      array().cast("array<float>"))
-    val vd = col(vecCol).cast("array<double>")
-    val vdChecked = graft.llm.Similarity.requireDim(vd, dim)
-    val codesC = when(size(v0) === 0, lit(null).cast("array<int>"))
-      .otherwise(colOf(graft.functions.PqEncode(expr(vdChecked), codebook, nSub, cps)))
-    val lutC = when(size(v0) === 0, lit(null).cast("array<double>"))
-      .otherwise(colOf(graft.functions.PqLut(expr(vdChecked), codebook, nSub, cps)))
-    val qnC = sqrt(aggregate(coalesce(vd, array().cast("array<double>")),
-      lit(0.0d), (acc, x) => acc + x * x))
-    // one VecCosine per centroid literal — the same per-arrival centroid
-    // scan as the batch probe rank, codegen'd in the distributed stage
-    val csimsC = when(size(v0) === 0, lit(null).cast("array<double>"))
-      .otherwise(array(centroidsSorted.map(c =>
-        graft.llm.Similarity.cosine(vdChecked, typedLit(c._2))): _*))
-    // residual mode: per-cell literals the scoring reassembles cosine
-    // from — centroid arrays (for q·c), ‖c‖², and the norm-correction
-    // tables w(cell)(m·cps + j) = 2·dot(centroidₘ, cb(m, j)) + ‖cb(m, j)‖²
-    // (index order identical to Similarity.residualPqModel's clut)
     val centArrs: Array[Array[Double]] = centroidsSorted.map(_._2.toArray).toArray
     val cn2s: Array[Double] = centArrs.map(_.foldLeft(0.0)((a, x) => a + x * x))
     val subDim = dim / nSub
@@ -370,36 +364,86 @@ object AnnStream {
           2.0 * dot + norm2(e)
         }
       }
-    val prepared =
-      if (!residual)
-        sdf.select(col(idCol).cast("long").as("id"),
-            codesC.as("codes"), lutC.as("lut"), qnC.as("qn"), csimsC.as("csims"))
-          .where(col("id").isNotNull)
-      else {
-        // encode the RESIDUAL against the own (argmax-csim, ties →
-        // smallest cell = first index, centroids are id-ascending) cell's
-        // centroid; carry the raw double vector for the per-probed-cell
-        // q·c dots in the stateful stage
-        require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
-        val centLit = typedLit(centroidsSorted.map(_._2))
-        val staged = sdf.select(col(idCol).cast("long").as("id"),
-            vd.as("vd"), v0.as("v0"), csimsC.as("csims"))
-          .where(col("id").isNotNull)
-        val vdc = graft.llm.Similarity.requireDim(col("vd"), dim)
-        val ownIdx = array_position(col("csims"), array_max(col("csims")))
-        val residualC = when(col("csims").isNull || ownIdx === 0,
-            lit(null).cast("array<double>"))
-          .otherwise(zip_with(vdc, element_at(centLit, ownIdx.cast("int")),
-            (a, b) => a - b))
-        val codesR = colOf(graft.functions.PqEncode(expr(residualC), codebook,
-          nSub, cps))
-        val lutR = when(size(col("v0")) === 0, lit(null).cast("array<double>"))
-          .otherwise(colOf(graft.functions.PqLut(expr(vdc), codebook, nSub, cps)))
-        val qnR = sqrt(aggregate(coalesce(col("vd"), array().cast("array<double>")),
-          lit(0.0d), (acc, x) => acc + x * x))
-        staged.select(col("id"), codesR.as("codes"), lutR.as("lut"),
-          qnR.as("qn"), col("csims"), col("vd"))
-      }
+    (centArrs, cn2s, wLuts)
+  }
+
+  /** Shared DISTRIBUTED prep of the IVF-PQ streaming forms — all the
+    * heavy per-arrival math as codegen projections: PQ codes, the
+    * arrival's scoring LUT, ‖q‖, and one `VecCosine` per centroid
+    * literal (the csims array — the same per-arrival centroid scan as
+    * the batch probe rank). Residual mode encodes v − centroid(own
+    * argmax-csim cell) and carries the raw double vector. Schema:
+    * (id, codes, lut, qn, csims[, vd]).
+    */
+  private def ivfPqPrep(sdf: DataFrame, idCol: String, vecCol: String,
+                        centroidsSorted: Seq[(Long, Seq[Double])],
+                        codebook: Seq[Seq[Double]], codesPerSub: Int,
+                        dim: Int, residual: Boolean): DataFrame = {
+    val nSub = codebook.length / codesPerSub
+    val cps = codesPerSub
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    val v0 = coalesce(col(vecCol).cast("array<float>"),
+      array().cast("array<float>"))
+    val vd = col(vecCol).cast("array<double>")
+    val vdChecked = graft.llm.Similarity.requireDim(vd, dim)
+    val codesC = when(size(v0) === 0, lit(null).cast("array<int>"))
+      .otherwise(colOf(graft.functions.PqEncode(expr(vdChecked), codebook, nSub, cps)))
+    val lutC = when(size(v0) === 0, lit(null).cast("array<double>"))
+      .otherwise(colOf(graft.functions.PqLut(expr(vdChecked), codebook, nSub, cps)))
+    val qnC = sqrt(aggregate(coalesce(vd, array().cast("array<double>")),
+      lit(0.0d), (acc, x) => acc + x * x))
+    val csimsC = when(size(v0) === 0, lit(null).cast("array<double>"))
+      .otherwise(array(centroidsSorted.map(c =>
+        graft.llm.Similarity.cosine(vdChecked, typedLit(c._2))): _*))
+    if (!residual)
+      sdf.select(col(idCol).cast("long").as("id"),
+          codesC.as("codes"), lutC.as("lut"), qnC.as("qn"), csimsC.as("csims"))
+        .where(col("id").isNotNull)
+    else {
+      // encode the RESIDUAL against the own (argmax-csim, ties →
+      // smallest cell = first index, centroids are id-ascending) cell's
+      // centroid; carry the raw double vector for the per-probed-cell
+      // q·c dots
+      require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+      val centLit = typedLit(centroidsSorted.map(_._2))
+      val staged = sdf.select(col(idCol).cast("long").as("id"),
+          vd.as("vd"), v0.as("v0"), csimsC.as("csims"))
+        .where(col("id").isNotNull)
+      val vdc = graft.llm.Similarity.requireDim(col("vd"), dim)
+      val ownIdx = array_position(col("csims"), array_max(col("csims")))
+      val residualC = when(col("csims").isNull || ownIdx === 0,
+          lit(null).cast("array<double>"))
+        .otherwise(zip_with(vdc, element_at(centLit, ownIdx.cast("int")),
+          (a, b) => a - b))
+      val codesR = colOf(graft.functions.PqEncode(expr(residualC), codebook,
+        nSub, cps))
+      val lutR = when(size(col("v0")) === 0, lit(null).cast("array<double>"))
+        .otherwise(colOf(graft.functions.PqLut(expr(vdc), codebook, nSub, cps)))
+      val qnR = sqrt(aggregate(coalesce(col("vd"), array().cast("array<double>")),
+        lit(0.0d), (acc, x) => acc + x * x))
+      staged.select(col("id"), codesR.as("codes"), lutR.as("lut"),
+        qnR.as("qn"), col("csims"), col("vd"))
+    }
+  }
+
+  def ivfPqAnnStream(sdf: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Long, Seq[Double])],
+                     codebook: Seq[Seq[Double]], codesPerSub: Int,
+                     k: Int = 10, nProbe: Int = 4, dim: Int = 64,
+                     residual: Boolean = false): DataFrame = {
+    val centroidsSorted = validateIvfPq(centroids, codebook, codesPerSub, nProbe)
+    val nSub = codebook.length / codesPerSub
+    val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+    val cps = codesPerSub
+    val cells = centroidsSorted.map(_._1).toArray
+    val np = nProbe
+    val (centArrs, cn2s, wLuts) = ivfPqCellTables(centroidsSorted, codebook,
+      codesPerSub, dim, residual, norm2)
+    val prepared = ivfPqPrep(sdf, idCol, vecCol, centroidsSorted, codebook,
+      codesPerSub, dim, residual)
     val rowEnc = Encoders.row(prepared.schema)
     val outSchema = new org.apache.spark.sql.types.StructType()
       .add("query_id", "long").add("corpus_id", "long").add("rank", "integer")
@@ -506,6 +550,245 @@ object AnnStream {
     implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
     prepared.as(rowEnc)
       .groupByKey((_: Row) => 0)(Encoders.scalaInt)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** CELL-SHARDED stage A of the streaming IVF-PQ retrieval — the
+    * scale-out twin of [[ivfPqAnnStream]], following the
+    * `DupSpanStream.shardedGramHits`/`spanMergeStage` bridge precedent.
+    * The monolith keys its state to one Int, so every probe serializes
+    * through one task (~250–390 vecs/s regardless of cores); but unlike
+    * the near-dup union-find NOTHING here is corpus-global — each IVF
+    * cell's inverted list is independent state — so the operator shards
+    * by the thing the index is already bucketed by.
+    *
+    * Stage A keys `transformWithState` by CELL id. Each arrival fans
+    * out (in the distributed stage) into `nProbe` PROBE rows — one per
+    * probed cell, probe order = the monolith's exact (csim DESC, cell
+    * ASC) rank, computed as a sort_array over (−csim, cell) structs —
+    * plus one INSERT row into its own (rank-1) cell. Within a cell,
+    * rows process in (id, probe-before-insert) order, so a probe by id
+    * q sees exactly the inserts with id < q — including same-batch ones
+    * — and never its own insert: the monolith's feed contract, per
+    * shard. Per (query, cell) probe the stage emits ONE row carrying
+    * the cell-local top-k candidate list (possibly EMPTY — the merge
+    * stage counts cells, so empty probes must still report). Scores are
+    * bit-identical to the monolith's: the ADC/residual folds are the
+    * same loops over the same inputs, and the residual q·c dot moves to
+    * the distributed stage as aggregate(zip_with(vd, c, *), 0.0, +) —
+    * the identical left-fold the monolith's in-task loop runs.
+    *
+    * [[annMergeStage]] (keyed by query id) merges the nProbe cell lists
+    * into the final (query_id, corpus_id, rank) log. Per-cell top-k
+    * suffices for global top-k: every vector lives in exactly ONE cell
+    * (no cross-cell duplicates), and no cell can contribute more than k
+    * rows to the global top-k. Spark 4.1 does not chain two stateful
+    * `transformWithState` operators in one query, so stage B runs as a
+    * second query bridged by a replayable log of stage-A rows (memory
+    * table in the harness; files/kafka in production) — the same
+    * deployment shape as the sharded dup-span and near-dup pairs.
+    * Parity: `emb_ann_ivfpq_sharded_stream_replay` shares the
+    * monolith's DuckDB mirror, and AnnStreamSpec pins sym-diff-0
+    * against the monolith in both residual modes.
+    */
+  def shardedIvfPqCellHits(sdf: DataFrame, idCol: String, vecCol: String,
+                           centroids: Seq[(Long, Seq[Double])],
+                           codebook: Seq[Seq[Double]], codesPerSub: Int,
+                           k: Int = 10, nProbe: Int = 4, dim: Int = 64,
+                           residual: Boolean = false): DataFrame = {
+    val centroidsSorted = validateIvfPq(centroids, codebook, codesPerSub, nProbe)
+    val norm2 = codebook.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+    val cps = codesPerSub
+    val cells = centroidsSorted.map(_._1).toArray
+    val nCells = cells.length
+    val (_, cn2s, wLuts) = ivfPqCellTables(centroidsSorted, codebook,
+      codesPerSub, dim, residual, norm2)
+    val cellToIdx: Map[Long, Int] = cells.zipWithIndex.toMap
+    val kk = k
+    val prep0 = ivfPqPrep(sdf, idCol, vecCol, centroidsSorted, codebook,
+      codesPerSub, dim, residual)
+      // the monolith's skip condition: null codes/lut/csims (empty or
+      // null-element vectors) neither query nor index
+      .where(col("codes").isNotNull && col("lut").isNotNull &&
+        col("csims").isNotNull)
+    val cellsLit = typedLit(cells.toSeq)
+    // residual: q·c per centroid as the SAME left fold the monolith's
+    // in-task loop runs — aggregate(zip_with) is ((0 + q₀c₀) + q₁c₁) + …
+    val qdotsC =
+      if (!residual) array((0 until nCells).map(_ => lit(0.0d)): _*)
+      else {
+        val vdc = graft.llm.Similarity.requireDim(col("vd"), dim)
+        array(centroidsSorted.map(c =>
+          aggregate(zip_with(vdc, typedLit(c._2), (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x)): _*)
+      }
+    // probe structs sorted by (negs ASC = csim DESC, cell ASC) — struct
+    // lexicographic sort_array = the monolith's probe rank; qdot rides
+    // along (cell is unique, so it never participates in ordering)
+    val idxs = sequence(lit(0), lit(nCells - 1))
+    val probesC = slice(sort_array(zip_with(col("csims"), idxs, (s, i) =>
+      struct((-s).as("negs"),
+        element_at(cellsLit, i + 1).as("cell"),
+        element_at(qdotsC, i + 1).as("qdot")))), 1, nProbe)
+    val base = prep0.select(col("id"), col("codes"), col("lut"), col("qn"),
+      probesC.as("probes"))
+    val probeRows = base
+      .select(col("id"), col("lut"), col("qn"), explode(col("probes")).as("p"))
+      .select(col("p.cell").as("cell"), lit(0).as("kind"), col("id"),
+        lit(null).cast("array<int>").as("codes"), col("lut"), col("qn"),
+        col("p.qdot").as("qdot"))
+    val insertRows = base
+      .select(element_at(col("probes"), 1).getField("cell").as("cell"),
+        lit(1).as("kind"), col("id"), col("codes"),
+        lit(null).cast("array<double>").as("lut"),
+        lit(null).cast("double").as("qn"), lit(null).cast("double").as("qdot"))
+    val fanned = probeRows.unionByName(insertRows)
+    val rowEnc = Encoders.row(fanned.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("query_id", "long").add("cell", "long")
+      .add("cands", "array<struct<corpus_id:bigint,sim:double>>")
+    val outEnc = Encoders.row(outSchema)
+    val res = residual
+
+    val processor = new StatefulProcessor[Long, Row, Row] {
+      // this cell's inverted list: vec id → byte-packed PQ codes
+      @transient private var codesSt: org.apache.spark.sql.streaming.MapState[Long, Array[Byte]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        codesSt = getHandle.getMapState[Long, Array[Byte]]("codes",
+          Encoders.scalaLong, Encoders.kryo[Array[Byte]], TTLConfig.NONE)
+
+      // PqScore-identical folds — the monolith's exact score math
+      private def adcSim(codes: Array[Byte], lut: Array[Double], qn: Double): Double = {
+        var dot = 0.0; var cn2 = 0.0
+        var m = 0
+        while (m < codes.length) {
+          val idx = m * cps + (codes(m) & 0xff)
+          dot += lut(idx); cn2 += norm2(idx)
+          m += 1
+        }
+        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+      }
+
+      private def residualSim(codes: Array[Byte], lut: Array[Double],
+                              qdotc: Double, cn2: Double, w: Array[Double],
+                              qn: Double): Double = {
+        var adc = 0.0; var wsum = 0.0
+        var m = 0
+        while (m < codes.length) {
+          val idx = m * cps + (codes(m) & 0xff)
+          adc += lut(idx); wsum += w(idx)
+          m += 1
+        }
+        val vn2 = cn2 + wsum
+        if (vn2 <= 0.0) 0.0 else (qdotc + adc) / (math.sqrt(vn2) * qn)
+      }
+
+      override def handleInputRows(cell: Long, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val ci = cellToIdx(cell)
+        val w = if (res) wLuts(ci) else null
+        val cn2c = cn2s(ci)
+        // (id ASC, probe before insert): a probe by id q sees exactly the
+        // inserts with id < q — same-batch included — never its own
+        rows.toSeq.sortBy(r => (r.getLong(2), r.getInt(1))).foreach { r =>
+          if (r.getInt(1) == 1) {
+            codesSt.updateValue(r.getLong(2),
+              r.getSeq[Int](3).map(_.toByte).toArray)
+          } else {
+            val id = r.getLong(2)
+            val lut = r.getSeq[Double](4).toArray
+            val qn = r.getDouble(5)
+            val qdotc = r.getDouble(6)
+            val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+            val it = codesSt.iterator()
+            while (it.hasNext) {
+              val (cid, codes) = it.next()
+              scored += (((if (res) residualSim(codes, lut, qdotc, cn2c, w, qn)
+                           else adcSim(codes, lut, qn)), cid))
+            }
+            val top = scored.sortBy { case (sim, cid) => (-sim, cid) }.take(kk)
+            out += Row(id, cell, top.map { case (sim, cid) => Row(cid, sim) }.toSeq)
+          }
+        }
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    fanned.as(rowEnc)
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Sharded stage B — query-keyed merge of [[shardedIvfPqCellHits]]'s
+    * per-cell candidate lists. Keys by query id (every query's merge is
+    * independent), accumulating cell results in state until all
+    * `nProbe` probed cells have reported, then emits the global top-k
+    * by (sim DESC, corpus_id) — the monolith's exact rank policy — and
+    * CLEARS the query's state (in-flight state is ≤ nProbe × k
+    * candidates per incomplete query, nothing after completion). A
+    * redelivered stage-A row (at-least-once bridge) is absorbed by the
+    * seen-cell guard. Emits nothing for a query whose probed cells were
+    * all empty — the monolith's behavior for the first arrivals.
+    */
+  def annMergeStage(hits: DataFrame, nProbe: Int, k: Int = 10): DataFrame = {
+    val prepared = hits.select(col("query_id").cast("long").as("query_id"),
+      col("cell").cast("long").as("cell"), col("cands"))
+    val rowEnc = Encoders.row(prepared.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("query_id", "long").add("corpus_id", "long").add("rank", "integer")
+    val outEnc = Encoders.row(outSchema)
+    val np = nProbe
+    val kk = k
+
+    val processor = new StatefulProcessor[Long, Row, Row] {
+      @transient private var seenCells: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+      @transient private var candIds: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+      @transient private var candSims: org.apache.spark.sql.streaming.ValueState[Array[Double]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
+        seenCells = getHandle.getValueState[Array[Long]]("seenCells",
+          Encoders.kryo[Array[Long]], TTLConfig.NONE)
+        candIds = getHandle.getValueState[Array[Long]]("candIds",
+          Encoders.kryo[Array[Long]], TTLConfig.NONE)
+        candSims = getHandle.getValueState[Array[Double]]("candSims",
+          Encoders.kryo[Array[Double]], TTLConfig.NONE)
+      }
+
+      override def handleInputRows(qid: Long, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        var cellsSeen = { val v = seenCells.get(); if (v == null) Array.emptyLongArray else v }
+        var ids = { val v = candIds.get(); if (v == null) Array.emptyLongArray else v }
+        var sims = { val v = candSims.get(); if (v == null) Array.emptyDoubleArray else v }
+        rows.foreach { r =>
+          val cell = r.getLong(1)
+          if (!cellsSeen.contains(cell)) { // redelivery guard
+            cellsSeen = cellsSeen :+ cell
+            r.getSeq[Row](2).foreach { c =>
+              ids = ids :+ c.getLong(0)
+              sims = sims :+ c.getDouble(1)
+            }
+          }
+        }
+        if (cellsSeen.length >= np) {
+          seenCells.clear(); candIds.clear(); candSims.clear()
+          ids.indices
+            .sortBy(i => (-sims(i), ids(i)))
+            .take(kk).zipWithIndex
+            .map { case (i, rk) => Row(qid, ids(i), rk + 1) }
+            .iterator
+        } else {
+          seenCells.update(cellsSeen); candIds.update(ids); candSims.update(sims)
+          Iterator.empty
+        }
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(rowEnc)
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
       .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
   }
 }

@@ -177,6 +177,48 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("sharded ivfPq bridge: sym-diff-0 vs the monolith, plain and residual") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val NCELLS = 4; val NPROBE = 2; val CPS = 4
+      val cent = llm.Similarity.anchorCentroids(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nCells = NCELLS)
+      val (cb, _) = llm.Similarity.anchorCodebook(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nSub = 2, codesPerSub = CPS)
+      val model = llm.Similarity.residualPqModel(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nCells = NCELLS, nSub = 2, codesPerSub = CPS)
+      Seq(false, true).foreach { res =>
+        val (ct, cbk) =
+          if (res) (model.cells.map { case (c, v, _, _) => (c, v) }, model.codebook)
+          else (cent, cb)
+        val mono = Replay.replay(spark, vecs.toDF(), "vec_id", 3, "append")(sdf =>
+            AnnStream.ivfPqAnnStream(sdf, "vec_id", "embedding", centroids = ct,
+              codebook = cbk, codesPerSub = CPS, k = 3, nProbe = NPROBE,
+              dim = DIM, residual = res))
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+        val hits = Replay.replay(spark, vecs.toDF(), "vec_id", 3, "append")(sdf =>
+          AnnStream.shardedIvfPqCellHits(sdf, "vec_id", "embedding", centroids = ct,
+            codebook = cbk, codesPerSub = CPS, k = 3, nProbe = NPROBE,
+            dim = DIM, residual = res))
+        // stage-B chunk of 3 rows with nProbe=2 rows per query: every
+        // second query's cell results STRADDLE a micro-batch boundary,
+        // exercising the cross-batch state accumulation path
+        val sharded = Replay.replay(spark, hits, "query_id", 3, "append")(sdf =>
+            AnnStream.annMergeStage(sdf, nProbe = NPROBE, k = 3))
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+        assert(mono.nonEmpty, s"fixture drift: monolith emitted nothing (residual=$res)")
+        assert(sharded === mono, s"sharded bridge diverged from the monolith (residual=$res)")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("empty vector emits nothing and is not indexed") {
     val withNull = vecs.take(3) ++ Seq(Vec(4, null)) ++ Seq(Vec(5, at(5)))
     val key = "spark.sql.streaming.stateStore.providerClass"
