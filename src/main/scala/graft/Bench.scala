@@ -78,8 +78,18 @@ object Bench {
     // for a deterministic query it is the closest estimator of the plan's
     // true cost. All repetitions are kept in `queries_all` for transparency.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Sub-0.3 s queries are contention-noise territory: one descheduling
+    // event adds 50-100% to a 0.2 s measurement, and three reps have
+    // twice produced >1.5× "regressions" on UNCHANGED code in the
+    // official record (doc_exact_dedup r11+r12, both exonerated idle).
+    // Queries whose min lands under SmallQuerySec get extra repetitions
+    // (to smallReps total) — more draws at the true min, costing only
+    // fractions of a second precisely because the queries are small.
+    val smallSec = 0.3
+    val smallReps = math.max(reps,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SMALL_REPS", "5").toInt)
     val results = benchable.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def runOnce(): Double = {
         val t0 = System.nanoTime()
         val ok =
           // noop sink, NOT count(): a bare count(*) lets Catalyst prune
@@ -103,6 +113,12 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) elapsed else -1.0
       }
+      val base = (1 to reps).map(_ => runOnce())
+      val good0 = base.filter(_ >= 0)
+      val times =
+        if (good0.nonEmpty && good0.min < smallSec && smallReps > reps)
+          base ++ (reps until smallReps).map(_ => runOnce())
+        else base
       val good = times.filter(_ >= 0)
       name -> (if (good.nonEmpty) good.min else -1.0, times)
     }

@@ -262,10 +262,15 @@ object GraftSql {
           refine = litLong(es(7), "refine").toInt))
       },
       // `graft_ann_ivfpq(corpus, queries, id, vec, k, n_cells, n_probe,
-      // n_sub, residual)` — the composed IVF×PQ scan; residual <> 0
-      // switches to the Faiss-style residual encoding
-      // (`ivfPqTopK(residual = true)`). codesPerSub fixed at 16 (the
-      // byte-code default), refine/lloyd via the Scala API.
+      // n_sub, residual[, lloyd_iters[, refine]])` — the composed IVF×PQ
+      // scan; residual <> 0 switches to the Faiss-style residual
+      // encoding (`ivfPqTopK(residual = true)`); the optional
+      // lloyd_iters > 0 trains the PQ codebook with that many
+      // per-subspace Lloyd passes, so the measured-best configuration
+      // (residual + 2 Lloyd passes, BASELINE §2 recall table) is
+      // reachable from SQL as (..., 1, 2); the optional refine > 0
+      // re-ranks the top-`refine` ADC candidates with exact cosine.
+      // codesPerSub fixed at 16 (the byte-code default).
       "graft_ann_ivfpq" -> { (es: Seq[Expression]) =>
         plan(llm.Similarity.ivfPqTopK(tableArg(es.head),
           tableArg(es(1)), litStr(es(2), "id column"),
@@ -273,7 +278,9 @@ object GraftSql {
           nCells = litLong(es(5), "n_cells").toInt,
           nProbe = litLong(es(6), "n_probe").toInt,
           nSub = litLong(es(7), "n_sub").toInt,
-          residual = litLong(es(8), "residual") != 0L))
+          residual = litLong(es(8), "residual") != 0L,
+          lloydIters = if (es.length > 9) litInt(es(9), "lloyd_iters") else 0,
+          refine = if (es.length > 10) litInt(es(10), "refine") else 0))
       },
       // ---- corpus-curation TVFs (llm.CorpusOps) —
       // `graft_repetition(t, id, text)`,

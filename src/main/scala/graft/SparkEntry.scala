@@ -155,6 +155,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
     }),
+    // ... the same cross-corpus pairs at a CAP-BINDING geometry (coarse
+    // 1-gram shingles, 2 bands × 1 row, maxBucket=40 — at sf0.01 the
+    // hottest shared bucket holds ~355 train + ~41 eval members, so the
+    // cap genuinely drops buckets): the batch operator admits a bucket
+    // iff its COMBINED train+eval occupancy ≤ 40, while the streaming
+    // twin (doc_fuzzy_pairs_capped_stream_replay) can only cap the
+    // static EVAL side — the two policies diverge here by design, and
+    // each hash-matches its OWN DuckDB mirror
+    "doc_fuzzy_pairs_capped_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.crossMinhashPairsMd5(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id",
+        shingleN = 1, bands = 2, rowsPerBand = 1, threshold = 0.1,
+        maxBucket = 40)
+    }),
     // ... and the end-to-end FUZZY decontamination deliverable: train
     // docs surviving after dropping everything with an exact-Jaccard-
     // verified near-dup in eval (the paraphrased/partial-overlap tail
@@ -308,6 +324,24 @@ object SparkEntry {
     "doc_pack" -> ((s, d) =>
       llm.CorpusOps.packSequences(Tables.documents(s, d), "doc_id", "text",
         "source", budget = 512)),
+    // END-TO-END curation composition — the four pipeline stages CHAINED
+    // the way the reference's tests compose window+join+agg
+    // (UniqueLengthBatchWindowTestCase.java:327-421): exact dedup →
+    // fuzzy decontamination (md5 family, caps unbound) → per-source cap
+    // → sequence packing, one row mirrored end to end in DuckDB. Each
+    // stage's input is the previous stage's OUTPUT, so the mirror pins
+    // the stage boundaries (schemas, survivor sets), not just each
+    // operator in isolation.
+    "doc_curation_pipeline_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = llm.TextDedup.exactDedup(docs, Seq("text"), "doc_id")
+      val train = deduped.filter(col("doc_id") % 10 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val decontamed = llm.TextDedup.fuzzyDecontaminateMd5(train, evalDocs,
+        "doc_id", "text")
+      val capped = llm.CorpusOps.capPerGroup(decontamed, "source", "doc_id", 10)
+      llm.CorpusOps.packSequences(capped, "doc_id", "text", "source", budget = 512)
+    }),
     "doc_sample_md5" -> ((s, d) =>
       llm.CorpusOps.sampleByHash(Tables.documents(s, d), "doc_id", "text", "lang",
         Map("en" -> "1999"), defaultPrefix = "3333")),
@@ -750,6 +784,32 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // ... and the CELL-SHARDED two-stage form (the scale-out twin: per-
+    // cell probe scoring in stage A keyed by IVF cell, query-keyed
+    // top-k merge in stage B, bridged by a replayable hit log exactly
+    // like doc_dup_spans_sharded_stream_replay) — same config, same
+    // DuckDB mirror as the monolith row
+    "emb_ann_ivfpq_sharded_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val cent = llm.Similarity.anchorCentroids(emb, "vec_id", "embedding",
+          dim = 64, nCells = 16)
+        val (cb, _) = llm.Similarity.anchorCodebook(emb, "vec_id", "embedding",
+          dim = 64, nSub = 8, codesPerSub = 16)
+        val hits = streaming.Replay.replay(s, emb, "vec_id", 1000,
+          "append")(sdf => streaming.AnnStream.shardedIvfPqCellHits(sdf,
+            "vec_id", "embedding", centroids = cent, codebook = cb,
+            codesPerSub = 16, nProbe = 4))
+        streaming.Replay.replay(s, hits, "query_id", 1 << 20,
+          "append")(sdf => streaming.AnnStream.annMergeStage(sdf, nProbe = 4))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ... and its RESIDUAL form: state codes are v − centroid(own cell),
     // scored with the per-cell norm-correction tables — the streaming
     // analog of emb_ann_ivfpq_residual, same deployed-literal contract
@@ -788,6 +848,27 @@ object SparkEntry {
           "doc_id", 100, "append") { sdf =>
           cs = streaming.FuzzyDecontamStream.contaminationLogStatsMd5(sdf,
             docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+          cs.log
+        }
+      finally if (cs != null) cs.unpersist()
+    }),
+    // ... and the CAP-BINDING geometry twin of doc_fuzzy_pairs_capped_md5:
+    // same coarse banding (1-gram, 2×1, maxBucket=40), but the online
+    // operator can only cap the static EVAL side (the stream side's
+    // occupancy is unknowable online) — here the eval cap drops ONE
+    // bucket (41 eval members > 40) while the batch twin's combined cap
+    // drops four, so the two logs differ by design; this row pins the
+    // eval-side-only policy against its own DuckDB mirror
+    "doc_fuzzy_pairs_capped_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      var cs: streaming.FuzzyDecontamStream.ContaminationStream = null
+      try
+        streaming.Replay.replay(s, docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", 100, "append") { sdf =>
+          cs = streaming.FuzzyDecontamStream.contaminationLogStatsMd5(sdf,
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            shingleN = 1, bands = 2, rowsPerBand = 1, threshold = 0.1,
+            maxBucket = 40)
           cs.log
         }
       finally if (cs != null) cs.unpersist()
@@ -975,6 +1056,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
         .select("doc_id")
+    }),
+    // production curation composition: the doc_curation_pipeline_md5
+    // chain with xxhash64 fuzzy decontamination (the md5 twin carries
+    // the end-to-end oracle check)
+    "doc_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = llm.TextDedup.exactDedup(docs, Seq("text"), "doc_id")
+      val dec = llm.TextDedup.fuzzyDecontaminate(
+        deduped.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val capped = llm.CorpusOps.capPerGroup(dec, "source", "doc_id", 10)
+      llm.CorpusOps.packSequences(capped, "doc_id", "text", "source", budget = 512)
     }),
     // production float-feature path (the `queries` entry is the
     // integer-lane checked twin); same key so the bench metric keeps
@@ -1229,6 +1322,9 @@ object SparkEntry {
           |WHERE d.doc_id % 50 <> 0""".stripMargin,
       "doc_pack" -> docPackOracle,
       "doc_pack_stream_replay" -> docPackOracle,
+      // the four-stage curation chain, mirrored end to end (each stage
+      // consumes the previous stage's output)
+      "doc_curation_pipeline_md5" -> docCurationPipelineOracle,
       "doc_sample_md5" ->
         """SELECT doc_id, text, lang, source, n_chars FROM documents
           |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) <
@@ -1321,6 +1417,11 @@ object SparkEntry {
       // neither cap binding (50 eval docs, cap 1000) the admitted bucket
       // sets coincide, and the replay feeds every train doc
       "doc_fuzzy_pairs_stream_replay" -> docFuzzyPairsOracle,
+      // cap-BINDING geometry: the two cap policies diverge by design, so
+      // each row gets its OWN mirror — combined-occupancy (batch) vs
+      // eval-side-only (stream)
+      "doc_fuzzy_pairs_capped_md5" -> docFuzzyCappedOracle(evalSideOnly = false),
+      "doc_fuzzy_pairs_capped_stream_replay" -> docFuzzyCappedOracle(evalSideOnly = true),
       "doc_source_cap" ->
         """SELECT doc_id, source FROM (
           |  SELECT doc_id, source,
@@ -1352,6 +1453,9 @@ object SparkEntry {
       "emb_ann_stream_replay" -> embAnnStreamOracle,
       "emb_ann_pq_stream_replay" -> embPqStreamOracle,
       "emb_ann_ivfpq_stream_replay" -> embIvfPqStreamOracle,
+      // the cell-sharded two-stage bridge computes the same retrieval
+      // log as the monolith, so it shares the monolith's mirror
+      "emb_ann_ivfpq_sharded_stream_replay" -> embIvfPqStreamOracle,
       "emb_ann_ivfpq_residual_stream_replay" -> embIvfPqResidualStreamOracle,
       "emb_ann_ivfpq_residual_restart_stream_replay" -> embIvfPqResidualStreamOracle,
       "mm_features" -> mmFeaturesOracle,
@@ -1791,7 +1895,14 @@ object SparkEntry {
     * appear AND the combined occupancy is ≤ maxBucket; candidates are
     * the bipartite bucket product, verified with one exact Jaccard.
     */
-  private def docCrossMd5PairsCtes: String = {
+  private def docCrossMd5PairsCtes: String =
+    docCrossMd5PairsCtes("trn AS (SELECT * FROM s2 WHERE doc_id % 10 <> 0)")
+
+  /** The cross-pairs CTE chain with a caller-supplied `trn` CTE (the
+    * composition oracle restricts the train side to the exact-dedup
+    * survivors; the standalone rows use the plain %10 split above).
+    */
+  private def docCrossMd5PairsCtes(trnCte: String): String = {
     val bands = 4; val r = 2; val k = bands * r
     val sigItems = (0 until k).map(i =>
       s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
@@ -1800,7 +1911,7 @@ object SparkEntry {
       s"WHEN $b THEN md5($parts || '#$b')"
     }.mkString(" ")
     s"""$md5ShingleCtes,
-       |trn AS (SELECT * FROM s2 WHERE doc_id % 10 <> 0),
+       |$trnCte,
        |evl AS (SELECT * FROM s2 WHERE doc_id % 10 = 0),
        |sigT AS (SELECT doc_id, [$sigItems] AS sig FROM trn),
        |sigE AS (SELECT doc_id, [$sigItems] AS sig FROM evl),
@@ -1826,10 +1937,90 @@ object SparkEntry {
     s"""WITH $docCrossMd5PairsCtes
        |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
 
+  /** The CAP-BINDING-geometry cross-pairs mirror (shingleN=1, bands=2,
+    * rowsPerBand=1, threshold=0.1, maxBucket=40): coarse enough that at
+    * sf0.01 the hottest shared band bucket holds ~355 train + ~41 eval
+    * members, so the bucket cap genuinely drops buckets and the two cap
+    * POLICIES diverge. `evalSideOnly = false` mirrors the batch
+    * operator (a bucket is admitted iff its combined train+eval
+    * occupancy ≤ 40); `evalSideOnly = true` mirrors the streaming
+    * operator (only eval-side occupancy ≤ 40 — the stream side's
+    * occupancy is unknowable online, FuzzyDecontamStream's documented
+    * cap semantics).
+    */
+  private def docFuzzyCappedOracle(evalSideOnly: Boolean): String = {
+    val okCte =
+      if (evalSideOnly)
+        """ok AS (SELECT band, bh FROM
+          |  (SELECT band, bh, count(*) AS cr FROM bE GROUP BY band, bh)
+          |  WHERE cr <= 40)""".stripMargin
+      else
+        """ok AS (SELECT ct.band, ct.bh FROM
+          |  (SELECT band, bh, count(*) AS cl FROM bT GROUP BY band, bh) ct
+          |  JOIN (SELECT band, bh, count(*) AS cr FROM bE GROUP BY band, bh) ce
+          |    ON ce.band = ct.band AND ce.bh = ct.bh
+          |  WHERE ct.cl + ce.cr <= 40)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_transform(list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> ''),
+       |    t -> md5(t)) AS th FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(th) AS sh FROM tk),
+       |s2 AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+       |trn AS (SELECT * FROM s2 WHERE doc_id % 10 <> 0),
+       |evl AS (SELECT * FROM s2 WHERE doc_id % 10 = 0),
+       |sigT AS (SELECT doc_id, [list_min(list_transform(sh, h -> md5(h || '#0'))),
+       |  list_min(list_transform(sh, h -> md5(h || '#1')))] AS sig FROM trn),
+       |sigE AS (SELECT doc_id, [list_min(list_transform(sh, h -> md5(h || '#0'))),
+       |  list_min(list_transform(sh, h -> md5(h || '#1')))] AS sig FROM evl),
+       |bT AS (SELECT doc_id, band,
+       |  CASE band WHEN 0 THEN md5(sig[1] || '#0') WHEN 1 THEN md5(sig[2] || '#1') END AS bh
+       |  FROM sigT CROSS JOIN (SELECT unnest([0, 1]) AS band) b),
+       |bE AS (SELECT doc_id, band,
+       |  CASE band WHEN 0 THEN md5(sig[1] || '#0') WHEN 1 THEN md5(sig[2] || '#1') END AS bh
+       |  FROM sigE CROSS JOIN (SELECT unnest([0, 1]) AS band) b),
+       |$okCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, e.doc_id AS id_b
+       |  FROM bT a JOIN ok USING (band, bh)
+       |       JOIN bE e ON e.band = a.band AND e.bh = a.bh),
+       |j AS (SELECT id_a, id_b, ${md5JaccardExpr("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN trn sa ON sa.doc_id = cand.id_a
+       |            JOIN evl sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1""".stripMargin
+  }
+
   private def docFuzzyDecontamOracle: String =
     s"""WITH $docCrossMd5PairsCtes
        |SELECT doc_id FROM documents
        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT id_a FROM mp)""".stripMargin
+
+  /** End-to-end mirror of the `doc_curation_pipeline` composition:
+    * exact dedup (min doc_id per text) → the cross-pairs chain with the
+    * TRAIN SIDE restricted to dedup survivors (caps unbound at this
+    * geometry) → anti-join the contaminated ids → per-source cap 10 →
+    * the packSequences window — each stage consuming the previous
+    * stage's output exactly as the Spark chain does.
+    */
+  private def docCurationPipelineOracle: String = {
+    val cross = docCrossMd5PairsCtes(
+      "trn AS (SELECT s2.* FROM s2 JOIN dd ON dd.doc_id = s2.doc_id WHERE s2.doc_id % 10 <> 0)")
+    s"""WITH dd AS (SELECT doc_id, text, source FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |$cross,
+       |surv AS (SELECT dd.* FROM dd
+       |  WHERE dd.doc_id % 10 <> 0 AND dd.doc_id NOT IN (SELECT id_a FROM mp)),
+       |capped AS (SELECT doc_id, text, source FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |    FROM surv) WHERE rk <= 10),
+       |pt AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tok
+       |  FROM capped)
+       |SELECT doc_id, source, n_tok,
+       |  CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) AS tok_offset,
+       |  CAST(floor(CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) / 512) AS BIGINT) AS bin_id
+       |FROM pt
+       |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+  }
 
   /** Connected components of the md5 minhash pairs as a recursive-CTE
     * transitive closure (feasible at oracle scale: closure size is

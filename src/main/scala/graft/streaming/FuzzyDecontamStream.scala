@@ -28,16 +28,23 @@ import graft.llm.TextDedup
   * log. The one divergence: a train doc REDELIVERED (at-least-once
   * source) more than `dedupRetention` after its first delivery re-emits
   * its pairs; the downstream anti-join is idempotent to that, which is
-  * the operator's sink contract.
+  * the operator's sink contract. Callers that COUNT or AGGREGATE the
+  * log (rather than anti-join it) inherit that weakening — under an
+  * at-least-once source their tallies can include retention-window
+  * re-emissions; such callers should dedup on (id_a, id_b) themselves
+  * or consume the anti-joined relation.
   *
   * Cap semantics vs the batch twin: online, the stream side's bucket
   * occupancy is unknowable, so `maxBucket` caps the STATIC EVAL side
   * only (a band bucket with more than maxBucket eval members is dropped
   * from the index). The batch operator caps the combined occupancy;
-  * when neither cap binds the two admitted sets are identical, and the
-  * divergence when a cap DOES bind is pinned by the
-  * `doc_fuzzy_pairs_capped*` oracle rows (each policy against its own
-  * DuckDB mirror).
+  * when neither cap binds the two admitted sets are identical
+  * (`doc_fuzzy_pairs_stream_replay` shares the batch mirror at exactly
+  * that geometry), and the divergence when a cap DOES bind is pinned at
+  * a cap-binding geometry by the `doc_fuzzy_pairs_capped_md5` (batch,
+  * combined-occupancy policy) and `doc_fuzzy_pairs_capped_stream_replay`
+  * (this operator, eval-side-only policy) oracle rows — each policy
+  * hash-matched against its own DuckDB mirror.
   *
   * 100 TB shape: the eval index is a small static relation (broadcast
   * by Catalyst when under the threshold), the stream side is a pure

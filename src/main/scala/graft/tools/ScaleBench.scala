@@ -116,7 +116,8 @@ object ScaleBench {
       "emb_ann_stream_soak", "emb_ann_pq_stream_soak", "corpus_curation", "dup_spans",
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
-      "fuzzy_decontam_scale")
+      "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
+      "emb_ann_sharded_stream_soak")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -272,6 +273,82 @@ object ScaleBench {
         graft.llm.TextDedup.fuzzyDecontaminate(docsSf1, evalSide,
           "doc_id", "text").count()
       }
+    }
+    // capPerGroup hot-group probe (VERDICT r12 owed measurement): plant
+    // ONE group holding 50% of the N× corpus — exactly the skew the
+    // two-level plan exists for — and A/B against the bare window plan
+    // it replaced. The pre-cap bounds what reaches the group-keyed
+    // exchange at partitions × cap rows for the hot group (vs its full
+    // 50% share in the bare plan), so the shuffle_write_mb delta IS the
+    // shuffle-bound claim, measured; the wall delta prices the pre-cap's
+    // encoder pass at skew (at sf0.1 flat it costs +52%, BASELINE §2).
+    if (wanted("source_cap_hotgroup")) {
+      val hot = docsSf1.withColumn("source",
+        when(col("doc_id") % 2 === 0, lit("hotdomain")).otherwise(col("source")))
+      val nPart = hot.rdd.getNumPartitions
+      parts += timed("source_cap_hotgroup_precap") {
+        graft.llm.CorpusOps.capPerGroup(hot, "source", "doc_id", 10).count()
+      }
+      parts += timed("source_cap_hotgroup_bare_window") {
+        hot.withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(col("doc_id"))))
+          .filter(col("__rk") <= 10).drop("__rk").count()
+      }
+      parts += (s""""source_cap_hotgroup_bound":{"input_partitions":$nPart,""" +
+        s""""cap":10,"hot_group_shuffled_rows_bound":${nPart * 10}}""")
+    }
+    // FuzzyDecontamStream state soak (VERDICT r12 owed measurement): the
+    // watermark-bounded pair dedup's state must track the RETENTION
+    // WINDOW, not the lifetime log. Train side = copies 0-2 of the N×
+    // corpus (the copy construction makes every eval text's copies
+    // cross-side near-dups, so the pair log is dense — the regime where
+    // lifetime pair state would actually hurt); retention = 2 seconds
+    // with real wall-time gaps between increments. Bounded = the state-
+    // rows trajectory plateaus (evictions keep pace with emissions)
+    // instead of tracking the cumulative emitted-pair count.
+    if (wanted("fuzzy_stream_soak")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val baseDocs = graft.Tables.documents(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      val evalSide = baseDocs.filter(col("doc_id") % 10 === 0)
+      val maxDoc = baseDocs.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1
+      val src = docsSf1
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") < lit(3L * maxDoc))
+        .select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val stream = MemoryStream[Row]
+      val cs = graft.streaming.FuzzyDecontamStream.contaminationLogStats(
+        stream.toDF(), evalSide, "doc_id", "text", dedupRetention = "2 seconds")
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt_fuzzy_soak")
+      val q = cs.log.writeStream.format("memory").queryName("soak_fuzzy")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      val all = src.orderBy("doc_id").collect()
+      val nInc = 20
+      val per = math.max(1, all.length / nInc)
+      val traj = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t0 = System.nanoTime()
+      all.grouped(per).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+        traj += Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(-1L)
+        Thread.sleep(400) // real wall-time gap so the watermark advances
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val emitted = spark.table("soak_fuzzy").count()
+      q.stop(); cs.unpersist()
+      parts += (f""""fuzzy_stream_soak":{"train_docs":${all.length},""" +
+        f""""increments":$nInc,"retention_sec":2,"sec":$sec%.1f,""" +
+        f""""emitted_pairs":$emitted,""" +
+        f""""state_rows_max":${traj.max},"state_rows_final":${traj.last},""" +
+        s""""state_rows_trajectory":${traj.mkString("[", ",", "]")}}""")
     }
     // span dedup at N×: the copy construction duplicates every doc body
     // N times (copies differ only in the appended variant token), so
@@ -1067,6 +1144,104 @@ object ScaleBench {
           f""""sec":$sec%.2f,"vecs_per_sec":${nVecs / sec}%.0f,""" +
           f""""result_rows":$nRows,"state_rows":$stateRows,""" +
           f""""state_bytes":$stateBytes}""")
+      }
+    }
+    // CELL-SHARDED streaming ANN A/B (VERDICT r12 top ask's scale
+    // measurement): the shardedIvfPqCellHits → annMergeStage bridge on
+    // the same corpus and geometry (nCells=64, nProbe=4, anchor
+    // codebook) as the `ivfpq` monolith arm above. Stage A (cell-keyed
+    // probe scoring, the former single-task bottleneck now spread over
+    // 64 cell shards) and stage B (query-keyed merge) are timed
+    // separately and combined as a pipelined rate like neardup_sharded;
+    // parity = sym-diff vs the monolith arm's sink when both arms ran
+    // in this invocation.
+    if (wanted("emb_ann_sharded_stream_soak")) {
+      import org.apache.spark.sql.{DataFrame, Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val src = embSf1.select(col("vec_id"), col("embedding"))
+      val (cb, _) = graft.llm.Similarity.anchorCodebook(embSf1, "vec_id", "embedding",
+        dim = 64, nSub = 8, codesPerSub = 16)
+      val cent = graft.llm.Similarity.anchorCentroids(embSf1, "vec_id", "embedding",
+        dim = 64, nCells = 64)
+      val ids = embSf1.agg(min(col("vec_id")).cast("long"),
+        max(col("vec_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 10
+      val span = (hi - lo + nInc) / nInc
+      // stage A: MemoryStream feed in vec_id order, hit log collected
+      // per micro-batch (the replayable bridge — files/kafka in
+      // production, arrays here)
+      val hitBatches = scala.collection.mutable.ArrayBuffer.empty[Array[Row]]
+      var hitsSchema: org.apache.spark.sql.types.StructType = null
+      var nVecs = 0L
+      var secA = 0.0
+      locally {
+        implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+        val streamA = MemoryStream[Row]
+        val hitsDf = graft.streaming.AnnStream.shardedIvfPqCellHits(
+          streamA.toDF(), "vec_id", "embedding", centroids = cent,
+          codebook = cb, codesPerSub = 16, nProbe = 4)
+        hitsSchema = hitsDf.schema
+        val qA = hitsDf.writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ckpt_ann_sharded_a").toString)
+          .foreachBatch((b: DataFrame, _: Long) => { hitBatches += b.collect(); () })
+          .start()
+        val t0 = System.nanoTime()
+        (0 until nInc).foreach { i =>
+          val chunk = src.filter(col("vec_id") >= lo + i * span &&
+            col("vec_id") < lo + (i + 1) * span).orderBy("vec_id").collect()
+          nVecs += chunk.length
+          streamA.addData(chunk.toSeq)
+          qA.processAllAvailable()
+        }
+        secA = (System.nanoTime() - t0) / 1e9
+        qA.stop()
+      }
+      // stage B: each stage-A micro-batch replays as one increment (the
+      // bridge preserves batch alignment; the merge state absorbs any
+      // split — AnnStreamSpec pins the straddling case)
+      var secB = 0.0
+      locally {
+        implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(hitsSchema)
+        val streamB = MemoryStream[Row]
+        val qB = graft.streaming.AnnStream.annMergeStage(streamB.toDF(), nProbe = 4)
+          .writeStream.format("memory").queryName("soak_ann_sharded")
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ckpt_ann_sharded_b").toString)
+          .start()
+        val t0 = System.nanoTime()
+        hitBatches.foreach { b =>
+          if (b.nonEmpty) {
+            streamB.addData(b.toSeq)
+            qB.processAllAvailable()
+          }
+        }
+        secB = (System.nanoTime() - t0) / 1e9
+        val nRows = spark.table("soak_ann_sharded").count()
+        val hitRows = hitBatches.map(_.length.toLong).sum
+        // parity vs the monolith arm (same geometry) when it ran above
+        val symDiff =
+          if (!spark.catalog.tableExists("soak_annpq_ivfpq")) -1L
+          else {
+            val sharded = spark.table("soak_ann_sharded")
+              .select("query_id", "corpus_id", "rank")
+            val mono = spark.table("soak_annpq_ivfpq")
+              .select("query_id", "corpus_id", "rank")
+            sharded.exceptAll(mono).count() + mono.exceptAll(sharded).count()
+          }
+        qB.stop()
+        val pipelined = nVecs / math.max(secA, secB)
+        parts += (f""""emb_ann_sharded_stream_soak":{"vecs":$nVecs,""" +
+          f""""stage_a_sec":$secA%.2f,"stage_a_vecs_per_sec":${nVecs / secA}%.0f,""" +
+          f""""stage_b_sec":$secB%.2f,"stage_b_hit_rows":$hitRows,""" +
+          f""""pipelined_vecs_per_sec":$pipelined%.0f,""" +
+          f""""result_rows":$nRows,"sym_diff_vs_monolith":$symDiff}""")
       }
     }
     // Adversarial lengthBatch regime (VERDICT r7 ask #6): with key

@@ -368,8 +368,11 @@ object SweepVerify {
     */
   private def crossMinhashCtes(shingleN: Int, bands: Int, r: Int,
                                threshold: Double, maxBucket: Int,
-                               evalMod: Int): String = {
+                               evalMod: Int,
+                               trnCte: Option[String] = None): String = {
     val k = bands * r
+    val trn = trnCte.getOrElse(
+      s"trn AS (SELECT * FROM s2 WHERE doc_id % $evalMod <> 0)")
     val sigItems = (0 until k).map(i =>
       s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
     val bandCase = (0 until bands).map { b =>
@@ -377,7 +380,7 @@ object SweepVerify {
       s"WHEN $b THEN md5($parts || '#$b')"
     }.mkString(" ")
     s"""${md5ShingleCtesN(shingleN)},
-       |trn AS (SELECT * FROM s2 WHERE doc_id % $evalMod <> 0),
+       |$trn,
        |evl AS (SELECT * FROM s2 WHERE doc_id % $evalMod = 0),
        |sigT AS (SELECT doc_id, [$sigItems] AS sig FROM trn),
        |sigE AS (SELECT doc_id, [$sigItems] AS sig FROM evl),
@@ -428,6 +431,38 @@ object SweepVerify {
     s"""WITH ${crossMinhashCtes(shingleN, bands, r, threshold, maxBucket, evalMod)}
        |SELECT doc_id FROM documents
        |WHERE doc_id % $evalMod <> 0 AND doc_id NOT IN (SELECT id_a FROM mp)""".stripMargin
+
+  /** End-to-end mirror of the drawn curation composition (the
+    * doc_curation_pipeline oracle with every stage parameter drawn
+    * jointly): exact dedup → cross-pairs with the train side restricted
+    * to dedup survivors → anti-join → per-source cap → packSequences
+    * window.
+    */
+  private def curationPipelineSql(shingleN: Int, bands: Int, r: Int,
+                                  threshold: Double, maxBucket: Int,
+                                  evalMod: Int, cap: Int, budget: Int): String = {
+    val cross = crossMinhashCtes(shingleN, bands, r, threshold, maxBucket,
+      evalMod, Some("trn AS (SELECT s2.* FROM s2 JOIN dd ON dd.doc_id = s2.doc_id" +
+        s" WHERE s2.doc_id % $evalMod <> 0)"))
+    s"""WITH dd AS (SELECT doc_id, text, source FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |$cross,
+       |surv AS (SELECT dd.* FROM dd
+       |  WHERE dd.doc_id % $evalMod <> 0 AND dd.doc_id NOT IN (SELECT id_a FROM mp)),
+       |capped AS (SELECT doc_id, text, source FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+       |    FROM surv) WHERE rk <= $cap),
+       |pt AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tok
+       |  FROM capped)
+       |SELECT doc_id, source, n_tok,
+       |  CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) AS tok_offset,
+       |  CAST(floor(CAST(coalesce(sum(n_tok) OVER w, 0) AS BIGINT) / $budget) AS BIGINT) AS bin_id
+       |FROM pt
+       |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+  }
 
   /** Recursive closure over mp → cc(id, cluster_id). */
   private def clusterTail: String =
@@ -668,14 +703,18 @@ object SweepVerify {
     * PqEncode/PqLut/PqScore. refine > 0 appends the exact-cosine
     * re-rank of the top-refine ADC candidates (the two-stage path).
     */
-  private def embPqSql(nSub: Int, cps: Int, k: Int, refine: Int,
-                       lloydIters: Int = 0, sampleN: Int = 512): String = {
+  /** CTE chain deriving the (anchor or Lloyd-trained) PQ codebook as
+    * `cbn(m, j, cent, n2)` — `Similarity.trainedCodebook`'s mirror with
+    * unrolled per-subspace Lloyd passes on the sampleN lowest-id rows
+    * (quantized-mean determinism — see the SparkEntry mirror for the
+    * derivation). Shared by the pq AND ivfpq sweep mirrors, so drawn
+    * `lloydIters` sweeps the trained-codebook path in both compositions.
+    */
+  private def codebookCtes(nSub: Int, cps: Int, lloydIters: Int,
+                           sampleN: Int = 512): String = {
     val subDim = 64 / nSub
     def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
     def sle(v: String) = s"$v[g.m*$subDim+1 : g.m*$subDim+$subDim]"
-    // unrolled per-subspace Lloyd passes on the sampleN lowest-id rows
-    // (Similarity.trainedCodebook's quantized-mean determinism — see the
-    // SparkEntry mirror for the derivation)
     val train = (0 until lloydIters).map { i =>
       val prev = if (i == 0) "cb0" else s"cb$i"
       s"""sd$i AS (SELECT s.vec_id, p.m, p.j,
@@ -702,15 +741,22 @@ object SweepVerify {
       if (lloydIters > 0)
         s"\nsamp AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $sampleN),"
       else ""
+    s"""a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $cps),
+       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
+       |cb0 AS (SELECT m, j, ${sl("av")} AS cent
+       |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),$sampCte
+       |$train
+       |cbn AS (SELECT m, j, cent,
+       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
+       |  FROM cb$lloydIters)""".stripMargin
+  }
+
+  private def embPqSql(nSub: Int, cps: Int, k: Int, refine: Int,
+                       lloydIters: Int = 0, sampleN: Int = 512): String = {
+    val subDim = 64 / nSub
+    def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
     val core =
-      s"""a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $cps),
-         |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
-         |cb0 AS (SELECT m, j, ${sl("av")} AS cent
-         |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),$sampCte
-         |$train
-         |cbn AS (SELECT m, j, cent,
-         |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
-         |  FROM cb$lloydIters),
+      s"""${codebookCtes(nSub, cps, lloydIters, sampleN)},
          |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
          |enc0 AS (SELECT corpus_id, m, j,
          |    list_reduce(list_transform(list_zip(${sl("cv")}, cent),
@@ -776,18 +822,13 @@ object SweepVerify {
     * scores divided in the engine's exact order ((adc/√cn2)/‖q‖).
     */
   private def embIvfPqSql(nCells: Int, nProbe: Int, nSub: Int, cps: Int,
-                          k: Int, stream: Boolean): String = {
+                          k: Int, stream: Boolean,
+                          lloydIters: Int = 0): String = {
     val subDim = 64 / nSub
     def sl(v: String) = s"$v[m*$subDim+1 : m*$subDim+$subDim]"
     val qFilter = if (stream) "" else " WHERE vec_id < 20"
     val candRestrict = if (stream) "<" else "<>"
-    s"""WITH a0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $cps),
-       |a AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, embedding AS av FROM a0),
-       |cb AS (SELECT m, j, ${sl("av")} AS cent
-       |  FROM a CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS m)),
-       |cbn AS (SELECT m, j, cent,
-       |    list_reduce(list_transform(cent, x -> CAST(x AS DOUBLE) * x), (x, y) -> x + y) AS n2
-       |  FROM cb),
+    s"""WITH ${codebookCtes(nSub, cps, lloydIters)},
        |centt AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
        |    FROM embeddings ORDER BY vec_id LIMIT $nCells),
        |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
@@ -962,7 +1003,8 @@ object SweepVerify {
       "neardup_clusters", "neardup_dedup", "dup_spans", "span_removal",
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
-      "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream")
+      "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
+      "curation_pipeline", "ann_sharded_stream")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1389,13 +1431,19 @@ object SweepVerify {
           val nc = pick(Seq(8, 16, 32)); val np = pick(Seq(2, 4))
           val ns = pick(Seq(4, 8, 16)); val kk = pick(Seq(5, 10))
           val rs = pick(Seq(false, true))
+          // drawn Lloyd passes in DIRECT mode — the trained-codebook
+          // composition the graft_ann_ivfpq TVF exposes (lloyd_iters
+          // arg); the TVF↔API parity is spec-pinned, this draw closes
+          // API↔DuckDB. Residual draws stay anchor-codebook (no
+          // residual-Lloyd mirror).
+          val ll = if (rs) 0 else pick(Seq(0, 1, 2))
           (graft.llm.Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
             "vec_id", "embedding", kk, nCells = nc, nProbe = np,
-            nSub = ns, codesPerSub = 16, residual = rs)
+            nSub = ns, codesPerSub = 16, residual = rs, lloydIters = ll)
             .select("query_id", "corpus_id", "rank"),
             if (rs) embIvfPqResidualSql(nc, np, ns, 16, kk)
-            else embIvfPqSql(nc, np, ns, 16, kk, stream = false),
-            s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}")
+            else embIvfPqSql(nc, np, ns, 16, kk, stream = false, lloydIters = ll),
+            s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}${if (ll > 0) s"_l$ll" else ""}")
         case "emb_ivfpq_stream" =>
           // the CELL-BUCKETED streaming form through the replay harness:
           // every arrival retrieves against earlier arrivals from its
@@ -1432,6 +1480,65 @@ object SweepVerify {
           (d, if (rs) embIvfPqResidualSql(nc, np, ns, 16, kk, stream = true)
               else embIvfPqSql(nc, np, ns, 16, kk, stream = true),
             s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}")
+        case "ann_sharded_stream" =>
+          // the CELL-SHARDED two-stage bridge with randomized geometry —
+          // the new operator's differential coverage: drawn cells ×
+          // probes × subspaces × residual × stage-A chunking, same
+          // mirrors as the monolith stream family (the bridge computes
+          // the identical retrieval log)
+          val nc = pick(Seq(8, 16, 32)); val np = pick(Seq(2, 4))
+          val ns = pick(Seq(4, 8)); val kk = pick(Seq(5, 10))
+          val rs = pick(Seq(false, true))
+          val chunkA = pick(Seq(700, 1000))
+          val pKey = "spark.sql.streaming.stateStore.providerClass"
+          val prev = spark.conf.getOption(pKey)
+          graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+          val d = try {
+            val (cent, cb) =
+              if (rs) {
+                val model = graft.llm.Similarity.residualPqModel(emb, "vec_id",
+                  "embedding", dim = 64, nCells = nc, nSub = ns, codesPerSub = 16)
+                (model.cells.map { case (cell, c, _, _) => (cell, c) },
+                  model.codebook)
+              } else {
+                (graft.llm.Similarity.anchorCentroids(emb, "vec_id",
+                    "embedding", dim = 64, nCells = nc),
+                  graft.llm.Similarity.anchorCodebook(emb, "vec_id",
+                    "embedding", dim = 64, nSub = ns, codesPerSub = 16)._1)
+              }
+            val hits = graft.streaming.Replay.replay(spark, emb, "vec_id",
+              chunkA, "append")(sdf =>
+                graft.streaming.AnnStream.shardedIvfPqCellHits(sdf,
+                  "vec_id", "embedding", centroids = cent, codebook = cb,
+                  codesPerSub = 16, k = kk, nProbe = np, residual = rs))
+            graft.streaming.Replay.replay(spark, hits, "query_id", 1 << 20,
+              "append")(sdf =>
+                graft.streaming.AnnStream.annMergeStage(sdf, nProbe = np, k = kk))
+          } finally prev match {
+            case Some(v) => spark.conf.set(pKey, v)
+            case None => spark.conf.unset(pKey)
+          }
+          (d, if (rs) embIvfPqResidualSql(nc, np, ns, 16, kk, stream = true)
+              else embIvfPqSql(nc, np, ns, 16, kk, stream = true),
+            s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}_a$chunkA")
+        case "curation_pipeline" =>
+          // every stage parameter drawn JOINTLY: split modulus and fuzzy
+          // geometry (decontam stage), per-source cap, packing budget —
+          // the oracle SQL is regenerated from the same draw, each stage
+          // consuming the previous stage's output
+          val sn = pick(Seq(2, 3)); val bands = pick(Seq(2, 4))
+          val r = pick(Seq(1, 2)); val th = pick(Seq(0.2, 0.5))
+          val mb = pick(Seq(50, 1000)); val em = pick(Seq(5, 10))
+          val cap = pick(Seq(3, 10, 26)); val budget = pick(Seq(128, 512))
+          val deduped = graft.llm.TextDedup.exactDedup(docs, Seq("text"), "doc_id")
+          val dec = graft.llm.TextDedup.fuzzyDecontaminateMd5(
+            deduped.filter(col("doc_id") % em =!= 0),
+            docs.filter(col("doc_id") % em === 0),
+            "doc_id", "text", sn, bands, r, th, mb)
+          val capped = graft.llm.CorpusOps.capPerGroup(dec, "source", "doc_id", cap)
+          (graft.llm.CorpusOps.packSequences(capped, "doc_id", "text", "source", budget),
+            curationPipelineSql(sn, bands, r, th, mb, em, cap, budget),
+            s"sn${sn}_b${bands}x${r}_t${th}_mb${mb}_m${em}_c${cap}_bu$budget")
       }
       // llm draws don't use the event-key grid — keep their names to the
       // parameters that actually vary

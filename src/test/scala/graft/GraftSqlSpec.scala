@@ -231,6 +231,40 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("graft_ann_ivfpq TVF optional lloyd_iters/refine args pin to the Scala API") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("emb_ivfpq_lloyd_tvf")
+    // the measured-best configuration (residual + 2 Lloyd passes), now
+    // reachable from SQL; plus the exact-cosine refine arg
+    val viaSql = spark.sql(
+      """SELECT query_id, corpus_id, rank FROM graft_ann_ivfpq(
+        |  TABLE(emb_ivfpq_lloyd_tvf),
+        |  TABLE(SELECT * FROM emb_ivfpq_lloyd_tvf WHERE vec_id < 5),
+        |  'vec_id', 'embedding', 10, 16, 4, 8, 1, 2, 20)
+        |""".stripMargin).as[(Long, Long, Int)].collect().toSet
+    val viaApi = llm.Similarity.ivfPqTopK(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "embedding", 10, nCells = 16, nProbe = 4, nSub = 8,
+        residual = true, lloydIters = 2, refine = 20)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSql === viaApi, "lloyd/refine TVF args diverged from the Scala API")
+    assert(viaSql.nonEmpty)
+    // omitted optional args keep the old 9-arg behavior (lloyd=0, refine=0)
+    val nineArg = spark.sql(
+      """SELECT query_id, corpus_id, rank FROM graft_ann_ivfpq(
+        |  TABLE(emb_ivfpq_lloyd_tvf),
+        |  TABLE(SELECT * FROM emb_ivfpq_lloyd_tvf WHERE vec_id < 5),
+        |  'vec_id', 'embedding', 10, 16, 4, 8, 0)
+        |""".stripMargin).as[(Long, Long, Int)].collect().toSet
+    val plainApi = llm.Similarity.ivfPqTopK(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "embedding", 10, nCells = 16, nProbe = 4, nSub = 8)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(nineArg === plainApi)
+  }
+
   test("corpus-curation TVFs pin to the Scala API") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
