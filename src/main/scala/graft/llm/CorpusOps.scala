@@ -30,14 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  /** Per-partition cap on groups tracked by the [[capPerGroup]] pre-cap
-    * heap map: 64k groups × cap order values is a bounded few-MB
-    * executor-heap structure; beyond it new groups pass through to the
-    * (spillable) window unfiltered. Exactness is unaffected — the
-    * pre-cap only ever REDUCES what reaches the exchange.
-    */
-  private[llm] val PreCapMaxGroups = 1 << 16
-
   /** Max multiplicity of any element in an array column — the native
     * one-pass expression (graft.functions.MaxRunLength: compiled sort +
     * run-length; an `aggregate` HOF fold here runs its lambda interpreted
@@ -173,103 +165,33 @@ object CorpusOps {
     * `orderCol` (callers rank by quality score, recency, or id — any
     * total order makes the kept set engine-independent).
     *
-    * TWO-LEVEL plan: the hot groups are precisely the ones the cap
-    * exists for (a head domain can be ~1% of a 100 TB corpus), and a
-    * bare per-group window would ship every such row to ONE task — a
-    * window partition cannot be split (AQE skew handling covers joins
-    * and rebalance partitioning, not window partitions). So a LOCAL
-    * PRE-CAP runs first, inside each input partition, before any
-    * exchange: a row is dropped iff `cap` rows with strictly smaller
-    * `orderCol` were already seen in the same partition+group — which
-    * can never drop a row whose global rank is ≤ cap (fewer than `cap`
-    * strictly-smaller rows exist globally, hence in any subset; ties at
-    * the boundary are always admitted, so the surviving multiset of
-    * order values is exactly preserved). At most partitions × cap rows
-    * per group reach the group-keyed exchange; the global window rank
-    * then runs on that bounded relation and emits the identical result.
-    * Pre-cap memory: O(distinct groups per partition × cap) order
-    * values (bounded admission heaps, not buffered rows), and the heap
-    * map itself is bounded at `PreCapMaxGroups` tracked groups per
-    * partition — past that, rows of UNTRACKED groups pass straight
-    * through (any pass-through is safe: the global window still
-    * enforces the cap), so a high-cardinality group column degrades to
-    * the plain-window plan instead of growing an unbounded executor-
-    * heap map. Order columns whose runtime values are not Comparable
-    * (arrays, structs, binary) skip the pre-cap and run the plain
-    * window. String order values compare as UTF8String (UTF-8 binary
-    * order — identical to the window orderBy's comparator), NOT as
-    * java.lang.String: the two orders disagree on supplementary
-    * characters (UTF-16 surrogates sort below U+E000..U+FFFF chars in
-    * Java), and a pre-cap admitting under a DIFFERENT order than the
-    * window ranks under could silently drop a row the window ranks
-    * ≤ cap.
+    * PLAN / 100 TB scale: a declarative `row_number() OVER (PARTITION
+    * BY group ORDER BY order) <= cap` is all Catalyst needs — the
+    * `InferWindowGroupLimit` optimizer rule plants a PARTIAL
+    * WindowGroupLimit BELOW the group-keyed exchange (visible in
+    * PLANS.md `doc_source_cap`: Partial group-limit → Exchange → Final
+    * group-limit → Window), so each input partition forwards at most
+    * `cap` rows per group and a hot domain ships partitions × cap rows
+    * to its window task, never its full corpus share. Column pruning
+    * reaches the scan (the probe's plan reads exactly doc_id+source).
+    * Rounds 12-13 hand-built this same two-level shape — first as a
+    * mapPartitions pre-cap (blocked column pruning; paid a row-encoder
+    * pass; +52% on the sf0.1 gate), then as a native stateful
+    * predicate — and the 10× hot-group probe (ScaleBench
+    * `source_cap_hotgroup`, one group = 50% of rows) measured BOTH
+    * redundant: the bare window already shuffles the identical
+    * partitions × cap × groups row count (1,101 rows vs 25,000+ for
+    * the hot group) because the optimizer provides the pre-filter
+    * natively, in whole-stage codegen, sharing the window's own sort.
+    * Per the project's first design rule — don't hand-schedule what
+    * the optimizer already does — the hand-built levels are deleted;
+    * the A/B against an `InferWindowGroupLimit`-excluded run stays in
+    * ScaleBench as the regression guard for the native rule.
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
                   cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    import org.apache.spark.sql.types._
-    val schema = df.schema
-    val gIdx = schema.fieldIndex(groupCol)
-    val oIdx = schema.fieldIndex(orderCol)
-    val preCappable = schema(oIdx).dataType match {
-      case _: NumericType | StringType | BooleanType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _ => false
-    }
-    // string order values wrapped as UTF8String so the pre-cap admits
-    // under the EXACT comparator the window orderBy ranks with (UTF-8
-    // binary order); java.lang.String.compareTo (UTF-16 code units)
-    // disagrees on supplementary characters and could drop a kept row
-    val toOrd: Any => Any = schema(oIdx).dataType match {
-      case StringType => v =>
-        if (v == null) null
-        else org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
-      case _ => identity
-    }
-    val pre =
-      if (!preCappable) df
-      else {
-        val capN = cap
-        implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-          org.apache.spark.sql.Encoders.row(schema)
-        df.mapPartitions { it =>
-          // nulls sort FIRST (Spark's ascending null ordering, which the
-          // window's orderBy uses), so null is the smallest order value
-          def cmp(a: Any, b: Any): Int =
-            if (a == null && b == null) 0
-            else if (a == null) -1
-            else if (b == null) 1
-            else a.asInstanceOf[Comparable[Any]].compareTo(b)
-          // per-group bounded MAX-heap of the cap smallest order values
-          // seen so far in this partition; admit unless cap strictly-
-          // smaller values precede the row (heapMax < v ⇒ reject is the
-          // only safe rejection — boundary ties always pass)
-          val heaps = scala.collection.mutable.HashMap
-            .empty[Any, scala.collection.mutable.PriorityQueue[Any]]
-          val ord: Ordering[Any] = (a: Any, b: Any) => cmp(a, b)
-          it.filter { r =>
-            val g = r.get(gIdx)
-            val h0 = heaps.get(g)
-            // group-cardinality bound: once PreCapMaxGroups groups are
-            // tracked in this partition, rows of NEW groups pass through
-            // unfiltered (still exact — the window enforces the cap)
-            // instead of growing the heap map without a spill path
-            if (h0.isEmpty && heaps.size >= PreCapMaxGroups) true
-            else {
-              val h = h0.getOrElse {
-                val nh = scala.collection.mutable.PriorityQueue.empty[Any](ord)
-                heaps(g) = nh
-                nh
-              }
-              val v = toOrd(r.get(oIdx))
-              if (h.size < capN) { h.enqueue(v); true }
-              else if (cmp(v, h.head) <= 0) { h.enqueue(v); h.dequeue(); true }
-              else false
-            }
-          }
-        }
-      }
-    pre.withColumn("__rk", row_number().over(
+    df.withColumn("__rk", row_number().over(
         Window.partitionBy(groupCol).orderBy(col(orderCol))))
       .filter(col("__rk") <= cap)
       .drop("__rk")

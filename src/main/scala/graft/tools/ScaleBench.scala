@@ -275,26 +275,53 @@ object ScaleBench {
       }
     }
     // capPerGroup hot-group probe (VERDICT r12 owed measurement): plant
-    // ONE group holding 50% of the N× corpus — exactly the skew the
-    // two-level plan exists for — and A/B against the bare window plan
-    // it replaced. The pre-cap bounds what reaches the group-keyed
-    // exchange at partitions × cap rows for the hot group (vs its full
-    // 50% share in the bare plan), so the shuffle_write_mb delta IS the
-    // shuffle-bound claim, measured; the wall delta prices the pre-cap's
-    // encoder pass at skew (at sf0.1 flat it costs +52%, BASELINE §2).
+    // ONE group holding 50% of the N× corpus — exactly the skew a bare
+    // per-group window was feared to concentrate on one task. The probe
+    // settled the round-12 design question: Catalyst's
+    // InferWindowGroupLimit plants a PARTIAL group-limit below the
+    // exchange, so the declarative window ALREADY ships only
+    // partitions × cap rows per group — the hand-built pre-cap levels
+    // were redundant and are deleted (capPerGroup scaladoc). The A/B
+    // here is native rule vs the rule EXCLUDED: the shuffled-row delta
+    // is what the optimizer saves at the hot group, and the probe
+    // guards the rule staying effective on this plan shape.
     if (wanted("source_cap_hotgroup")) {
       val hot = docsSf1.withColumn("source",
         when(col("doc_id") % 2 === 0, lit("hotdomain")).otherwise(col("source")))
       val nPart = hot.rdd.getNumPartitions
-      parts += timed("source_cap_hotgroup_precap") {
-        graft.llm.CorpusOps.capPerGroup(hot, "source", "doc_id", 10).count()
+      // per-plan shuffle ROWS via a section-local listener (the byte
+      // tally rounds to 0 at this pruned-column scale; the row count is
+      // the bound under test)
+      val shufRecords = new java.util.concurrent.atomic.AtomicLong(0)
+      val recListener = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          shufRecords.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
       }
-      parts += timed("source_cap_hotgroup_bare_window") {
-        hot.withColumn("__rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("source")).orderBy(col("doc_id"))))
-          .filter(col("__rk") <= 10).drop("__rk").count()
+      spark.sparkContext.addSparkListener(recListener)
+      def timedRows(name: String)(rows: => Long): String = {
+        spark.catalog.clearCache()
+        shufRecords.set(0)
+        val t0 = System.nanoTime()
+        val n = rows
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // async listener settle
+        f""""$name":{"sec":$sec%.2f,"rows":$n,"shuffled_rows":${shufRecords.get}}"""
       }
+      def run(): Long =
+        graft.llm.CorpusOps.capPerGroup(hot, "source", "doc_id", 10)
+          .select("doc_id", "source").count()
+      run() // untimed warm-up (codegen/scan classes), as fuzzy_decontam_scale does
+      parts += timedRows("source_cap_hotgroup")(run())
+      val exKey = "spark.sql.optimizer.excludedRules"
+      val prevEx = spark.conf.getOption(exKey)
+      spark.conf.set(exKey,
+        "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+      try parts += timedRows("source_cap_hotgroup_no_grouplimit")(run())
+      finally prevEx match {
+        case Some(v) => spark.conf.set(exKey, v)
+        case None => spark.conf.unset(exKey)
+      }
+      spark.sparkContext.removeSparkListener(recListener)
       parts += (s""""source_cap_hotgroup_bound":{"input_partitions":$nPart,""" +
         s""""cap":10,"hot_group_shuffled_rows_bound":${nPart * 10}}""")
     }

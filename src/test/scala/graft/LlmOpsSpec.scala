@@ -97,28 +97,37 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(llm.CorpusOps.capPerGroup(docs, "source", "doc_id", 1000000).count() === docs.count())
   }
 
-  test("capPerGroup pre-cap: string order uses UTF8String (UTF-8) order, not UTF-16") {
+  // The next four tests are regression guards on the declarative plan:
+  // rounds 12-13 hand-built a partition-local pre-cap here (first
+  // mapPartitions, then a stateful predicate) whose admission comparator
+  // and state bounds each had edge-case bugs; the hot-group probe then
+  // showed Catalyst's InferWindowGroupLimit already provides the
+  // two-level shape natively and the hand-built level was deleted.
+  // These pin the behaviors any future pre-filter MUST preserve.
+
+  test("capPerGroup: supplementary-character string order follows the window (UTF-8), not UTF-16") {
     // U+1F600 (😀, UTF-16 lead surrogate 0xD83D) vs U+FF21 (Ａ): Java
     // String order says 😀 < Ａ; Spark's UTF8String binary order says
-    // Ａ < 😀. A pre-cap admitting under Java order would reject Ａ
+    // Ａ < 😀. A pre-filter admitting under Java order would reject Ａ
     // after seeing 😀 at cap=1 — dropping the row the window keeps.
     val rows = Seq((1L, "g", "😀"), (2L, "g", "Ａ"))
-      .toDF("id", "grp", "ord").repartition(1) // same partition: heap sees both
+      .toDF("id", "grp", "ord").repartition(1) // same partition: one local group-limit sees both
     val kept = llm.CorpusOps.capPerGroup(rows, "grp", "ord", 1)
       .select("id").as[Long].collect().toSeq
     assert(kept === Seq(2L), s"expected the UTF-8-smaller Ａ row, got ids $kept")
   }
 
-  test("capPerGroup pre-cap: tie-heavy order column keeps exactly cap rows") {
-    // 50 rows, ONE order value: boundary ties must all pass the pre-cap
-    // (any rejection would be unsound), and the window still emits cap
+  test("capPerGroup: tie-heavy order column keeps exactly cap rows") {
+    // 50 rows, ONE order value: boundary ties must not over- or
+    // under-admit through the partial group-limit
     val ties = spark.range(50).select(col("id"), lit("g").as("grp"), lit(7).as("ord"))
     assert(llm.CorpusOps.capPerGroup(ties, "grp", "ord", 5).count() === 5L)
   }
 
-  test("capPerGroup: non-Comparable order column falls back to the plain window") {
-    // array<bigint> order values are not runtime-Comparable — the pre-cap
-    // must skip (not ClassCastException) and the window result stands
+  test("capPerGroup: array order column ranks lexicographically") {
+    // array<bigint> order values exercise the orderable-but-not-
+    // Comparable-at-runtime representation the deleted pre-cap had to
+    // special-case; the declarative window handles it natively
     val arr = spark.range(20).select((col("id") % 4).cast("string").as("grp"),
       array(col("id"), col("id") * 2).as("ord"), col("id"))
     val capped = llm.CorpusOps.capPerGroup(arr, "grp", "ord", 2)
@@ -128,9 +137,10 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(keptIds === Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
-  test("capPerGroup pre-cap: group cardinality past the tracked bound stays exact") {
-    // more distinct groups in one partition than PreCapMaxGroups: late
-    // groups pass through untracked; the window still enforces the cap
+  test("capPerGroup: 64k+ distinct groups in one partition stay exact") {
+    // high group cardinality in a single partition — the regime where
+    // the deleted pre-cap's heap map needed an explicit bound; the
+    // window group-limit's per-partition state is the sort itself
     val n = (1 << 16) + 500
     val wide = spark.range(n * 2).select(
       (col("id") % n).cast("string").as("grp"), col("id")).repartition(1)
@@ -138,6 +148,21 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(capped.count() === n.toLong)
     // each group's survivor is its minimum id (ids i and i+n share group i)
     assert(capped.agg(max("id")).as[Long].head() < n.toLong)
+  }
+
+  test("capPerGroup plan: partial WindowGroupLimit runs below the exchange") {
+    // the scale mechanism is Catalyst's, so pin it: the physical plan
+    // must pre-filter each partition to cap rows per group BEFORE the
+    // group-keyed exchange (a regression here re-opens the hot-group
+    // shuffle the operator exists to avoid)
+    val plan = llm.CorpusOps.capPerGroup(docs, "source", "doc_id", 7)
+      .queryExecution.executedPlan.toString
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(partialIdx >= 0 && plan.indexOf("Partial", partialIdx) >= 0,
+      s"no partial WindowGroupLimit in plan:\n$plan")
+    assert(plan.indexOf("Exchange") >= 0 &&
+      plan.indexOf("Exchange") < plan.lastIndexOf("WindowGroupLimit"),
+      "partial group-limit is not below the exchange")
   }
 
   test("nearDupClusters: min-label CC equals an in-memory union-find closure") {
