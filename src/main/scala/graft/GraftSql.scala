@@ -241,6 +241,19 @@ object GraftSql {
         pws.unpersist()
         plan(deduped)
       },
+      // `graft_semdedup(t, id, vec, dim, eps, n_cells, lloyd_iters)` —
+      // SemDeDup (Abbas et al. 2023): k-means-cell-confined ε-similarity
+      // components, keep the least-centroid-similar member of each.
+      // Eagerly materializes the CC loop during analysis, like
+      // graft_neardup_dedup.
+      "graft_semdedup" -> { (es: Seq[Expression]) =>
+        plan(llm.Similarity.semDedup(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "vector column"),
+          dim = litLong(es(3), "dim").toInt,
+          eps = litDouble(es(4), "eps"),
+          nCells = litLong(es(5), "n_cells").toInt,
+          lloydIters = litLong(es(6), "lloyd_iters").toInt))
+      },
       "graft_ann_ivf" -> { (es: Seq[Expression]) =>
         plan(llm.Similarity.ivfTopK(tableArg(es.head),
           tableArg(es(1)), litStr(es(2), "id column"),

@@ -136,6 +136,18 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           llm.TextAnalysis.langId(col("text")).as("pred_lang"))),
+    // CCNet-style bigram-LM scoring, self-trained on the corpus (the
+    // typicality regime). The hash row carries the model's INTEGER
+    // sufficient statistics — lookup counts and OOV positions — which
+    // pin both count tables, both probe joins, and the per-doc folds;
+    // the ppl double itself is ln/exp (not correctly-rounded across
+    // engines) and is spec-pinned instead, like the ANN sim column.
+    "doc_lm_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.CorpusOps.lmPerplexity(docs, "text", "doc_id", docs, "text")
+        .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+          "hit_prev", "hit_bigram")
+    }),
     "doc_fingerprint_md5" -> ((s, d) =>
       llm.TextAnalysis.fingerprintMd5(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram_md5", "fp_full_md5")),
@@ -292,6 +304,17 @@ object SparkEntry {
           .select("id_a", "id_b"))
         .select("vec_id")
     }),
+    // SemDeDup proper (Abbas et al. 2023): k-means cells (the emb_ann_ivf
+    // anchor+Lloyd chain) confine the quadratic, then each within-cell
+    // ε-connected component keeps its LEAST-centroid-similar member (the
+    // paper's diversity-preserving policy — vs emb_neardup_dedup's
+    // LSH-banded min-id policy above; both semantic-dedup shapes are now
+    // first-class). The mirror re-derives centroids, assignment csims,
+    // the ε-pair relation, the recursive-CTE closure, and the keep rank
+    // entirely in SQL.
+    "emb_semdedup" -> ((s, d) =>
+      llm.Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, eps = 0.3, nCells = 16, lloydIters = 1)),
     "mm_features" -> ((s, d) =>
       llm.Multimodal.extractFeaturesChecked(
         llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
@@ -1262,6 +1285,7 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "doc_quality" -> docQualityOracle,
       "doc_langid" -> docLangIdOracle,
+      "doc_lm_ppl" -> docLmPplOracle,
       // ---- corpus-curation tier mirrors (llm.CorpusOps). Tokenization =
       // the established str_split_regex idiom; word n-grams via 1-based
       // inclusive list slices; ratios are single double divisions of
@@ -1448,6 +1472,7 @@ object SparkEntry {
       // batch CC and the streaming union-find must reduce to the same sets
       "emb_neardup_clusters" -> embNearDupClustersOracle,
       "emb_neardup_dedup" -> embNearDupStreamOracle,
+      "emb_semdedup" -> embSemDedupOracle,
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,
@@ -2635,6 +2660,88 @@ object SparkEntry {
     * determinism trick, see ivfTopK's scaladoc) and reassigns; queries
     * probe the 4 nearest refined cells; rank-compared like emb_knn_brute.
     */
+  /** DuckDB mirror of CorpusOps.lmPerplexity's integer sufficient
+    * statistics (self-trained, α irrelevant to the hashed columns):
+    * unigram/bigram train counts, the per-(doc, bigram-type)
+    * multiplicity relation, both probe lookups, and the per-doc sums.
+    * Bigrams = the doc_repetition mirror's inclusive-slice idiom;
+    * HUGEINT sums cast back to BIGINT for schema parity.
+    */
+  private def docLmPplOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |uni AS (SELECT tok, count(*) AS c1
+      |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+      |bg AS (SELECT doc_id, toks,
+      |  list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+      |    i -> array_to_string(toks[i:i+1], ' ')) AS grams
+      |  FROM t),
+      |bi AS (SELECT gr, count(*) AS c12
+      |  FROM (SELECT unnest(grams) AS gr FROM bg) GROUP BY gr),
+      |db AS (SELECT doc_id, gr, count(*) AS m
+      |  FROM (SELECT doc_id, unnest(grams) AS gr FROM bg) GROUP BY doc_id, gr),
+      |j AS (SELECT db.doc_id, db.m,
+      |    coalesce(bi.c12, 0) AS c12, coalesce(uni.c1, 0) AS c1
+      |  FROM db LEFT JOIN bi ON db.gr = bi.gr
+      |    LEFT JOIN uni ON str_split(db.gr, ' ')[1] = uni.tok),
+      |a AS (SELECT doc_id, sum(m) AS n_bigrams,
+      |    sum(CASE WHEN c12 = 0 THEN m ELSE 0 END) AS oov_bigrams,
+      |    sum(c1 * m) AS hit_prev, sum(c12 * m) AS hit_bigram
+      |  FROM j GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(a.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+      |  CAST(coalesce(a.hit_prev, 0) AS BIGINT) AS hit_prev,
+      |  CAST(coalesce(a.hit_bigram, 0) AS BIGINT) AS hit_bigram
+      |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+
+  /** DuckDB mirror of Similarity.semDedup (dim=64, eps=0.3, nCells=16,
+    * lloydIters=1): the emb_ann_ivf centroid chain (anchor init + one
+    * quantized-mean Lloyd pass — bit-identical across engines), the
+    * final assignment KEEPING each row's winning csim, the within-cell
+    * ε-pair self-join, the min-label closure (recursive CTE, same
+    * pattern as the near-dup cluster oracles), and the keep rank
+    * (csim ASC, id ASC per component; rn > 1 members are dropped).
+    */
+  private def embSemDedupOracle: String =
+    s"""WITH RECURSIVE cent0 AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT 16),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg0 AS (SELECT corpus_id, cv, cell FROM (
+       |  SELECT corpus_id, cv, cell,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN cent0)) WHERE rn = 1),
+       |el AS (SELECT cell, generate_subscripts(cv, 1) AS pos, unnest(cv) AS x FROM asg0),
+       |cm AS (SELECT cell, pos,
+       |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / (count(*) * 1048576.0) AS m
+       |  FROM el GROUP BY cell, pos),
+       |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+       |asg AS (SELECT corpus_id, cv, cell, csim FROM (
+       |  SELECT corpus_id, cv, cell, csim,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN cent)) WHERE rn = 1),
+       |ep AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+       |  WHERE ${duckCosine("a.cv", "b.cv")} >= 0.3),
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM ep
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM ep),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |rk AS (SELECT cc.cluster_id, cc.id,
+       |    row_number() OVER (PARTITION BY cc.cluster_id ORDER BY asg.csim ASC, cc.id) AS rn
+       |  FROM cc JOIN asg ON cc.id = asg.corpus_id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
+
   private def embIvfOracle: String =
     s"""WITH cent0 AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
        |    FROM embeddings ORDER BY vec_id LIMIT 16),

@@ -197,6 +197,81 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020, arXiv:1911.00359):
+    * score every document by an add-α-smoothed word-BIGRAM language model
+    * trained on a reference corpus — CCNet ranks Common Crawl by
+    * Wikipedia-LM perplexity and keeps the head/middle buckets; this is
+    * that filter with the KenLM stand-in replaced by a model both engines
+    * can derive exactly. p(cur | prev) = (c(prev,cur) + α) /
+    * (c(prev) + α·(V+1)) with V = train vocabulary size (the +1 is the
+    * OOV bucket, so unseen continuations keep mass); per-doc perplexity =
+    * exp(mean −ln p) over the doc's bigram positions.
+    *
+    * Output per doc: `n_tokens`, `n_bigrams`, `oov_bigrams` (positions
+    * whose bigram is unseen in train), `hit_prev` / `hit_bigram` (the
+    * summed train counts the model looked up — the model's sufficient
+    * statistics), and `ppl` (NULL for docs with < 2 tokens). The five
+    * integer columns are exact joins/sums and hash-verifiable in DuckDB
+    * (the `doc_lm_ppl` oracle row); `ppl` itself is excluded from the
+    * hash row — ln/exp are not correctly-rounded across engines (unlike
+    * the +,×,÷,√ the cosine mirrors rely on) — and is instead pinned by
+    * a hand-computed fixture in `CorpusOpsSpec`, the same split the ANN
+    * rows use for their `sim` doubles.
+    *
+    * Scale shape: token streams explode once per side; train counts are
+    * partial-aggregated (map-side combine ⇒ shuffle ∝ distinct
+    * unigram/bigram TYPES, not the token stream); the two probe joins
+    * key on Zipf-skewed tokens, so the doc side pre-aggregates to
+    * (doc, bigram type) first — the head key's multiplicity is then
+    * bounded by docs-containing-it, not token occurrences — and AQE
+    * skew-join covers the rest. V is one count() scalar (the same
+    * constant-size driver anchor policy as the ANN codebooks).
+    */
+  def lmPerplexity(docs: DataFrame, textCol: String, idCol: String,
+                   train: DataFrame, trainTextCol: String,
+                   alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val tToks = train.select(TextDedup.tokenize(col(trainTextCol)).as("toks"))
+    val uni = tToks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = tToks.select(explode(TextDedup.shingles(col("toks"), 2)).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("c12"))
+    val vocabN = uni.count()
+    val d = docs.select(col(idCol).as("doc_id"),
+        TextDedup.tokenize(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        TextDedup.shingles(col("toks"), 2).as("shs"))
+    // per-(doc, bigram TYPE) with multiplicity — collapses the Zipf head
+    // before the probe joins (see scaladoc)
+    val db = d.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("m"))
+      .withColumn("prev", split(col("sh"), " ").getItem(0))
+    val denomAdd = alpha * (vocabN + 1).toDouble
+    val scored = db
+      .join(bi, Seq("sh"), "left")
+      .join(uni, db("prev") === uni("tok"), "left")
+      .select(col("doc_id"), col("m"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+      .withColumn("logp",
+        log((col("c12").cast("double") + lit(alpha)) /
+          (col("c1").cast("double") + lit(denomAdd))))
+    val agg = scored.groupBy("doc_id").agg(
+      sum(col("m")).as("n_bigrams"),
+      sum(when(col("c12") === 0L, col("m")).otherwise(lit(0L))).as("oov_bigrams"),
+      sum(col("c1") * col("m")).as("hit_prev"),
+      sum(col("c12") * col("m")).as("hit_bigram"),
+      exp(-sum(col("logp") * col("m")) / sum(col("m"))).as("ppl"))
+    d.select("doc_id", "n_tokens")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        coalesce(col("hit_prev"), lit(0L)).as("hit_prev"),
+        coalesce(col("hit_bigram"), lit(0L)).as("hit_bigram"),
+        col("ppl"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff the first 4 hex
     * chars of md5(id ":" text) fall below the stratum's threshold prefix
     * (e.g. "1999" ≈ 10%, "3333" ≈ 20%). Engine- and run-independent —

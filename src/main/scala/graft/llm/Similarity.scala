@@ -233,23 +233,31 @@ object Similarity {
     *
     * Returns (query_id, corpus_id, sim, rank), rank <= k per query.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 0): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    // argmax-cosine cell per corpus row: max_by over a (csim, -cell)
-    // struct — lexicographic, so ties go to the smallest cell id, matching
-    // the oracle's ORDER BY csim DESC, cell
+  /** Shared anchor-init + Lloyd-refined cell assignment over a
+    * `(corpus_id, cv)` relation: returns (centroids, assignment carrying
+    * the winning csim). The argmax is max_by over a (csim, -cell)
+    * struct — lexicographic, so ties go to the smallest cell id,
+    * matching the oracles' ORDER BY csim DESC, cell. Element means in
+    * the refinement sum `floor(x * 2^20)` longs (exact, order-
+    * independent integer addition) divided once in double, so the
+    * DuckDB mirrors reproduce every centroid bit-for-bit — see the
+    * determinism note on [[ivfTopK]], whose inline loop this factors
+    * out unchanged (now also the clustering stage of [[semDedup]]).
+    */
+  private[graft] def lloydAssign(c: DataFrame, nCells: Int,
+                                 lloydIters: Int): (DataFrame, DataFrame) = {
     def assign(cent: DataFrame): DataFrame =
       c.crossJoin(broadcast(cent))
         .select(col("corpus_id"), col("cv"), col("cell"),
           cosine(col("cv"), col("centroid")).as("csim"))
         .groupBy("corpus_id")
-        .agg(max_by(struct(col("cell"), col("cv")), struct(col("csim"), -col("cell"))).as("__a"))
-        .select(col("corpus_id"), col("__a.cell").as("cell"), col("__a.cv").as("cv"))
+        .agg(max_by(struct(col("cell"), col("cv"), col("csim")),
+          struct(col("csim"), -col("cell"))).as("__a"))
+        .select(col("corpus_id"), col("__a.cell").as("cell"),
+          col("__a.cv").as("cv"), col("__a.csim").as("csim"))
     val scale = 1048576.0d // 2^20 — see determinism note above
-    var cent = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centroid"))
+    var cent = c.orderBy(col("corpus_id")).limit(nCells)
+      .select(col("corpus_id").cast("long").as("cell"), col("cv").as("centroid"))
     for (_ <- 0 until lloydIters)
       cent = assign(cent)
         .select(col("cell"), posexplode(col("cv")))
@@ -261,7 +269,71 @@ object Similarity {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-    val assigned = assign(cent)
+    (cent, assign(cent))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus — k-means-cluster the vectors,
+    * then inside each cluster drop all but one member of every group of
+    * ε-similar vectors. The survivor of each ε-connected component is
+    * the member LEAST similar to its cell centroid (the paper's
+    * keep-farthest-from-centroid policy: near-centroid members are the
+    * redundant ones; the edge member preserves diversity), ties broken
+    * by smallest id; vectors in no ε-pair always survive. Returns the
+    * surviving rows' `idCol` (one column, caller's name).
+    *
+    * Composition of verified pieces: cells are [[lloydAssign]]'s
+    * deterministic anchor-init + quantized-mean Lloyd refinement
+    * (bit-identical across engines — the `emb_ann_ivf` oracle pins the
+    * chain), components are [[TextDedup.nearDupClusters]]'s min-label
+    * CC (recursive-CTE-mirrored by the near-dup oracle rows), and the
+    * keep policy is one min_by over (csim, id).
+    *
+    * Scale shape: the quadratic pair scan — SemDeDup's whole point —
+    * is confined per cell: one self-join shuffled on the cell id costs
+    * Σ|cell|² ≈ n²/nCells comparisons, so nCells is the knob (paper
+    * uses ~√n cells; each cell stays partition-sized and the join
+    * never approaches the corpus square). The assignment relation is
+    * eagerly localCheckpointed once (four consumers: two pair-join
+    * sides, the keep-policy join, and nothing else — the final
+    * anti-join reads the raw corpus), the loser set is pair-members-
+    * sized, and the output is one broadcastable anti-join.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int, eps: Double, nCells: Int = 16,
+               lloydIters: Int = 1): DataFrame = {
+    require(eps > 0 && eps <= 1, s"eps must be in (0, 1], got $eps")
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
+    // lineage-free materialization: the pair self-join would otherwise
+    // re-run the crossJoin+argmax assignment once per consumer (same
+    // rationale as fuzzyDecontaminate's checkpoint)
+    val assigned = lloydAssign(c, nCells, lloydIters)._2.localCheckpoint(true)
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.corpus_id") < col("y.corpus_id"))
+      .filter(cosine(col("x.cv"), col("y.cv")) >= eps)
+      .select(col("x.corpus_id").as("id_a"), col("y.corpus_id").as("id_b"))
+    val cc = TextDedup.nearDupClusters(pairs)
+    // keep = min (csim, id) member per component; losers = the rest
+    val withCsim = cc.join(assigned, cc("id") === assigned("corpus_id"))
+      .select(col("cluster_id"), col("id"), col("csim"))
+    val keepers = withCsim.groupBy("cluster_id")
+      .agg(min_by(col("id"), struct(col("csim"), col("id"))).as("keep_id"))
+    val losers = withCsim.join(keepers, "cluster_id")
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("__loser"))
+    corpus.join(broadcast(losers), col(idCol) === col("__loser"), "left_anti")
+      .select(col(idCol))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val (cent, assignedC) = lloydAssign(c, nCells, lloydIters)
+    val assigned = assignedC.select("corpus_id", "cell", "cv")
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cent))
       .select(col("query_id"), col("qv"), col("cell"),

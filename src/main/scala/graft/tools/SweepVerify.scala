@@ -813,6 +813,91 @@ object SweepVerify {
        |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)))
        |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x))))""".stripMargin
 
+  /** Parametrized mirror of CorpusOps.lmPerplexity's integer sufficient
+    * statistics: train = documents with doc_id % mod <> 0 (the drawn
+    * held-out split), score = every document. Same CTE shapes as the
+    * fixed doc_lm_ppl oracle.
+    */
+  private def docLmPplSql(mod: Int): String = {
+    val tok = """list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '')"""
+    s"""WITH tt AS (SELECT $tok AS toks FROM documents WHERE doc_id % $mod <> 0),
+       |t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |uni AS (SELECT tok, count(*) AS c1
+       |  FROM (SELECT unnest(toks) AS tok FROM tt) GROUP BY tok),
+       |tbg AS (SELECT list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+       |    i -> array_to_string(toks[i:i+1], ' ')) AS grams FROM tt),
+       |bi AS (SELECT gr, count(*) AS c12
+       |  FROM (SELECT unnest(grams) AS gr FROM tbg) GROUP BY gr),
+       |bg AS (SELECT doc_id, toks,
+       |  list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+       |    i -> array_to_string(toks[i:i+1], ' ')) AS grams
+       |  FROM t),
+       |db AS (SELECT doc_id, gr, count(*) AS m
+       |  FROM (SELECT doc_id, unnest(grams) AS gr FROM bg) GROUP BY doc_id, gr),
+       |j AS (SELECT db.doc_id, db.m,
+       |    coalesce(bi.c12, 0) AS c12, coalesce(uni.c1, 0) AS c1
+       |  FROM db LEFT JOIN bi ON db.gr = bi.gr
+       |    LEFT JOIN uni ON str_split(db.gr, ' ')[1] = uni.tok),
+       |a AS (SELECT doc_id, sum(m) AS n_bigrams,
+       |    sum(CASE WHEN c12 = 0 THEN m ELSE 0 END) AS oov_bigrams,
+       |    sum(c1 * m) AS hit_prev, sum(c12 * m) AS hit_bigram
+       |  FROM j GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(a.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+       |  CAST(coalesce(a.hit_prev, 0) AS BIGINT) AS hit_prev,
+       |  CAST(coalesce(a.hit_bigram, 0) AS BIGINT) AS hit_bigram
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+  }
+
+  /** Parametrized mirror of Similarity.semDedup: the ivf centroid chain
+    * (anchor init + `lloydIters` quantized-mean passes) with the FINAL
+    * assignment keeping each row's winning csim, the within-cell ε-pair
+    * self-join, the min-label recursive-CTE closure, and the keep rank
+    * (csim ASC, id ASC per component; rn > 1 dropped).
+    */
+  private def embSemDedupSql(nCells: Int, lloydIters: Int, eps: Double): String = {
+    val chain = (0 until lloydIters).map { i =>
+      s"""asg$i AS (SELECT corpus_id, cv, cell FROM (
+         |  SELECT corpus_id, cv, cell,
+         |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+         |  FROM (SELECT corpus_id, cv, cell, ${duckCos("cv", "centroid")} AS csim
+         |        FROM c CROSS JOIN cent$i)) WHERE rn = 1),
+         |el$i AS (SELECT cell, generate_subscripts(cv, 1) AS pos, unnest(cv) AS x FROM asg$i),
+         |cm$i AS (SELECT cell, pos,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1048576.0) AS m
+         |  FROM el$i GROUP BY cell, pos),
+         |cent${i + 1} AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm$i GROUP BY cell),""".stripMargin
+    }.mkString("\n")
+    s"""WITH RECURSIVE cent0 AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT $nCells),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |$chain
+       |asg AS (SELECT corpus_id, cv, cell, csim FROM (
+       |  SELECT corpus_id, cv, cell, csim,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cv, cell, ${duckCos("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN cent$lloydIters)) WHERE rn = 1),
+       |ep AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+       |  WHERE ${duckCos("a.cv", "b.cv")} >= $eps),
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM ep
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM ep),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |rk AS (SELECT cc.cluster_id, cc.id,
+       |    row_number() OVER (PARTITION BY cc.cluster_id ORDER BY asg.csim ASC, cc.id) AS rn
+       |  FROM cc JOIN asg ON cc.id = asg.corpus_id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
+  }
+
   /** Parametrized mirror of Similarity.ivfPqTopK (batch: the 20 lowest-id
     * queries, candidates <> query) and AnnStream.ivfPqAnnStream (stream:
     * EVERY vector queries, candidates restricted to earlier arrivals —
@@ -1004,7 +1089,7 @@ object SweepVerify {
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
-      "curation_pipeline", "ann_sharded_stream")
+      "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1444,6 +1529,30 @@ object SweepVerify {
             if (rs) embIvfPqResidualSql(nc, np, ns, 16, kk)
             else embIvfPqSql(nc, np, ns, 16, kk, stream = false, lloydIters = ll),
             s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}${if (ll > 0) s"_l$ll" else ""}")
+        case "lm_ppl" =>
+          // drawn held-out train split (train = docs with id % mod <> 0,
+          // score = all): varies both count tables and the OOV rate the
+          // probe joins see; the integer sufficient statistics are the
+          // hashed surface (ppl's ln/exp is spec-pinned, not hashed)
+          val mod = pick(Seq(2, 3, 5, 10))
+          (graft.llm.CorpusOps.lmPerplexity(docs, "text", "doc_id",
+            docs.filter(col("doc_id") % mod =!= 0), "text")
+            .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+              "hit_prev", "hit_bigram"),
+            docLmPplSql(mod),
+            s"m$mod")
+        case "semdedup" =>
+          // drawn SemDeDup geometry: cells × Lloyd passes × ε. ε is drawn
+          // from the corpus' real cosine range (p99 ≈ 0.29, max ≈ 0.51 at
+          // sf0.01) so draws land on both dense-pair and sparse-pair
+          // regimes; eps values are binary-exact decimals so the SQL
+          // literal and the Scala double agree bit-for-bit
+          val nc = pick(Seq(8, 16, 32)); val ll = pick(Seq(0, 1, 2))
+          val epsQ = pick(Seq(0.25, 0.3125, 0.375))
+          (graft.llm.Similarity.semDedup(emb, "vec_id", "embedding",
+            dim = 64, eps = epsQ, nCells = nc, lloydIters = ll),
+            embSemDedupSql(nc, ll, epsQ),
+            s"c${nc}_l${ll}_e$epsQ")
         case "emb_ivfpq_stream" =>
           // the CELL-BUCKETED streaming form through the replay harness:
           // every arrival retrieves against earlier arrivals from its

@@ -194,6 +194,41 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
       (3L, 2L, 1L, "third")))
   }
 
+  test("lmPerplexity: hand-computed fixture — counts exact, ppl exactly 4.0") {
+    // train "a b a c": unigrams a:2 b:1 c:1 (V=3), bigrams ab:1 ba:1 ac:1.
+    // score "a b c" at α=0.5 (denom add = 0.5·(V+1) = 2):
+    //   p(b|a) = (1+.5)/(2+2) = 0.375, p(c|b) = (0+.5)/(1+2) = 1/6
+    //   ppl = 1/sqrt(0.375/6) = 1/sqrt(1/16) = 4.0 — exact in doubles
+    val train = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c"), (2L, "z"), (3L, "a b a c"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.lmPerplexity(score, "text", "doc_id", train, "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+        "hit_prev", "hit_bigram", "ppl")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(r(0) === ((1L, 3L, 2L, 1L, 3L, 1L, Some(4.0))))
+    assert(r(1) === ((2L, 1L, 0L, 0L, 0L, 0L, None))) // < 2 tokens: no model positions
+    // the train doc itself: every bigram seen (oov 0), prevs a,b,a → 5
+    assert(r(2)._1 === 3L)
+    assert((r(2)._2, r(2)._3, r(2)._4, r(2)._5, r(2)._6) === ((4L, 3L, 0L, 5L, 3L)))
+    // in-domain text must score lower perplexity than the OOV-heavy doc 1
+    assert(r(2)._7.get < r(0)._7.get)
+  }
+
+  test("lmPerplexity: repeated bigram positions weight by multiplicity") {
+    // "a b a b a": bigrams ab, ba, ab, ba — the (doc, type) pre-aggregation
+    // must weight each type by its multiplicity m in every output column
+    val train = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val r = CorpusOps.lmPerplexity(score, "text", "doc_id", train, "text")
+      .select("n_bigrams", "oov_bigrams", "hit_prev", "hit_bigram")
+      .as[(Long, Long, Long, Long)].head()
+    // ab: c12=1 c1(a)=2, ×2; ba: c12=1 c1(b)=1, ×2
+    assert(r === ((4L, 0L, 6L, 4L)))
+  }
+
   test("lineDedup hashedKeys production form equals the string-key form") {
     val docs = CorpusOps.withSyntheticLines(
       Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")

@@ -231,6 +231,21 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("graft_semdedup TVF pins to Similarity.semDedup") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("emb_semdedup_tvf")
+    val viaSql = spark.sql(
+      """SELECT vec_id FROM graft_semdedup(
+        |  TABLE(emb_semdedup_tvf), 'vec_id', 'embedding', 64, 0.3, 16, 1)
+        |""".stripMargin).as[Long].collect().toSet
+    val viaApi = llm.Similarity.semDedup(emb, "vec_id", "embedding",
+        dim = 64, eps = 0.3, nCells = 16, lloydIters = 1)
+      .as[Long].collect().toSet
+    assert(viaSql === viaApi, "TVF diverged from the Scala API")
+    assert(viaApi.nonEmpty && viaApi.size < emb.count(),
+      "fixture should drop at least one semantic duplicate")
+  }
+
   test("graft_ann_ivfpq TVF optional lloyd_iters/refine args pin to the Scala API") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     emb.createOrReplaceTempView("emb_ivfpq_lloyd_tvf")

@@ -371,6 +371,56 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r1 > r0, s"multi-probe recall $r1 not above single-probe $r0")
   }
 
+  test("semDedup keeps the LEAST-centroid-similar member per ε-component") {
+    // one cell (nCells=1, lloydIters=0 → centroid = v0): component
+    // {0,1,3} under eps=0.95 (v2 orthogonal, unpaired). csims: v0 = 1,
+    // v1 ≈ 0.99875, v3 ≈ 0.995 — SemDeDup's keep-farthest policy must
+    // pick id 3, NOT the min id 0 (which is what dedupByPairs would do)
+    val vs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.05, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.1, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vs, "vec_id", "embedding",
+        dim = 4, eps = 0.95, nCells = 1, lloydIters = 0)
+      .as[Long].collect().toSet
+    assert(kept === Set(2L, 3L), s"expected edge member 3 + singleton 2, got $kept")
+  }
+
+  test("semDedup: equal centroid-similarity ties break to the smallest id") {
+    // v1/v2 mirror around the centroid axis → bit-identical csims; the
+    // component {0,1,2} must keep exactly one member, id 1
+    val vs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.05, 0.0, 0.0)),
+      (2L, Seq(1.0, -0.05, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vs, "vec_id", "embedding",
+        dim = 4, eps = 0.95, nCells = 1, lloydIters = 0)
+      .as[Long].collect().toSet
+    assert(kept === Set(1L), s"expected the csim-tie to keep min id 1, got $kept")
+  }
+
+  test("semDedup: survivor count equals n − (members − components) on the corpus") {
+    // drops = ε-pair members minus one survivor per connected component;
+    // recompute both sides from the operator's own verified ingredients
+    val n = embs.count()
+    val kept = Similarity.semDedup(embs, "vec_id", "embedding",
+      dim = 64, eps = 0.3, nCells = 16, lloydIters = 1).count()
+    val c = embs.select(col("vec_id").as("corpus_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val asg = Similarity.lloydAssign(c, nCells = 16, lloydIters = 1)._2.cache()
+    val pairs = asg.as("x").join(asg.as("y"),
+        col("x.cell") === col("y.cell") && col("x.corpus_id") < col("y.corpus_id"))
+      .filter(Similarity.cosine(col("x.cv"), col("y.cv")) >= 0.3)
+      .select(col("x.corpus_id").as("id_a"), col("y.corpus_id").as("id_b"))
+    val cc = TextDedup.nearDupClusters(pairs)
+    val members = cc.count()
+    val comps = cc.select("cluster_id").distinct().count()
+    asg.unpersist()
+    assert(kept === n - (members - comps),
+      s"kept $kept != $n - ($members - $comps)")
+  }
+
   test("pqTopK: anchors encode to their own codes; self-similarity is exact") {
     // anchor j's subspace slice is at L2 distance 0 from centroid (m, j),
     // so its code vector must be [j] * nSub; its ADC score against its own
