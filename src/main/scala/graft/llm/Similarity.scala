@@ -316,8 +316,10 @@ object Similarity {
       .filter(cosine(col("x.cv"), col("y.cv")) >= eps)
       .select(col("x.corpus_id").as("id_a"), col("y.corpus_id").as("id_b"))
     val cc = TextDedup.nearDupClusters(pairs)
-    // keep = min (csim, id) member per component; losers = the rest
-    val withCsim = cc.join(assigned, cc("id") === assigned("corpus_id"))
+    // keep = min (csim, id) member per component; losers = the rest.
+    // cc is pair-members-sized — broadcast it, never shuffle the
+    // corpus-sized assignment against it
+    val withCsim = assigned.join(broadcast(cc), cc("id") === assigned("corpus_id"))
       .select(col("cluster_id"), col("id"), col("csim"))
     val keepers = withCsim.groupBy("cluster_id")
       .agg(min_by(col("id"), struct(col("csim"), col("id"))).as("keep_id"))
