@@ -727,6 +727,18 @@ object SparkEntry {
     // continuous sequence packing: per-shard running token offsets folded
     // in arrival order equal the batch window-function packing when each
     // shard's docs arrive in id order (which the id-ordered replay feeds)
+    // STREAMING LM scoring: the corpus replays in doc_id order against a
+    // STATIC pre-trained bigram model (stream-static joins + one updating
+    // per-doc aggregation — the CCNet deployment shape). Same integer
+    // surface as the batch row, so it shares docLmPplOracle.
+    "doc_lm_ppl_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.lmTrain(docs, "text")
+      streaming.Replay.replay(s, docs, "doc_id", 100, "update")(sdf =>
+        streaming.LmScoreStream.lmScoreStream(sdf, "text", "doc_id", model))
+        .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+          "hit_prev", "hit_bigram")
+    }),
     "doc_pack_stream_replay" -> ((s, d) => {
       streaming.UniqueStreams.useRocksDBStateStore(s)
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100, "update")(sdf =>
@@ -1286,6 +1298,7 @@ object SparkEntry {
       "doc_quality" -> docQualityOracle,
       "doc_langid" -> docLangIdOracle,
       "doc_lm_ppl" -> docLmPplOracle,
+      "doc_lm_ppl_stream_replay" -> docLmPplOracle,
       // ---- corpus-curation tier mirrors (llm.CorpusOps). Tokenization =
       // the established str_split_regex idiom; word n-grams via 1-based
       // inclusive list slices; ratios are single double divisions of

@@ -227,16 +227,34 @@ object CorpusOps {
     * skew-join covers the rest. V is one count() scalar (the same
     * constant-size driver anchor policy as the ANN codebooks).
     */
-  def lmPerplexity(docs: DataFrame, textCol: String, idCol: String,
-                   train: DataFrame, trainTextCol: String,
-                   alpha: Double = 0.5): DataFrame = {
+  /** The trained bigram LM as deployable relations: unigram counts
+    * (`tok`, `c1`), bigram counts (`sh` = "prev cur", `c12`), the
+    * vocabulary size scalar, and α — what both [[lmPerplexity]] and the
+    * streaming [[graft.streaming.LmScoreStream]] score against (train
+    * offline, deploy the counts — the same contract as the ANN
+    * centroid/codebook literals, but relation-sized: the count tables
+    * join, they don't broadcast-as-literals).
+    */
+  final case class LmBigramModel(uni: DataFrame, bi: DataFrame,
+                                 vocabSize: Long, alpha: Double)
+
+  /** Train the add-α bigram model of [[lmPerplexity]] on `train`. */
+  def lmTrain(train: DataFrame, trainTextCol: String,
+              alpha: Double = 0.5): LmBigramModel = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val tToks = train.select(TextDedup.tokenize(col(trainTextCol)).as("toks"))
     val uni = tToks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val bi = tToks.select(explode(TextDedup.shingles(col("toks"), 2)).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("c12"))
-    val vocabN = uni.count()
+    LmBigramModel(uni, bi, uni.count(), alpha)
+  }
+
+  def lmPerplexity(docs: DataFrame, textCol: String, idCol: String,
+                   train: DataFrame, trainTextCol: String,
+                   alpha: Double = 0.5): DataFrame = {
+    val model = lmTrain(train, trainTextCol, alpha)
+    val (uni, bi, vocabN) = (model.uni, model.bi, model.vocabSize)
     val d = docs.select(col(idCol).as("doc_id"),
         TextDedup.tokenize(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),

@@ -117,7 +117,7 @@ object ScaleBench {
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
-      "emb_ann_sharded_stream_soak")
+      "emb_ann_sharded_stream_soak", "semdedup_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -443,6 +443,31 @@ object ScaleBench {
       embDropped = pws.droppedBuckets.count()
       pws.unpersist()
       n
+    }
+    // SemDeDup at 10×: the nCells knob IS the cost model (the ε-pair
+    // self-join scans Σ|cell|² ≈ n²/nCells) — measure wall + within-cell
+    // pair-scan size at a coarse and a √n-sized cell count against the
+    // brute n²/2 the clustering avoids. The 10× corpus plants
+    // cross-copy near-dup cliques (cosine ≈ 0.999), so ε = 0.9 runs the
+    // production high-similarity regime.
+    if (wanted("semdedup_scale")) {
+      val nv = embSf1.count()
+      Seq(16, math.max(16, math.sqrt(nv.toDouble).toInt)).foreach { nc =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val kept = graft.llm.Similarity.semDedup(embSf1, "vec_id", "embedding",
+          dim = 64, eps = 0.9, nCells = nc, lloydIters = 1).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // the cell histogram prices the quadratic the self-join actually ran
+        val cellPairs = graft.llm.Similarity.lloydAssign(
+            embSf1.select(col("vec_id").as("corpus_id"),
+              col("embedding").cast("array<double>").as("cv")), nc, 1)._2
+          .groupBy("cell").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).head().getLong(0)
+        parts += (f""""semdedup_scale_c$nc":{"sec":$sec%.2f,"vecs":$nv,""" +
+          f""""kept":$kept,"cell_pairs":$cellPairs,""" +
+          f""""brute_pairs":${nv * (nv - 1) / 2}}""")
+      }
     }
     // ANN quality at 10×: recall@20 of IVF (64 cells, 8 probes — each
     // query scans ~1/8 of the corpus) against brute-force ground truth on
@@ -1138,7 +1163,20 @@ object ScaleBench {
             residual = true)),
         "exact" -> ((df: org.apache.spark.sql.DataFrame) =>
           graft.streaming.AnnStream.annStream(df, "vec_id", "embedding")))
-      variants.foreach { case (tag, build) =>
+      // arm filter for the big-corpus runs: `exact` (and to a lesser
+      // degree `pq`) score the FULL resident state per arrival, so at
+      // 100× (200k vectors) those arms are quadratic by design — the
+      // 200k soak targets the inverted-file arms whose per-arrival work
+      // is nProbe/nCells of the corpus
+      val armFilter = sys.env.get("SPARK_GRAFT_SOAK_ARMS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      armFilter.foreach { names =>
+        val unknown = names -- variants.map(_._1).toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SOAK_ARMS names unknown arms: ${unknown.mkString(", ")}")
+      }
+      variants.filter(v => armFilter.forall(_.contains(v._1)))
+        .foreach { case (tag, build) =>
         val stream = MemoryStream[Row]
         val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_annpq_$tag")
         val sink = s"soak_annpq_$tag"

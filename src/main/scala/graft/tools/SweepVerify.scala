@@ -1535,12 +1535,20 @@ object SweepVerify {
           // probe joins see; the integer sufficient statistics are the
           // hashed surface (ppl's ln/exp is spec-pinned, not hashed)
           val mod = pick(Seq(2, 3, 5, 10))
-          (graft.llm.CorpusOps.lmPerplexity(docs, "text", "doc_id",
-            docs.filter(col("doc_id") % mod =!= 0), "text")
-            .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+          val viaStream = rng.nextBoolean() // batch op or its replayed streaming twin
+          val scored =
+            if (viaStream) {
+              val model = graft.llm.CorpusOps.lmTrain(
+                docs.filter(col("doc_id") % mod =!= 0), "text")
+              graft.streaming.Replay.replay(spark, docs, "doc_id", 100, "update")(
+                sdf => graft.streaming.LmScoreStream.lmScoreStream(
+                  sdf, "text", "doc_id", model))
+            } else graft.llm.CorpusOps.lmPerplexity(docs, "text", "doc_id",
+              docs.filter(col("doc_id") % mod =!= 0), "text")
+          (scored.select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
               "hit_prev", "hit_bigram"),
             docLmPplSql(mod),
-            s"m$mod")
+            s"m$mod${if (viaStream) "_stream" else ""}")
         case "semdedup" =>
           // drawn SemDeDup geometry: cells × Lloyd passes × ε. ε is drawn
           // from the corpus' real cosine range (p99 ≈ 0.29, max ≈ 0.51 at

@@ -229,6 +229,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r === ((4L, 0L, 6L, 4L)))
   }
 
+  test("lmScoreStream equals batch lmPerplexity on the sf0.001 corpus, any chunking") {
+    val model = CorpusOps.lmTrain(docs, "text")
+    val batch = CorpusOps.lmPerplexity(docs, "text", "doc_id", docs, "text")
+      .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+        "hit_prev", "hit_bigram")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    Seq(100, 7).foreach { chunk => // two micro-batch granularities
+      val streamed = graft.streaming.Replay
+        .replay(spark, docs, "doc_id", chunk, "update")(sdf =>
+          graft.streaming.LmScoreStream.lmScoreStream(sdf, "text", "doc_id", model))
+        .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+          "hit_prev", "hit_bigram")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      // update mode re-emits a doc only when its aggregate changes; with
+      // whole docs per chunk each doc appears exactly once
+      assert(streamed.toSet === batch, s"chunk=$chunk diverged from batch")
+    }
+  }
+
   test("lineDedup hashedKeys production form equals the string-key form") {
     val docs = CorpusOps.withSyntheticLines(
       Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
