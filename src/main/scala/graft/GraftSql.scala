@@ -371,6 +371,20 @@ object GraftSql {
         plan(llm.CorpusOps.capPerGroup(tableArg(es.head),
           litStr(es(1), "group column"), litStr(es(2), "order column"),
           litInt(es(3), "cap")))
+      },
+      // `graft_dsir(raw, target, id, text, k)` — DSIR data selection
+      // (Xie et al. 2023): train the hashed unigram+bigram importance
+      // model (target distribution vs the raw pool), weigh every pool
+      // doc, and Gumbel-top-k resample k of them. The model trains
+      // eagerly during analysis (two bounded bucket-count relations —
+      // the ANN TVFs' train-offline-then-plan contract).
+      "graft_dsir" -> { (es: Seq[Expression]) =>
+        val raw = tableArg(es.head)
+        val id = litStr(es(2), "id column")
+        val text = litStr(es(3), "text column")
+        val model = llm.CorpusOps.dsirTrain(tableArg(es(1)), text, raw, text)
+        plan(llm.CorpusOps.dsirSelect(raw, id, text, model,
+          k = litInt(es(4), "k")))
       })
   }
 

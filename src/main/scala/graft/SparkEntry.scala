@@ -148,6 +148,25 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
           "hit_prev", "hit_bigram")
     }),
+    // DSIR importance statistics (Xie et al. 2023): target = the doc_id%10
+    // eval split, raw pool = the rest (the doc_fuzzy_pairs split
+    // convention), unigram+bigram features md5-hashed into 256 buckets.
+    // Same verification policy as doc_lm_ppl: the INTEGER sufficient
+    // statistics are the hashed surface — they pin the tokenize/gram/
+    // bucket chain, both corpus count relations, both probe joins, and
+    // the per-doc folds; the ln-based logw and the Gumbel top-k selection
+    // (dsirSelect) are fixture-pinned in CorpusOpsSpec instead.
+    "doc_dsir_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.dsirTrain(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "text",
+        gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+      llm.CorpusOps.dsirWeights(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", model)
+        .select("doc_id", "n_grams", "oov_tgt", "oov_raw",
+          "hit_tgt", "hit_raw")
+    }),
     "doc_fingerprint_md5" -> ((s, d) =>
       llm.TextAnalysis.fingerprintMd5(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram_md5", "fp_full_md5")),
@@ -739,6 +758,25 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
           "hit_prev", "hit_bigram")
     }),
+    // STREAMING DSIR scoring: the raw pool replays in doc_id order
+    // against a STATIC pre-trained bucket model (one stream-static join
+    // + one updating per-doc aggregation — the data-selection deployment
+    // shape). Same integer surface as the batch row, so it shares
+    // docDsirOracle. (The replay feeds whole docs per chunk, so each
+    // doc's gram rows land in one micro-batch; the updating aggregation
+    // itself is straddle-safe by construction, like doc_lm_ppl's.)
+    "doc_dsir_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.dsirTrain(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "text",
+        gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+      streaming.Replay.replay(s, docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", 100, "update")(sdf =>
+        streaming.DsirScoreStream.dsirScoreStream(sdf, "text", "doc_id", model))
+        .select("doc_id", "n_grams", "oov_tgt", "oov_raw",
+          "hit_tgt", "hit_raw")
+    }),
     "doc_pack_stream_replay" -> ((s, d) => {
       streaming.UniqueStreams.useRocksDBStateStore(s)
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100, "update")(sdf =>
@@ -1053,6 +1091,18 @@ object SparkEntry {
     "doc_minhash_pairs" -> ((s, d) =>
       llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
         threshold = 0.2)),
+    // production DSIR: xxhash64 bucketing end-to-end, and the full
+    // train → weigh → Gumbel-top-k selection (the md5 stats twin carries
+    // the oracle check; selection determinism is spec-pinned)
+    "doc_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.dsirTrain(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "text")
+      llm.CorpusOps.dsirSelect(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", model,
+        k = 100)
+    }),
     "doc_simhash" -> ((s, d) =>
       llm.TextDedup.simhashDf(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1299,6 +1349,8 @@ object SparkEntry {
       "doc_langid" -> docLangIdOracle,
       "doc_lm_ppl" -> docLmPplOracle,
       "doc_lm_ppl_stream_replay" -> docLmPplOracle,
+      "doc_dsir_md5" -> docDsirOracle,
+      "doc_dsir_stream_replay" -> docDsirOracle,
       // ---- corpus-curation tier mirrors (llm.CorpusOps). Tokenization =
       // the established str_split_regex idiom; word n-grams via 1-based
       // inclusive list slices; ratios are single double divisions of
@@ -2708,6 +2760,48 @@ object SparkEntry {
       |  CAST(coalesce(a.hit_prev, 0) AS BIGINT) AS hit_prev,
       |  CAST(coalesce(a.hit_bigram, 0) AS BIGINT) AS hit_bigram
       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+
+  /** DuckDB mirror of CorpusOps.dsirWeights' integer surface (target =
+    * doc_id%10=0, raw pool = the rest, gramNs = (1,2), hexChars = 2):
+    * re-derives the tokenize → unigram+bigram → md5-prefix bucket chain,
+    * both corpus bucket-count relations, the per-(doc, bucket)
+    * multiplicities, the probe joins, and the per-doc integer folds. The
+    * ln-based `logw` is excluded like doc_lm_ppl's `ppl` (doubles are
+    * not correctly-rounded across engines; fixture-pinned in sbt).
+    */
+  private def docDsirOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, list_concat(toks,
+      |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+      |      i -> array_to_string(toks[i:i+1], ' '))) AS grams
+      |  FROM t),
+      |occ AS (SELECT doc_id, substr(md5(gr), 1, 2) AS bucket
+      |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g)),
+      |tgt AS (SELECT bucket, count(*) AS c_tgt FROM occ
+      |  WHERE doc_id % 10 = 0 GROUP BY bucket),
+      |raw AS (SELECT bucket, count(*) AS c_raw FROM occ
+      |  WHERE doc_id % 10 <> 0 GROUP BY bucket),
+      |db AS (SELECT doc_id, bucket, count(*) AS m FROM occ
+      |  WHERE doc_id % 10 <> 0 GROUP BY doc_id, bucket),
+      |j AS (SELECT db.doc_id, db.m,
+      |    coalesce(tgt.c_tgt, 0) AS c_tgt, coalesce(raw.c_raw, 0) AS c_raw
+      |  FROM db LEFT JOIN tgt ON db.bucket = tgt.bucket
+      |    LEFT JOIN raw ON db.bucket = raw.bucket),
+      |a AS (SELECT doc_id, sum(m) AS n_grams,
+      |    sum(CASE WHEN c_tgt = 0 THEN m ELSE 0 END) AS oov_tgt,
+      |    sum(CASE WHEN c_raw = 0 THEN m ELSE 0 END) AS oov_raw,
+      |    sum(c_tgt * m) AS hit_tgt, sum(c_raw * m) AS hit_raw
+      |  FROM j GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(a.oov_tgt, 0) AS BIGINT) AS oov_tgt,
+      |  CAST(coalesce(a.oov_raw, 0) AS BIGINT) AS oov_raw,
+      |  CAST(coalesce(a.hit_tgt, 0) AS BIGINT) AS hit_tgt,
+      |  CAST(coalesce(a.hit_raw, 0) AS BIGINT) AS hit_raw
+      |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+      |WHERE t.doc_id % 10 <> 0""".stripMargin
 
   /** DuckDB mirror of Similarity.semDedup (dim=64, eps=0.3, nCells=16,
     * lloydIters=1): the emb_ann_ivf centroid chain (anchor init + one

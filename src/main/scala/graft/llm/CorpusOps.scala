@@ -417,4 +417,156 @@ object CorpusOps {
         PhoneRe, "<PHONE>").as("redacted"),
       regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
       regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"))
+
+  // ------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  // arXiv:2302.03169): select raw-pool documents whose hashed-n-gram
+  // feature distribution looks like a small target corpus. The feature
+  // space is n-gram occurrences hashed into a FIXED number of buckets,
+  // so both "distributions" are bucket-count relations bounded by
+  // nBuckets regardless of corpus size — at 100 TB the model is still a
+  // few thousand rows and broadcasts.
+  //
+  // Verification follows the `doc_lm_ppl` policy: the hashed oracle
+  // surface is the INTEGER sufficient statistics (per-doc gram counts,
+  // per-bucket count dot products, OOV occurrence counts — they pin the
+  // tokenize/gram/bucket chain, both count relations, both probe joins,
+  // and the per-doc folds), while the ln-based importance weight and
+  // the Gumbel top-k selection are pinned by exact hand-computed
+  // fixtures (doubles are not correctly-rounded across engines).
+
+  /** The trained DSIR importance model as deployable relations: one
+    * (bucket, c_tgt, c_raw) row per occupied feature bucket (≤ nBuckets
+    * = 16^hexChars rows — broadcast-sized by construction), the two
+    * corpus totals, and the add-α smoothing constant. Train offline,
+    * deploy the counts — the [[graft.streaming.DsirScoreStream]]
+    * streaming twin scores arrivals against exactly this relation.
+    */
+  final case class DsirModel(buckets: DataFrame, totTgt: Long, totRaw: Long,
+                             alpha: Double, gramNs: Seq[Int], hexChars: Int,
+                             md5Family: Boolean) {
+    def nBuckets: Long = 1L << (4 * hexChars)
+  }
+
+  /** All word n-grams of the requested sizes (the paper's feature set is
+    * unigrams+bigrams = `Seq(1, 2)`). `toks` must be a projected column
+    * (see [[TextDedup.shingles]]'s performance note).
+    */
+  private[graft] def dsirGrams(toks: Column, gramNs: Seq[Int]): Column =
+    concat(gramNs.map(n => TextDedup.shingles(toks, n)): _*)
+
+  /** Feature bucket of one gram: the first `hexChars` hex chars of md5
+    * (the DuckDB-mirrorable family, 16^hexChars buckets) or
+    * xxhash64 mod 16^hexChars (the production family), both as strings
+    * so the model schema is family-independent.
+    */
+  private[graft] def dsirBucket(gram: Column, hexChars: Int,
+                                md5Family: Boolean): Column =
+    if (md5Family) substring(md5(gram), 1, hexChars)
+    else pmod(xxhash64(gram), lit(1L << (4 * hexChars))).cast("string")
+
+  /** Train the DSIR bucket model: hashed-gram occurrence counts over the
+    * target corpus and the raw pool. Two scans, each a map-side-combined
+    * `groupBy(bucket)` whose result is bounded by 16^hexChars rows; the
+    * totals are two scalars off the tiny bucket relation.
+    */
+  def dsirTrain(target: DataFrame, targetTextCol: String,
+                raw: DataFrame, rawTextCol: String,
+                gramNs: Seq[Int] = Seq(1, 2), hexChars: Int = 2,
+                alpha: Double = 1.0, md5Family: Boolean = false): DsirModel = {
+    require(gramNs.nonEmpty && gramNs.forall(_ >= 1),
+      s"gramNs must be non-empty positive gram sizes, got $gramNs")
+    require(gramNs.distinct == gramNs, s"gramNs must be distinct, got $gramNs")
+    require(hexChars >= 1 && hexChars <= 7,
+      s"hexChars must be in [1, 7] (16^7 buckets ≈ 268M already far past " +
+        s"broadcast size), got $hexChars")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    def bucketCounts(df: DataFrame, tc: String, cName: String): DataFrame =
+      df.select(TextDedup.tokenize(col(tc)).as("toks"))
+        .select(explode(dsirGrams(col("toks"), gramNs)).as("gram"))
+        .groupBy(dsirBucket(col("gram"), hexChars, md5Family).as("bucket"))
+        .agg(count(lit(1)).as(cName))
+    val buckets = bucketCounts(target, targetTextCol, "c_tgt")
+      .join(bucketCounts(raw, rawTextCol, "c_raw"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"))
+    val tots = buckets.agg(coalesce(sum("c_tgt"), lit(0L)),
+      coalesce(sum("c_raw"), lit(0L))).head()
+    DsirModel(buckets, tots.getLong(0), tots.getLong(1), alpha, gramNs,
+      hexChars, md5Family)
+  }
+
+  /** Per-document importance statistics against a trained [[DsirModel]]:
+    * the integer sufficient statistics (`n_grams`, `oov_tgt`, `oov_raw`,
+    * `hit_tgt` = Σ m·c_tgt[b], `hit_raw` = Σ m·c_raw[b] — the
+    * `doc_dsir_md5` oracle surface) plus the add-α importance weight
+    * `logw` = Σ_b m_b·(ln p̂_tgt[b] − ln p̂_raw[b]).
+    *
+    * Plan: gram explode → per-(doc, bucket) pre-aggregation (the Zipf
+    * head collapses to ≤ nBuckets rows per doc before any join) →
+    * `broadcast()` hash join against the bucket relation → one doc-keyed
+    * fold. One shuffle keyed by doc; the model never shuffles.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  model: DsirModel): DataFrame = {
+    // per-gram constant: ln((T_raw + αB) / (T_tgt + αB)) — the smoothing
+    // denominators moved out of the per-bucket term
+    val logConst = math.log(
+      (model.totRaw + model.alpha * model.nBuckets) /
+        (model.totTgt + model.alpha * model.nBuckets))
+    val d = docs.select(col(idCol).as("doc_id"),
+        TextDedup.tokenize(col(textCol)).as("toks"))
+      .select(col("doc_id"), dsirGrams(col("toks"), model.gramNs).as("grams"))
+    val db = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("doc_id"),
+        dsirBucket(col("gram"), model.hexChars, model.md5Family).as("bucket"))
+      .agg(count(lit(1)).as("m"))
+    val j = db.join(broadcast(model.buckets), Seq("bucket"), "left")
+      .select(col("doc_id"), col("m"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"))
+    val agg = j.groupBy("doc_id").agg(
+      sum(col("m")).as("n_grams"),
+      sum(when(col("c_tgt") === 0L, col("m")).otherwise(lit(0L))).as("oov_tgt"),
+      sum(when(col("c_raw") === 0L, col("m")).otherwise(lit(0L))).as("oov_raw"),
+      sum(col("c_tgt") * col("m")).as("hit_tgt"),
+      sum(col("c_raw") * col("m")).as("hit_raw"),
+      sum(col("m") * (log(col("c_tgt").cast("double") + lit(model.alpha)) -
+        log(col("c_raw").cast("double") + lit(model.alpha)))).as("logratio"))
+    d.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("oov_tgt"), lit(0L)).as("oov_tgt"),
+        coalesce(col("oov_raw"), lit(0L)).as("oov_raw"),
+        coalesce(col("hit_tgt"), lit(0L)).as("hit_tgt"),
+        coalesce(col("hit_raw"), lit(0L)).as("hit_raw"),
+        (coalesce(col("logratio"), lit(0.0)) +
+          coalesce(col("n_grams"), lit(0L)).cast("double") * lit(logConst))
+          .as("logw"))
+  }
+
+  /** Gumbel top-k importance RESAMPLING (the paper's §2.3 selection
+    * step): sample k documents without replacement, each with
+    * probability proportional to its importance weight, via the Gumbel
+    * trick — top-k of `logw + Gumbel(0,1)`. The noise is DETERMINISTIC
+    * (seeded from md5(seed ":" id) — 52 hash bits map exactly onto a
+    * double in (0,1)), so the same k documents are selected on any
+    * partitioning, any engine, any re-run — the [[sampleByHash]]
+    * reproducibility contract extended to weighted sampling.
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject: per-
+    * partition top-k then a k-row driver merge, never a global sort.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 model: DsirModel, k: Int, seed: String = "dsir"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // 13 hex chars = 52 bits — every value is an exact double; +1/+2
+    // shifts keep u strictly inside (0,1) so both logs are finite
+    val u = (conv(substring(md5(concat(lit(seed), lit(":"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double") +
+      lit(1.0)) / lit(math.pow(16.0, 13) + 2.0)
+    dsirWeights(docs, idCol, textCol, model)
+      .withColumn("gumbel_key", col("logw") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+  }
 }

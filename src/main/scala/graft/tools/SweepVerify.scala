@@ -850,6 +850,46 @@ object SweepVerify {
        |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
   }
 
+  /** Parametrized mirror of CorpusOps.dsirWeights' integer surface:
+    * target = docs with doc_id % mod = 0, raw pool = the rest, features
+    * = the drawn gram sizes md5-hashed into 16^hexChars buckets. Same
+    * CTE shapes as the fixed doc_dsir oracle.
+    */
+  private def docDsirSql(mod: Int, hexChars: Int, gramNs: Seq[Int]): String = {
+    val tok = """list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '')"""
+    val grams = gramNs.map { n =>
+      if (n == 1) "toks"
+      else s"list_transform(generate_series(1, greatest(len(toks) - ${n - 1}, 0)), " +
+        s"i -> array_to_string(toks[i:i+${n - 1}], ' '))"
+    }.reduce((a, b) => s"list_concat($a, $b)")
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |g AS (SELECT doc_id, $grams AS grams FROM t),
+       |occ AS (SELECT doc_id, substr(md5(gr), 1, $hexChars) AS bucket
+       |  FROM (SELECT doc_id, unnest(grams) AS gr FROM g)),
+       |tgt AS (SELECT bucket, count(*) AS c_tgt FROM occ
+       |  WHERE doc_id % $mod = 0 GROUP BY bucket),
+       |raw AS (SELECT bucket, count(*) AS c_raw FROM occ
+       |  WHERE doc_id % $mod <> 0 GROUP BY bucket),
+       |db AS (SELECT doc_id, bucket, count(*) AS m FROM occ
+       |  WHERE doc_id % $mod <> 0 GROUP BY doc_id, bucket),
+       |j AS (SELECT db.doc_id, db.m,
+       |    coalesce(tgt.c_tgt, 0) AS c_tgt, coalesce(raw.c_raw, 0) AS c_raw
+       |  FROM db LEFT JOIN tgt ON db.bucket = tgt.bucket
+       |    LEFT JOIN raw ON db.bucket = raw.bucket),
+       |a AS (SELECT doc_id, sum(m) AS n_grams,
+       |    sum(CASE WHEN c_tgt = 0 THEN m ELSE 0 END) AS oov_tgt,
+       |    sum(CASE WHEN c_raw = 0 THEN m ELSE 0 END) AS oov_raw,
+       |    sum(c_tgt * m) AS hit_tgt, sum(c_raw * m) AS hit_raw
+       |  FROM j GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(a.oov_tgt, 0) AS BIGINT) AS oov_tgt,
+       |  CAST(coalesce(a.oov_raw, 0) AS BIGINT) AS oov_raw,
+       |  CAST(coalesce(a.hit_tgt, 0) AS BIGINT) AS hit_tgt,
+       |  CAST(coalesce(a.hit_raw, 0) AS BIGINT) AS hit_raw
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+       |WHERE t.doc_id % $mod <> 0""".stripMargin
+  }
+
   /** Parametrized mirror of Similarity.semDedup: the ivf centroid chain
     * (anchor init + `lloydIters` quantized-mean passes) with the FINAL
     * assignment keeping each row's winning csim, the within-cell ε-pair
@@ -1089,7 +1129,7 @@ object SweepVerify {
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
-      "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl")
+      "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1549,6 +1589,29 @@ object SweepVerify {
               "hit_prev", "hit_bigram"),
             docLmPplSql(mod),
             s"m$mod${if (viaStream) "_stream" else ""}")
+        case "dsir" =>
+          // drawn DSIR geometry: target split × bucket width × feature
+          // gram sizes, through the batch op or its replayed streaming
+          // twin — the integer sufficient statistics are the hashed
+          // surface (logw's ln fold is spec-pinned, not hashed)
+          val mod = pick(Seq(2, 3, 5, 10))
+          val hc = pick(Seq(1, 2, 3))
+          val gns = pick(Seq(Seq(1), Seq(2), Seq(1, 2), Seq(1, 2, 3)))
+          val viaStream = rng.nextBoolean()
+          val tgtD = docs.filter(col("doc_id") % mod === 0)
+          val rawD = docs.filter(col("doc_id") % mod =!= 0)
+          val model = graft.llm.CorpusOps.dsirTrain(tgtD, "text", rawD, "text",
+            gramNs = gns, hexChars = hc, md5Family = true)
+          val scored =
+            if (viaStream)
+              graft.streaming.Replay.replay(spark, rawD, "doc_id", 100, "update")(
+                sdf => graft.streaming.DsirScoreStream.dsirScoreStream(
+                  sdf, "text", "doc_id", model))
+            else graft.llm.CorpusOps.dsirWeights(rawD, "doc_id", "text", model)
+          (scored.select("doc_id", "n_grams", "oov_tgt", "oov_raw",
+              "hit_tgt", "hit_raw"),
+            docDsirSql(mod, hc, gns),
+            s"m${mod}_h${hc}_g${gns.mkString("")}${if (viaStream) "_stream" else ""}")
         case "semdedup" =>
           // drawn SemDeDup geometry: cells × Lloyd passes × ε. ε is drawn
           // from the corpus' real cosine range (p99 ≈ 0.29, max ≈ 0.51 at

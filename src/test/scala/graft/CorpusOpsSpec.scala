@@ -248,6 +248,163 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ---------------------------------------------------------------- DSIR
+
+  /** Independent re-derivation of the DSIR md5 bucketing + stats in plain
+    * Scala collections (MessageDigest, no Catalyst) — the fixture the
+    * doubles are pinned against.
+    */
+  private object DsirRef {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(text: String): Seq[String] =
+      text.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty).toSeq
+    def grams(text: String): Seq[String] = {
+      val t = toks(text)
+      t ++ t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    def bucket(gram: String, hexChars: Int): String =
+      md5hex(gram).take(hexChars)
+    def bucketCounts(texts: Seq[String], hexChars: Int): Map[String, Long] =
+      texts.flatMap(grams).map(bucket(_, hexChars))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def gumbelU(seed: String, id: Long): Double =
+      (BigInt(md5hex(s"$seed:$id").take(13), 16).toDouble + 1.0) /
+        (math.pow(16.0, 13) + 2.0)
+  }
+
+  test("dsirWeights: independent md5 re-derivation on a fixture corpus") {
+    val tgtDocs = Seq((100L, "alpha beta alpha"), (101L, "beta gamma"))
+    val rawDocs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta"),
+      (3L, ""), (4L, "alpha alpha alpha"))
+    val model = CorpusOps.dsirTrain(tgtDocs.toDF("doc_id", "text"), "text",
+      rawDocs.toDF("doc_id", "text"), "text",
+      gramNs = Seq(1, 2), hexChars = 2, alpha = 1.0, md5Family = true)
+    val hc = 2
+    val cT = DsirRef.bucketCounts(tgtDocs.map(_._2), hc)
+    val cR = DsirRef.bucketCounts(rawDocs.map(_._2), hc)
+    val (totT, totR) = (cT.values.sum, cR.values.sum)
+    assert((model.totTgt, model.totRaw) === ((totT, totR)))
+    val nB = 256.0
+    val logConst = math.log((totR + nB) / (totT + nB))
+    val r = CorpusOps.dsirWeights(rawDocs.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    rawDocs.zip(r).foreach { case ((id, text), row) =>
+      val m = DsirRef.grams(text).map(DsirRef.bucket(_, hc))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expGrams = m.values.sum
+      val expOovT = m.collect { case (b, c) if !cT.contains(b) => c }.sum
+      val expOovR = m.collect { case (b, c) if !cR.contains(b) => c }.sum
+      val expHitT = m.map { case (b, c) => c * cT.getOrElse(b, 0L) }.sum
+      val expHitR = m.map { case (b, c) => c * cR.getOrElse(b, 0L) }.sum
+      val expLogw = m.map { case (b, c) =>
+        c * (math.log(cT.getOrElse(b, 0L) + 1.0) -
+          math.log(cR.getOrElse(b, 0L) + 1.0))
+      }.sum + expGrams * logConst
+      assert(row._1 === id)
+      assert((row._2, row._3, row._4, row._5, row._6) ===
+        ((expGrams, expOovT, expOovR, expHitT, expHitR)), s"doc $id")
+      assert(math.abs(row._7 - expLogw) < 1e-9, s"doc $id logw")
+    }
+    // the doc sharing target grams (beta, gamma, "beta gamma") must look
+    // more target-like than the all-OOV doc. (Doc 4's all-alpha text is
+    // deliberately NOT a winner: alpha is relatively more frequent in the
+    // raw pool than in the target, so DSIR down-weights it — the
+    // re-derivation above pins that, too.)
+    val byId = r.map(x => x._1 -> x._7).toMap
+    assert(byId(1L) > byId(2L),
+      "target-overlapping doc must outweigh the all-OOV doc")
+  }
+
+  test("dsirWeights: identical target and raw pools zero every log-ratio") {
+    val pool = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val model = CorpusOps.dsirTrain(pool, "text", pool, "text",
+      gramNs = Seq(1, 2), hexChars = 1, md5Family = true)
+    val r = CorpusOps.dsirWeights(pool, "doc_id", "text", model)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    r.foreach { row =>
+      assert(row._5 === row._6, "hit_tgt must equal hit_raw")
+      assert(row._3 === row._4, "oov_tgt must equal oov_raw")
+      assert(math.abs(row._7) < 1e-12, "logw must be exactly 0")
+    }
+  }
+
+  test("dsirSelect: Gumbel top-k matches the re-derivation, partition-invariant") {
+    val tgt = Seq((100L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val rawDocs = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta alpha" else s"noise$i words here"))
+    val model = CorpusOps.dsirTrain(tgt, "text",
+      rawDocs.toDF("doc_id", "text"), "text",
+      gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+    val w = CorpusOps.dsirWeights(rawDocs.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    val expected = rawDocs.map(_._1)
+      .sortBy(id => (-(w(id) - math.log(-math.log(DsirRef.gumbelU("dsir", id)))), id))
+      .take(7)
+    Seq(1, 13).foreach { nPart =>
+      val got = CorpusOps.dsirSelect(
+        rawDocs.toDF("doc_id", "text").repartition(nPart), "doc_id", "text",
+        model, k = 7)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(got === expected, s"nPart=$nPart")
+    }
+    // a different seed reshuffles the draw but keeps |selection| = k
+    val other = CorpusOps.dsirSelect(rawDocs.toDF("doc_id", "text"),
+      "doc_id", "text", model, k = 7, seed = "other")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(other.size === 7)
+    assert(other !== expected)
+  }
+
+  test("dsirScoreStream equals batch dsirWeights on the sf0.001 corpus, any chunking") {
+    val tgt = docs.filter($"doc_id" % 10 === 0)
+    val raw = docs.filter($"doc_id" % 10 =!= 0)
+    val model = CorpusOps.dsirTrain(tgt, "text", raw, "text",
+      gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+    val batch = CorpusOps.dsirWeights(raw, "doc_id", "text", model)
+      .select("doc_id", "n_grams", "oov_tgt", "oov_raw", "hit_tgt", "hit_raw")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    Seq(100, 7).foreach { chunk =>
+      val streamed = graft.streaming.Replay
+        .replay(spark, raw, "doc_id", chunk, "update")(sdf =>
+          graft.streaming.DsirScoreStream.dsirScoreStream(sdf, "text", "doc_id", model))
+        .select("doc_id", "n_grams", "oov_tgt", "oov_raw", "hit_tgt", "hit_raw")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(streamed.toSet === batch, s"chunk=$chunk diverged from batch")
+    }
+  }
+
+  test("dsir xxhash64 production family: same stats shape, validation eager") {
+    val tgt = docs.filter($"doc_id" % 10 === 0)
+    val raw = docs.filter($"doc_id" % 10 =!= 0)
+    // production family end-to-end (train → weigh → select) runs and is
+    // deterministic across invocations
+    val model = CorpusOps.dsirTrain(tgt, "text", raw, "text")
+    val a = CorpusOps.dsirSelect(raw, "doc_id", "text", model, k = 25)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = CorpusOps.dsirSelect(raw.repartition(17), "doc_id", "text", model, k = 25)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a === b && a.size === 25)
+    // eager validation
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirTrain(tgt, "text", raw, "text", gramNs = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirTrain(tgt, "text", raw, "text", hexChars = 8)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirTrain(tgt, "text", raw, "text", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusOps.dsirSelect(raw, "doc_id", "text", model, k = 0)
+    }
+  }
+
   test("lineDedup hashedKeys production form equals the string-key form") {
     val docs = CorpusOps.withSyntheticLines(
       Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")

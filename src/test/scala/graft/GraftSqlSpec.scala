@@ -231,6 +231,23 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("graft_dsir TVF pins to CorpusOps.dsirSelect") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.filter($"doc_id" % 10 =!= 0).createOrReplaceTempView("dsir_raw_tvf")
+    docs.filter($"doc_id" % 10 === 0).createOrReplaceTempView("dsir_tgt_tvf")
+    val viaSql = spark.sql(
+      """SELECT doc_id FROM graft_dsir(
+        |  TABLE(dsir_raw_tvf), TABLE(dsir_tgt_tvf), 'doc_id', 'text', 30)
+        |""".stripMargin).as[Long].collect().toSeq
+    val raw = docs.filter($"doc_id" % 10 =!= 0)
+    val model = llm.CorpusOps.dsirTrain(
+      docs.filter($"doc_id" % 10 === 0), "text", raw, "text")
+    val viaApi = llm.CorpusOps.dsirSelect(raw, "doc_id", "text", model, k = 30)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(viaSql === viaApi, "TVF diverged from the Scala API")
+    assert(viaApi.size === 30)
+  }
+
   test("graft_semdedup TVF pins to Similarity.semDedup") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     emb.createOrReplaceTempView("emb_semdedup_tvf")
