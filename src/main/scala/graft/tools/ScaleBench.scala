@@ -459,11 +459,13 @@ object ScaleBench {
           dim = 64, eps = 0.9, nCells = nc, lloydIters = 1).count()
         val sec = (System.nanoTime() - t0) / 1e9
         // the cell histogram prices the quadratic the self-join actually ran
+        // `/` on longs yields double in Spark SQL — cast the sum back
         val cellPairs = graft.llm.Similarity.lloydAssign(
             embSf1.select(col("vec_id").as("corpus_id"),
               col("embedding").cast("array<double>").as("cv")), nc, 1)._2
           .groupBy("cell").count()
-          .agg(sum(col("count") * (col("count") - 1) / 2)).head().getLong(0)
+          .agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+          .head().getLong(0)
         parts += (f""""semdedup_scale_c$nc":{"sec":$sec%.2f,"vecs":$nv,""" +
           f""""kept":$kept,"cell_pairs":$cellPairs,""" +
           f""""brute_pairs":${nv * (nv - 1) / 2}}""")
