@@ -385,6 +385,19 @@ object GraftSql {
         val model = llm.CorpusOps.dsirTrain(tableArg(es(1)), text, raw, text)
         plan(llm.CorpusOps.dsirSelect(raw, id, text, model,
           k = litInt(es(4), "k")))
+      },
+      // `graft_bm25(corpus, queries, id, text, k)` — Okapi BM25 top-k
+      // sparse retrieval: index the corpus (stopword-grade terms pruned
+      // at the default maxDfFrac), score each query's distinct terms,
+      // rank per query. Both tables use the same id/text column names.
+      // The index scalars (N, avgdl) collect during analysis — the ANN
+      // TVFs' train-offline-then-plan contract.
+      "graft_bm25" -> { (es: Seq[Expression]) =>
+        val id = litStr(es(2), "id column")
+        val text = litStr(es(3), "text column")
+        val idx = llm.TextSearch.bm25Index(tableArg(es.head), id, text)
+        plan(llm.TextSearch.bm25TopK(tableArg(es(1)), id, text, idx,
+          k = litInt(es(4), "k")))
       })
   }
 

@@ -170,6 +170,24 @@ object SparkEntry {
     "doc_fingerprint_md5" -> ((s, d) =>
       llm.TextAnalysis.fingerprintMd5(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram_md5", "fp_full_md5")),
+    // BM25 sparse retrieval: queries = the doc_id%10 eval split probing
+    // the rest of the corpus (the retrieval-decontamination shape).
+    // Same verification policy as doc_lm_ppl/doc_dsir: the INTEGER join
+    // statistics per (query, candidate) are the hashed surface — they
+    // pin tokenize, the postings/df/length relations, the maxDfFrac
+    // stopword pruning, and both probe joins; the ln-based idf, score
+    // fold, and ranking (bm25TopK) are pinned by an independent
+    // plain-Scala re-derivation in TextSearchSpec instead.
+    "doc_bm25_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = llm.TextSearch.bm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      llm.TextSearch.bm25Stats(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", idx)
+        .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
+    }),
     // md5-family twins of the xxhash64 near-dup pipelines: identical LSH /
     // banding / Jaccard semantics, DuckDB-computable hashes — these carry
     // the hash-level verification; the xxhash64 production variants (in
@@ -777,6 +795,21 @@ object SparkEntry {
         .select("doc_id", "n_grams", "oov_tgt", "oov_raw",
           "hit_tgt", "hit_raw")
     }),
+    // STREAMING BM25 retrieval: the eval-split queries replay against a
+    // STATIC pre-built index (stateless stream-static joins + one
+    // updating (query, doc) aggregation — the search deployment shape).
+    // Same integer surface as the batch row, so it shares docBm25Oracle.
+    "doc_bm25_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = llm.TextSearch.bm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      streaming.Replay.replay(s,
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", 10, "update")(sdf =>
+        streaming.Bm25SearchStream.bm25StatsStream(sdf, "text", "query_id", idx))
+        .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
+    }),
     "doc_pack_stream_replay" -> ((s, d) => {
       streaming.UniqueStreams.useRocksDBStateStore(s)
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100, "update")(sdf =>
@@ -1091,6 +1124,19 @@ object SparkEntry {
     "doc_minhash_pairs" -> ((s, d) =>
       llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
         threshold = 0.2)),
+    // production BM25: the full index → score → rank path with the
+    // ln-idf fold and per-query window (doc_bm25_stats carries the
+    // oracle check on the integer join surface; score/rank re-derived
+    // in TextSearchSpec)
+    "doc_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = llm.TextSearch.bm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      llm.TextSearch.bm25TopK(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", "text", idx, k = 10)
+    }),
     // production DSIR: xxhash64 bucketing end-to-end, and the full
     // train → weigh → Gumbel-top-k selection (the md5 stats twin carries
     // the oracle check; selection determinism is spec-pinned)
@@ -1351,6 +1397,8 @@ object SparkEntry {
       "doc_lm_ppl_stream_replay" -> docLmPplOracle,
       "doc_dsir_md5" -> docDsirOracle,
       "doc_dsir_stream_replay" -> docDsirOracle,
+      "doc_bm25_stats" -> docBm25Oracle,
+      "doc_bm25_stream_replay" -> docBm25Oracle,
       // ---- corpus-curation tier mirrors (llm.CorpusOps). Tokenization =
       // the established str_split_regex idiom; word n-grams via 1-based
       // inclusive list slices; ratios are single double divisions of
@@ -2802,6 +2850,36 @@ object SparkEntry {
       |  CAST(coalesce(a.hit_raw, 0) AS BIGINT) AS hit_raw
       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
       |WHERE t.doc_id % 10 <> 0""".stripMargin
+
+  /** DuckDB mirror of TextSearch.bm25Stats' integer surface (corpus =
+    * doc_id%10<>0, queries = the eval split, maxDfFrac = 0.5):
+    * re-derives tokenize, the (term, doc) postings with doc length, the
+    * document-frequency relation with the stopword pruning HAVING, the
+    * distinct query terms, and both probe joins + the per-(query, doc)
+    * integer folds. The ln-based idf/score/rank live in bm25TopK and are
+    * spec-pinned (doubles aren't correctly-rounded across engines).
+    */
+  private def docBm25Oracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |corp AS (SELECT doc_id, len(toks) AS dl, toks FROM t WHERE doc_id % 10 <> 0),
+      |post0 AS (SELECT tok, doc_id, dl, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM corp)
+      |  GROUP BY tok, doc_id, dl),
+      |dfa AS (SELECT tok, count(*) AS df_t FROM post0 GROUP BY tok
+      |  HAVING count(*) <= 0.5 * (SELECT count(*) FROM corp)),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS tok
+      |  FROM t WHERE doc_id % 10 = 0),
+      |qtd AS (SELECT qt.query_id, qt.tok, dfa.df_t FROM qt
+      |  JOIN dfa ON qt.tok = dfa.tok)
+      |SELECT qtd.query_id, post0.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_match,
+      |  CAST(sum(post0.tf) AS BIGINT) AS tf_sum,
+      |  CAST(sum(post0.tf * qtd.df_t) AS BIGINT) AS tfdf_sum,
+      |  CAST(min(post0.dl) AS BIGINT) AS dl
+      |FROM qtd JOIN post0 ON qtd.tok = post0.tok
+      |GROUP BY qtd.query_id, post0.doc_id""".stripMargin
 
   /** DuckDB mirror of Similarity.semDedup (dim=64, eps=0.3, nCells=16,
     * lloydIters=1): the emb_ann_ivf centroid chain (anchor init + one

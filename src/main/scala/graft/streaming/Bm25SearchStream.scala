@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextDedup
+import graft.llm.TextSearch.Bm25Index
+
+/** Streaming twin of [[graft.llm.TextSearch.bm25Stats]]: arriving
+  * QUERIES retrieve against a STATIC pre-built BM25 index — the search
+  * deployment shape (index built offline from the corpus, query stream
+  * scored against it; for training-data work, the stream is eval
+  * prompts probing which training docs they can surface).
+  *
+  * Plan: tokenize → distinct-term explode → stream-static INNER joins
+  * against the df and postings relations (stateless — the stream side
+  * holds no index state) → ONE updating (query, doc) aggregation
+  * emitting the same integer statistics as the batch operator, so the
+  * `doc_bm25_stream_replay` oracle row shares the batch DuckDB mirror.
+  *
+  * State: one aggregation row per live (query, candidate) pair; a
+  * production pipeline bounds it with an upstream event-time watermark
+  * window, the standard recipe. Ranking (`bm25TopK`'s window) is the
+  * consumer's side of the contract here — update-mode emissions carry
+  * the fold, and a downstream batch rank (or the AnnStream-style merge
+  * stage) finishes top-k where needed.
+  */
+object Bm25SearchStream {
+
+  def bm25StatsStream(stream: DataFrame, qtextCol: String, qidCol: String,
+                      index: Bm25Index): DataFrame = {
+    val qt = stream.select(col(qidCol).as("query_id"),
+        TextDedup.tokenize(col(qtextCol)).as("toks"))
+      .select(col("query_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .join(index.dfRel, Seq("tok"))
+    qt.join(index.postings, Seq("tok"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_match"),
+        sum(col("tf")).as("tf_sum"),
+        sum(col("tf") * col("df_t")).as("tfdf_sum"),
+        first(col("dl")).cast("long").as("dl"))
+  }
+}

@@ -1191,15 +1191,31 @@ object ScaleBench {
           max(col("vec_id")).cast("long")).head()
         val (lo, hi) = (ids.getLong(0), ids.getLong(1))
         val nInc = 10
+        // the single-task monolith's per-arrival cost grows linearly with
+        // resident state (each arrival scans nProbe/nCells of it), so the
+        // full-corpus run is quadratic BY DESIGN. For big corpora the
+        // honest economical measurement is the RATE-VS-STATE TRAJECTORY
+        // over a prefix (per-increment rates below), A/B-compared to the
+        // sharded arm at equal state sizes; SPARK_GRAFT_SOAK_MONO_INCS
+        // bounds the fed increments (default: all).
+        val monoIncs = sys.env.get("SPARK_GRAFT_SOAK_MONO_INCS")
+          .map(_.toInt).getOrElse(nInc).min(nInc)
         val span = (hi - lo + nInc) / nInc
         var nVecs = 0L
+        val incSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
         val t0 = System.nanoTime()
-        (0 until nInc).foreach { i =>
+        (0 until monoIncs).foreach { i =>
           val chunk = src.filter(col("vec_id") >= lo + i * span &&
             col("vec_id") < lo + (i + 1) * span).orderBy("vec_id").collect()
           nVecs += chunk.length
+          val ti = System.nanoTime()
           stream.addData(chunk.toSeq)
           q.processAllAvailable()
+          val incSec = (System.nanoTime() - ti) / 1e9
+          incSecs += incSec
+          println(f"[soak] annpq_$tag inc$i: ${chunk.length} vecs in " +
+            f"$incSec%.1f s (${chunk.length / incSec}%.0f vecs/s, " +
+            f"state ≈ ${nVecs - chunk.length} before)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val prog = Option(q.lastProgress).flatMap(_.stateOperators.headOption)
@@ -1207,10 +1223,14 @@ object ScaleBench {
         val stateBytes = prog.map(_.memoryUsedBytes).getOrElse(-1L)
         val nRows = spark.table(sink).count()
         q.stop()
-        parts += (f""""emb_ann_pq_stream_soak_$tag":{"vecs":$nVecs,""" +
+        val incJson = incSecs.map(s => f"$s%.1f").mkString("[", ",", "]")
+        val part = (f""""emb_ann_pq_stream_soak_$tag":{"vecs":$nVecs,""" +
           f""""sec":$sec%.2f,"vecs_per_sec":${nVecs / sec}%.0f,""" +
+          f""""fed_incs":$monoIncs,"inc_secs":$incJson,""" +
           f""""result_rows":$nRows,"state_rows":$stateRows,""" +
           f""""state_bytes":$stateBytes}""")
+        parts += part
+        println(s"[soak] PART $part") // survive a killed run
       }
     }
     // CELL-SHARDED streaming ANN A/B (VERDICT r12 top ask's scale
@@ -1263,8 +1283,13 @@ object ScaleBench {
           val chunk = src.filter(col("vec_id") >= lo + i * span &&
             col("vec_id") < lo + (i + 1) * span).orderBy("vec_id").collect()
           nVecs += chunk.length
+          val ti = System.nanoTime()
           streamA.addData(chunk.toSeq)
           qA.processAllAvailable()
+          val incSec = (System.nanoTime() - ti) / 1e9
+          println(f"[soak] ann_sharded stageA inc$i: ${chunk.length} vecs " +
+            f"in $incSec%.1f s (${chunk.length / incSec}%.0f vecs/s, " +
+            f"state ≈ ${nVecs - chunk.length} before)")
         }
         secA = (System.nanoTime() - t0) / 1e9
         qA.stop()
@@ -1292,11 +1317,16 @@ object ScaleBench {
         secB = (System.nanoTime() - t0) / 1e9
         val nRows = spark.table("soak_ann_sharded").count()
         val hitRows = hitBatches.map(_.length.toLong).sum
-        // parity vs the monolith arm (same geometry) when it ran above
+        // parity vs the monolith arm (same geometry) when it ran above;
+        // if the monolith was prefix-bounded (SPARK_GRAFT_SOAK_MONO_INCS)
+        // compare only the arrivals both arms processed
         val symDiff =
           if (!spark.catalog.tableExists("soak_annpq_ivfpq")) -1L
           else {
+            val maxMonoQ = spark.table("soak_annpq_ivfpq")
+              .agg(max(col("query_id"))).head().getLong(0)
             val sharded = spark.table("soak_ann_sharded")
+              .filter(col("query_id") <= maxMonoQ)
               .select("query_id", "corpus_id", "rank")
             val mono = spark.table("soak_annpq_ivfpq")
               .select("query_id", "corpus_id", "rank")
@@ -1304,11 +1334,13 @@ object ScaleBench {
           }
         qB.stop()
         val pipelined = nVecs / math.max(secA, secB)
-        parts += (f""""emb_ann_sharded_stream_soak":{"vecs":$nVecs,""" +
+        val part = (f""""emb_ann_sharded_stream_soak":{"vecs":$nVecs,""" +
           f""""stage_a_sec":$secA%.2f,"stage_a_vecs_per_sec":${nVecs / secA}%.0f,""" +
           f""""stage_b_sec":$secB%.2f,"stage_b_hit_rows":$hitRows,""" +
           f""""pipelined_vecs_per_sec":$pipelined%.0f,""" +
           f""""result_rows":$nRows,"sym_diff_vs_monolith":$symDiff}""")
+        parts += part
+        println(s"[soak] PART $part")
       }
     }
     // Adversarial lengthBatch regime (VERDICT r7 ask #6): with key

@@ -890,6 +890,33 @@ object SweepVerify {
        |WHERE t.doc_id % $mod <> 0""".stripMargin
   }
 
+  /** Parametrized mirror of TextSearch.bm25Stats' integer surface:
+    * corpus = docs with doc_id % mod <> 0, queries = the rest, stopword
+    * pruning at the drawn maxDfFrac. Same CTE shapes as the fixed
+    * doc_bm25_stats oracle.
+    */
+  private def docBm25Sql(mod: Int, maxDfFrac: Double): String = {
+    val tok = """list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '')"""
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |corp AS (SELECT doc_id, len(toks) AS dl, toks FROM t WHERE doc_id % $mod <> 0),
+       |post0 AS (SELECT tok, doc_id, dl, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM corp)
+       |  GROUP BY tok, doc_id, dl),
+       |dfa AS (SELECT tok, count(*) AS df_t FROM post0 GROUP BY tok
+       |  HAVING count(*) <= $maxDfFrac * (SELECT count(*) FROM corp)),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS tok
+       |  FROM t WHERE doc_id % $mod = 0),
+       |qtd AS (SELECT qt.query_id, qt.tok, dfa.df_t FROM qt
+       |  JOIN dfa ON qt.tok = dfa.tok)
+       |SELECT qtd.query_id, post0.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_match,
+       |  CAST(sum(post0.tf) AS BIGINT) AS tf_sum,
+       |  CAST(sum(post0.tf * qtd.df_t) AS BIGINT) AS tfdf_sum,
+       |  CAST(min(post0.dl) AS BIGINT) AS dl
+       |FROM qtd JOIN post0 ON qtd.tok = post0.tok
+       |GROUP BY qtd.query_id, post0.doc_id""".stripMargin
+  }
+
   /** Parametrized mirror of Similarity.semDedup: the ivf centroid chain
     * (anchor init + `lloydIters` quantized-mean passes) with the FINAL
     * assignment keeping each row's winning csim, the within-cell ε-pair
@@ -1129,7 +1156,8 @@ object SweepVerify {
       "dup_lines", "line_dedup", "decontam", "sample", "exact_dedup",
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
-      "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir")
+      "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
+      "bm25")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1589,6 +1617,30 @@ object SweepVerify {
               "hit_prev", "hit_bigram"),
             docLmPplSql(mod),
             s"m$mod${if (viaStream) "_stream" else ""}")
+        case "bm25" =>
+          // drawn BM25 geometry: query/corpus split × stopword-pruning
+          // fraction, through the batch op or its replayed streaming
+          // twin — the integer join statistics are the hashed surface
+          // (idf/score/rank are spec-pinned, not hashed). maxDfFrac
+          // values are binary-exact so the HAVING literal agrees
+          val mod = pick(Seq(2, 3, 5, 10))
+          val frac = pick(Seq(0.25, 0.5, 1.0))
+          val viaStream = rng.nextBoolean()
+          val corpD = docs.filter(col("doc_id") % mod =!= 0)
+          val qD = docs.filter(col("doc_id") % mod === 0)
+            .select(col("doc_id").as("query_id"), col("text"))
+          val idx = graft.llm.TextSearch.bm25Index(corpD, "doc_id", "text",
+            maxDfFrac = frac)
+          val scored =
+            if (viaStream)
+              graft.streaming.Replay.replay(spark, qD, "query_id", 10, "update")(
+                sdf => graft.streaming.Bm25SearchStream.bm25StatsStream(
+                  sdf, "text", "query_id", idx))
+            else graft.llm.TextSearch.bm25Stats(qD, "query_id", "text", idx)
+          (scored.select("query_id", "doc_id", "n_match", "tf_sum",
+              "tfdf_sum", "dl"),
+            docBm25Sql(mod, frac),
+            s"m${mod}_f$frac${if (viaStream) "_stream" else ""}")
         case "dsir" =>
           // drawn DSIR geometry: target split × bucket width × feature
           // gram sizes, through the batch op or its replayed streaming

@@ -248,6 +248,25 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(viaApi.size === 30)
   }
 
+  test("graft_bm25 TVF pins to TextSearch.bm25TopK") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.filter($"doc_id" % 10 =!= 0).createOrReplaceTempView("bm25_corpus_tvf")
+    docs.filter($"doc_id" % 10 === 0).createOrReplaceTempView("bm25_queries_tvf")
+    val viaSql = spark.sql(
+      """SELECT query_id, doc_id, rank FROM graft_bm25(
+        |  TABLE(bm25_corpus_tvf), TABLE(bm25_queries_tvf),
+        |  'doc_id', 'text', 5)
+        |""".stripMargin).as[(Long, Long, Int)].collect().toSet
+    val idx = llm.TextSearch.bm25Index(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")
+    val viaApi = llm.TextSearch.bm25TopK(
+        docs.filter($"doc_id" % 10 === 0), "doc_id", "text", idx, k = 5)
+      .select("query_id", "doc_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSql === viaApi, "TVF diverged from the Scala API")
+    assert(viaApi.nonEmpty)
+  }
+
   test("graft_semdedup TVF pins to Similarity.semDedup") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     emb.createOrReplaceTempView("emb_semdedup_tvf")
