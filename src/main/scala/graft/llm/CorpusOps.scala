@@ -255,13 +255,17 @@ object CorpusOps {
                    alpha: Double = 0.5): DataFrame = {
     val model = lmTrain(train, trainTextCol, alpha)
     val (uni, bi, vocabN) = (model.uni, model.bi, model.vocabSize)
-    val d = docs.select(col(idCol).as("doc_id"),
-        TextDedup.tokenize(col(textCol)).as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        TextDedup.shingles(col("toks"), 2).as("shs"))
+    val toksD = docs.select(col(idCol).as("doc_id"),
+      TextDedup.tokenize(col(textCol)).as("toks"))
+    val d = toksD.select(col("doc_id"), size(col("toks")).as("n_tokens"))
     // per-(doc, bigram TYPE) with multiplicity — collapses the Zipf head
-    // before the probe joins (see scaladoc)
-    val db = d.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // before the probe joins (see scaladoc). The bigram array explodes
+    // DIRECTLY over the projected token attribute: projecting the HOF
+    // array and exploding the attribute costs ~8× (the round-8 HOF
+    // pitfall's second form — see dsirWeights)
+    val db = toksD
+      .select(col("doc_id"),
+        explode(TextDedup.shingles(col("toks"), 2)).as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("m"))
       .withColumn("prev", split(col("sh"), " ").getItem(0))
     val denomAdd = alpha * (vocabN + 1).toDouble
@@ -486,10 +490,16 @@ object CorpusOps {
         .select(explode(dsirGrams(col("toks"), gramNs)).as("gram"))
         .groupBy(dsirBucket(col("gram"), hexChars, md5Family).as("bucket"))
         .agg(count(lit(1)).as(cName))
+    // MATERIALIZE the model (≤ 16^hexChars rows): training is "train
+    // offline, deploy" — without this every dsirWeights/dsirSelect call
+    // would re-run both corpus gram scans through the lazy lineage
+    // (executor-resident localCheckpoint, the nearDupClusters contract;
+    // measured 10.8 → ~4 s on the sf0.1 doc_dsir_select bench)
     val buckets = bucketCounts(target, targetTextCol, "c_tgt")
       .join(bucketCounts(raw, rawTextCol, "c_raw"), Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
         coalesce(col("c_raw"), lit(0L)).as("c_raw"))
+      .localCheckpoint(true)
     val tots = buckets.agg(coalesce(sum("c_tgt"), lit(0L)),
       coalesce(sum("c_raw"), lit(0L))).head()
     DsirModel(buckets, tots.getLong(0), tots.getLong(1), alpha, gramNs,
@@ -514,10 +524,17 @@ object CorpusOps {
     val logConst = math.log(
       (model.totRaw + model.alpha * model.nBuckets) /
         (model.totTgt + model.alpha * model.nBuckets))
-    val d = docs.select(col(idCol).as("doc_id"),
-        TextDedup.tokenize(col(textCol)).as("toks"))
-      .select(col("doc_id"), dsirGrams(col("toks"), model.gramNs).as("grams"))
-    val db = d.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val toksD = docs.select(col(idCol).as("doc_id"),
+      TextDedup.tokenize(col(textCol)).as("toks"))
+    // explode the gram expression DIRECTLY over the projected token
+    // attribute — projecting the HOF array in its own select and
+    // exploding the attribute re-plans the array build into the
+    // Generate's per-row child projection in a shape that costs ~8×
+    // (12.3 vs 1.7 s at sf0.1, the round-8 HOF pitfall's second form;
+    // boilerplatePhrases' scaladoc documents the first)
+    val db = toksD
+      .select(col("doc_id"),
+        explode(dsirGrams(col("toks"), model.gramNs)).as("gram"))
       .groupBy(col("doc_id"),
         dsirBucket(col("gram"), model.hexChars, model.md5Family).as("bucket"))
       .agg(count(lit(1)).as("m"))
@@ -533,7 +550,7 @@ object CorpusOps {
       sum(col("c_raw") * col("m")).as("hit_raw"),
       sum(col("m") * (log(col("c_tgt").cast("double") + lit(model.alpha)) -
         log(col("c_raw").cast("double") + lit(model.alpha)))).as("logratio"))
-    d.select("doc_id").join(agg, Seq("doc_id"), "left")
+    toksD.select("doc_id").join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("oov_tgt"), lit(0L)).as("oov_tgt"),

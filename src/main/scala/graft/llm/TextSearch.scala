@@ -57,10 +57,16 @@ object TextSearch {
     val post0 = d.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("tok"))
       .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    // MATERIALIZE the vocab-bounded df relation (executor-resident
+    // localCheckpoint): it is read by every query batch AND feeds the
+    // postings semi-join, and without it each use re-runs the full
+    // postings build through the lazy lineage. The postings relation
+    // itself stays lazy — it is corpus-sized, and a serving deployment
+    // persists it once explicitly (bucketed by term) rather than per
+    // index handle.
     val dfAll = post0.groupBy("tok").agg(count(lit(1)).as("df_t"))
       .filter(col("df_t") <= lit(maxDfFrac * nDocs))
-    // semi-join postings down to surviving terms (broadcast: vocab after
-    // pruning is small next to postings, and the join key is the term)
+      .localCheckpoint(true)
     val postings = post0.join(dfAll.select("tok"), Seq("tok"), "left_semi")
     Bm25Index(postings, dfAll, nDocs, avgDl, maxDfFrac)
   }
