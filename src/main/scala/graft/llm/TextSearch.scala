@@ -88,10 +88,12 @@ object TextSearch {
     * Candidates = docs sharing ≥ 1 surviving term with the query.
     */
   def bm25Stats(queries: DataFrame, qidCol: String, qtextCol: String,
-                index: Bm25Index): DataFrame = {
-    val qt = queryTerms(queries, qidCol, qtextCol)
+                index: Bm25Index,
+                broadcastQueries: Boolean = true): DataFrame = {
+    val qt0 = queryTerms(queries, qidCol, qtextCol)
       .join(index.dfRel, Seq("tok")) // inner: unseen/pruned terms score 0
-    broadcast(qt).join(index.postings, Seq("tok"))
+    val qt = if (broadcastQueries) broadcast(qt0) else qt0
+    qt.join(index.postings, Seq("tok"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_match"),
         sum(col("tf")).as("tf_sum"),
@@ -108,16 +110,23 @@ object TextSearch {
     */
   def bm25TopK(queries: DataFrame, qidCol: String, qtextCol: String,
                index: Bm25Index, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(k1 >= 0, s"k1 must be non-negative, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
-    val qt = queryTerms(queries, qidCol, qtextCol)
+    // broadcastQueries = true is the interactive/eval-probe regime (query
+    // relation ≪ postings). A corpus-sized query batch (millions of
+    // queries) passes false: the probe becomes a term-keyed shuffle join
+    // whose postings side is already (tok, doc, tf, dl) after pruning —
+    // the decontaminate(broadcastEval) contract. Identical output.
+    val qt0 = queryTerms(queries, qidCol, qtextCol)
       .join(index.dfRel, Seq("tok"))
       .withColumn("idf",
         log(lit(1.0) + (lit(index.nDocs.toDouble) - col("df_t") + lit(0.5)) /
           (col("df_t") + lit(0.5))))
-    val scored = broadcast(qt).join(index.postings, Seq("tok"))
+    val qt = if (broadcastQueries) broadcast(qt0) else qt0
+    val scored = qt.join(index.postings, Seq("tok"))
       .withColumn("norm",
         col("tf").cast("double") * lit(k1 + 1.0) /
           (col("tf").cast("double") +

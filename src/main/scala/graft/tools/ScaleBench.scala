@@ -117,7 +117,7 @@ object ScaleBench {
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
-      "emb_ann_sharded_stream_soak", "semdedup_scale")
+      "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -187,6 +187,30 @@ object ScaleBench {
     // ~linear in docs. Measured wall + shuffle MB each; the decontam eval
     // side (ids % 50 == 0) grows with the corpus but stays broadcast-sized
     // at any realistic eval:train ratio.
+    // Round-13 retrieval/selection tier at 10× (50k docs): DSIR train →
+    // weigh → Gumbel-top-k over the 90% raw pool, and BM25 index → score
+    // → rank with the 10% eval split as queries (~5k queries probing 45k
+    // docs). Aggregates run over output VALUE columns so Catalyst cannot
+    // elide the ordered selection / the rank window (the count-star
+    // trap the decontam arm documents).
+    if (wanted("dsir_bm25_scale")) {
+      parts += timed("dsir_select_scale") {
+        val tgt = docsSf1.filter(col("doc_id") % 10 === 0)
+        val raw = docsSf1.filter(col("doc_id") % 10 =!= 0)
+        val model = graft.llm.CorpusOps.dsirTrain(tgt, "text", raw, "text")
+        graft.llm.CorpusOps.dsirSelect(raw, "doc_id", "text", model, 1000)
+          .agg(count(col("gumbel_key")) + count(col("doc_id")))
+          .head().getLong(0)
+      }
+      parts += timed("bm25_topk_scale") {
+        val corp = docsSf1.filter(col("doc_id") % 10 =!= 0)
+        val qs = docsSf1.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"), col("text"))
+        val idx = graft.llm.TextSearch.bm25Index(corp, "doc_id", "text")
+        graft.llm.TextSearch.bm25TopK(qs, "query_id", "text", idx, k = 10)
+          .agg(count(col("score")) + count(col("rank"))).head().getLong(0)
+      }
+    }
     if (wanted("corpus_curation")) {
       parts += timed("doc_repetition_scale") {
         graft.llm.CorpusOps.repetitionColumns(docsSf1, "doc_id", "text").count()

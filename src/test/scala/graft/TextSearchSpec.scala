@@ -133,6 +133,26 @@ class TextSearchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bm25 shuffle-join query regime equals the broadcast regime") {
+    val docs = Tables.documents(spark, sf)
+    val ix = TextSearch.bm25Index(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")
+    val queries = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("query_id"), $"text")
+    val a = TextSearch.bm25TopK(queries, "query_id", "text", ix, k = 5)
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = TextSearch.bm25TopK(queries, "query_id", "text", ix, k = 5,
+        broadcastQueries = false)
+      .select("query_id", "doc_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a === b && a.nonEmpty)
+    val sa = TextSearch.bm25Stats(queries, "query_id", "text", ix)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val sb = TextSearch.bm25Stats(queries, "query_id", "text", ix,
+        broadcastQueries = false)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(sa === sb)
+  }
+
   test("bm25 validation is eager") {
     val df = corpusFix.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
