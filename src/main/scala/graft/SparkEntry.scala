@@ -810,6 +810,22 @@ object SparkEntry {
         streaming.Bm25SearchStream.bm25StatsStream(sdf, "text", "query_id", idx))
         .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
     }),
+    // ... and the kill+restart form: the query stream is stopped at the
+    // half-way chunk and recovered from its checkpoint; the updating
+    // (query, doc) aggregation restores to the pre-batch version, so the
+    // final statistics are identical and the row shares docBm25Oracle
+    // (the repo's standard restart coverage, like doc_neardup_restart).
+    "doc_bm25_restart_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = llm.TextSearch.bm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      streaming.Replay.replayWithRestart(s,
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"), col("text")),
+        "query_id", 10)(sdf =>
+        streaming.Bm25SearchStream.bm25StatsStream(sdf, "text", "query_id", idx))
+        .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
+    }),
     "doc_pack_stream_replay" -> ((s, d) => {
       streaming.UniqueStreams.useRocksDBStateStore(s)
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100, "update")(sdf =>
@@ -1399,6 +1415,7 @@ object SparkEntry {
       "doc_dsir_stream_replay" -> docDsirOracle,
       "doc_bm25_stats" -> docBm25Oracle,
       "doc_bm25_stream_replay" -> docBm25Oracle,
+      "doc_bm25_restart_stream_replay" -> docBm25Oracle,
       // ---- corpus-curation tier mirrors (llm.CorpusOps). Tokenization =
       // the established str_split_regex idiom; word n-grams via 1-based
       // inclusive list slices; ratios are single double divisions of
