@@ -238,15 +238,23 @@ object CorpusOps {
   final case class LmBigramModel(uni: DataFrame, bi: DataFrame,
                                  vocabSize: Long, alpha: Double)
 
-  /** Train the add-α bigram model of [[lmPerplexity]] on `train`. */
+  /** Train the add-α bigram model of [[lmPerplexity]] on `train`.
+    * The count relations are MATERIALIZED (executor-resident
+    * localCheckpoint — vocab/bigram-vocab-bounded, distributed): the
+    * model is "train offline, deploy", and a lazy static side would be
+    * re-computed per probe — per micro-batch in
+    * [[graft.streaming.LmScoreStream]]'s stream-static joins.
+    */
   def lmTrain(train: DataFrame, trainTextCol: String,
               alpha: Double = 0.5): LmBigramModel = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     val tToks = train.select(TextDedup.tokenize(col(trainTextCol)).as("toks"))
     val uni = tToks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val bi = tToks.select(explode(TextDedup.shingles(col("toks"), 2)).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     LmBigramModel(uni, bi, uni.count(), alpha)
   }
 
