@@ -241,18 +241,22 @@ object GraftSql {
         pws.unpersist()
         plan(deduped)
       },
-      // `graft_semdedup(t, id, vec, dim, eps, n_cells, lloyd_iters)` —
-      // SemDeDup (Abbas et al. 2023): k-means-cell-confined ε-similarity
-      // components, keep the least-centroid-similar member of each.
-      // Eagerly materializes the CC loop during analysis, like
-      // graft_neardup_dedup.
+      // `graft_semdedup(t, id, vec, dim, eps, n_cells, lloyd_iters
+      // [, max_cell])` — SemDeDup (Abbas et al. 2023): k-means-cell-
+      // confined ε-similarity components, keep the least-centroid-
+      // similar member of each. Optional max_cell = the hot-cell
+      // occupancy cap (over-cap cells are excluded from the pair scan;
+      // their members survive). Eagerly materializes the CC loop during
+      // analysis, like graft_neardup_dedup.
       "graft_semdedup" -> { (es: Seq[Expression]) =>
         plan(llm.Similarity.semDedup(tableArg(es.head),
           litStr(es(1), "id column"), litStr(es(2), "vector column"),
           dim = litLong(es(3), "dim").toInt,
           eps = litDouble(es(4), "eps"),
           nCells = litLong(es(5), "n_cells").toInt,
-          lloydIters = litLong(es(6), "lloyd_iters").toInt))
+          lloydIters = litLong(es(6), "lloyd_iters").toInt,
+          maxCell = if (es.length > 7) litLong(es(7), "max_cell").toInt
+                    else Int.MaxValue))
       },
       "graft_ann_ivf" -> { (es: Seq[Expression]) =>
         plan(llm.Similarity.ivfTopK(tableArg(es.head),

@@ -352,6 +352,24 @@ object SparkEntry {
     "emb_semdedup" -> ((s, d) =>
       llm.Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, eps = 0.3, nCells = 16, lloydIters = 1)),
+    // ... and the HOT-CELL-CAPPED form at a geometry where the cap BITES
+    // and the policies genuinely diverge (nCells=4 at sf0.01 assigns
+    // cells of [144, 122, 117, 117]; maxCell=130 excludes the 144-cell
+    // from the pair scan, so its members all survive: 294 survivors
+    // capped vs 196 uncapped). The mirror re-derives the occupancy
+    // relation and the ok-cell filter in SQL on top of the uncapped
+    // chain — the doc_fuzzy_pairs_capped* pattern applied to SemDeDup.
+    "emb_semdedup_capped" -> ((s, d) =>
+      llm.Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, eps = 0.3125, nCells = 4, lloydIters = 1, maxCell = 130)),
+    // the cap's "no silent caps" telemetry, hash-verified itself: the
+    // dropped-cell relation (cell id + occupancy) at the same geometry
+    "emb_semdedup_dropped_cells" -> ((s, d) =>
+      llm.Similarity.semDedupStats(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, eps = 0.3125, nCells = 4, lloydIters = 1,
+        maxCell = 130).droppedCells
+        .select(col("cell").cast("long").as("cell"),
+          col("size").cast("long").as("size"))),
     "mm_features" -> ((s, d) =>
       llm.Multimodal.extractFeaturesChecked(
         llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
@@ -801,8 +819,14 @@ object SparkEntry {
     // Same integer surface as the batch row, so it shares docBm25Oracle.
     "doc_bm25_stream_replay" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val idx = llm.TextSearch.bm25Index(
+      val idx0 = llm.TextSearch.bm25Index(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      // postings is deliberately lazy in bm25Index (corpus-sized; a
+      // serving deployment persists it once, bucketed by term) — pin it
+      // here so the replay's per-micro-batch stream-static joins don't
+      // re-run the tokenize/explode/aggregate lineage chunk × corpus
+      // times (StreamBench's scoring arm does the same)
+      val idx = idx0.copy(postings = idx0.postings.localCheckpoint(true))
       streaming.Replay.replay(s,
         docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("query_id"), col("text")),
@@ -817,8 +841,9 @@ object SparkEntry {
     // (the repo's standard restart coverage, like doc_neardup_restart).
     "doc_bm25_restart_stream_replay" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val idx = llm.TextSearch.bm25Index(
+      val idx0 = llm.TextSearch.bm25Index(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val idx = idx0.copy(postings = idx0.postings.localCheckpoint(true))
       streaming.Replay.replayWithRestart(s,
         docs.filter(col("doc_id") % 10 === 0)
           .select(col("doc_id").as("query_id"), col("text")),
@@ -1603,6 +1628,8 @@ object SparkEntry {
       "emb_neardup_clusters" -> embNearDupClustersOracle,
       "emb_neardup_dedup" -> embNearDupStreamOracle,
       "emb_semdedup" -> embSemDedupOracle,
+      "emb_semdedup_capped" -> embSemDedupCappedOracle,
+      "emb_semdedup_dropped_cells" -> embSemDedupDroppedCellsOracle,
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,
@@ -2943,6 +2970,61 @@ object SparkEntry {
        |  FROM cc JOIN asg ON cc.id = asg.corpus_id)
        |SELECT vec_id FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
+
+  /** The HOT-CELL-CAPPED mirror (nCells=4, eps=0.3125, lloydIters=1,
+    * maxCell=130): identical chain, plus the occupancy relation `csz`
+    * and the ok-cell filter on the ε-pair scan — cells above the cap
+    * produce no pairs, so their members all survive. The shared WITH
+    * prefix also serves the dropped-cells telemetry row.
+    */
+  private def embSemDedupCappedWith: String =
+    s"""WITH RECURSIVE cent0 AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
+       |    FROM embeddings ORDER BY vec_id LIMIT 4),
+       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+       |asg0 AS (SELECT corpus_id, cv, cell FROM (
+       |  SELECT corpus_id, cv, cell,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN cent0)) WHERE rn = 1),
+       |el AS (SELECT cell, generate_subscripts(cv, 1) AS pos, unnest(cv) AS x FROM asg0),
+       |cm AS (SELECT cell, pos,
+       |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / (count(*) * 1048576.0) AS m
+       |  FROM el GROUP BY cell, pos),
+       |cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+       |asg AS (SELECT corpus_id, cv, cell, csim FROM (
+       |  SELECT corpus_id, cv, cell, csim,
+       |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+       |  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+       |        FROM c CROSS JOIN cent)) WHERE rn = 1),
+       |csz AS (SELECT cell, count(*) AS n FROM asg GROUP BY cell)""".stripMargin
+
+  private def embSemDedupCappedOracle: String =
+    s"""$embSemDedupCappedWith,
+       |ok AS (SELECT cell FROM csz WHERE n <= 130),
+       |ep AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+       |  JOIN ok ON ok.cell = a.cell
+       |  WHERE ${duckCosine("a.cv", "b.cv")} >= 0.3125),
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM ep
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM ep),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |rk AS (SELECT cc.cluster_id, cc.id,
+       |    row_number() OVER (PARTITION BY cc.cluster_id ORDER BY asg.csim ASC, cc.id) AS rn
+       |  FROM cc JOIN asg ON cc.id = asg.corpus_id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
+
+  private def embSemDedupDroppedCellsOracle: String =
+    s"""$embSemDedupCappedWith
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS size
+       |FROM csz WHERE n > 130""".stripMargin
 
   private def embIvfOracle: String =
     s"""WITH cent0 AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid

@@ -580,6 +580,13 @@ object CorpusOps {
     * reproducibility contract extended to weighted sampling.
     * `orderBy(...).limit(k)` plans as TakeOrderedAndProject: per-
     * partition top-k then a k-row driver merge, never a global sort.
+    *
+    * Output schema (INTENTIONAL, stable): the full [[dsirWeights]] row —
+    * doc_id + the integer sufficient statistics + `logw` — plus
+    * `gumbel_key`, the perturbed key the top-k ordered on. Selection
+    * pipelines audit WHY a document was drawn (weight vs noise), so the
+    * key is part of the contract, not an implementation leak;
+    * `ScaleBench`'s dsir arm aggregates over it deliberately.
     */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
                  model: DsirModel, k: Int, seed: String = "dsir"): DataFrame = {

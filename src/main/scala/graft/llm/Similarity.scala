@@ -298,19 +298,58 @@ object Similarity {
     * sides, the keep-policy join, and nothing else — the final
     * anti-join reads the raw corpus), the loser set is pair-members-
     * sized, and the output is one broadcastable anti-join.
+    *
+    * `maxCell` guards the HOT CELL: duplicate-heavy corpora — the
+    * operator's own target — skew the assignment, and the within-cell
+    * self-join is exactly quadratic in the largest cell. A cell whose
+    * occupancy exceeds `maxCell` is excluded from the pair scan
+    * entirely (its members all SURVIVE — conservative, the
+    * [[TextDedup]] `maxBucket` contract: a dropped bucket produces no
+    * candidate pairs), bounding the scan at maxCell² per cell
+    * regardless of skew. "No silent caps": [[semDedupStats]] returns
+    * the dropped cells (cell id + occupancy) as telemetry next to the
+    * survivors; this overload discards only the telemetry, never the
+    * drop decision. The occupancy relation is nCells rows, so the ok-
+    * cell filter is a broadcast semi-join — no extra corpus shuffle —
+    * and is skipped entirely when maxCell is non-binding by type
+    * (Int.MaxValue, the default).
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                dim: Int, eps: Double, nCells: Int = 16,
-               lloydIters: Int = 1): DataFrame = {
+               lloydIters: Int = 1, maxCell: Int = Int.MaxValue): DataFrame =
+    semDedupStats(corpus, idCol, vecCol, dim, eps, nCells, lloydIters,
+      maxCell).survivors
+
+  /** [[semDedup]]'s survivors plus its hot-cell telemetry: `droppedCells`
+    * = (cell, size) for every cell whose occupancy exceeded `maxCell`
+    * and was therefore excluded from the ε-pair scan (members all
+    * survive). Empty when the cap never bites — the saturation-telemetry
+    * contract `minhashPairsStats` established for banded LSH buckets.
+    */
+  final case class SemDedupResult(survivors: DataFrame, droppedCells: DataFrame)
+
+  def semDedupStats(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, eps: Double, nCells: Int = 16,
+                    lloydIters: Int = 1,
+                    maxCell: Int = Int.MaxValue): SemDedupResult = {
     require(eps > 0 && eps <= 1, s"eps must be in (0, 1], got $eps")
     require(nCells > 0, s"nCells must be positive, got $nCells")
+    require(maxCell > 0, s"maxCell must be positive, got $maxCell")
     val c = corpus.select(col(idCol).as("corpus_id"),
       requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
     // lineage-free materialization: the pair self-join would otherwise
     // re-run the crossJoin+argmax assignment once per consumer (same
     // rationale as fuzzyDecontaminate's checkpoint)
     val assigned = lloydAssign(c, nCells, lloydIters)._2.localCheckpoint(true)
-    val pairs = assigned.as("x").join(assigned.as("y"),
+    val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val droppedCells = cellCounts.filter(col("__cn") > maxCell)
+      .select(col("cell"), col("__cn").as("size"))
+    val scanned =
+      if (maxCell == Int.MaxValue) assigned
+      else assigned.join(
+        broadcast(cellCounts.filter(col("__cn") <= maxCell).select("cell")),
+        Seq("cell"), "left_semi")
+    val pairs = scanned.as("x").join(scanned.as("y"),
         col("x.cell") === col("y.cell") &&
           col("x.corpus_id") < col("y.corpus_id"))
       .filter(cosine(col("x.cv"), col("y.cv")) >= eps)
@@ -326,8 +365,10 @@ object Similarity {
     val losers = withCsim.join(keepers, "cluster_id")
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as("__loser"))
-    corpus.join(broadcast(losers), col(idCol) === col("__loser"), "left_anti")
+    val survivors = corpus
+      .join(broadcast(losers), col(idCol) === col("__loser"), "left_anti")
       .select(col(idCol))
+    SemDedupResult(survivors, droppedCells)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -1343,9 +1343,12 @@ object ScaleBench {
         val hitRows = hitBatches.map(_.length.toLong).sum
         // parity vs the monolith arm (same geometry) when it ran above;
         // if the monolith was prefix-bounded (SPARK_GRAFT_SOAK_MONO_INCS)
-        // compare only the arrivals both arms processed
+        // compare only the arrivals both arms processed. An EMPTY monolith
+        // sink (SPARK_GRAFT_SOAK_MONO_INCS=0 fed zero increments) has a
+        // NULL max(query_id) — skip the parity check rather than NPE.
         val symDiff =
           if (!spark.catalog.tableExists("soak_annpq_ivfpq")) -1L
+          else if (spark.table("soak_annpq_ivfpq").isEmpty) -1L
           else {
             val maxMonoQ = spark.table("soak_annpq_ivfpq")
               .agg(max(col("query_id"))).head().getLong(0)

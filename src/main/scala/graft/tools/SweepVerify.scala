@@ -920,10 +920,13 @@ object SweepVerify {
   /** Parametrized mirror of Similarity.semDedup: the ivf centroid chain
     * (anchor init + `lloydIters` quantized-mean passes) with the FINAL
     * assignment keeping each row's winning csim, the within-cell ε-pair
-    * self-join, the min-label recursive-CTE closure, and the keep rank
-    * (csim ASC, id ASC per component; rn > 1 dropped).
+    * self-join RESTRICTED to cells at or under the `maxCell` occupancy
+    * cap (the hot-cell guard — over-cap cells produce no pairs, so
+    * their members all survive), the min-label recursive-CTE closure,
+    * and the keep rank (csim ASC, id ASC per component; rn > 1 dropped).
     */
-  private def embSemDedupSql(nCells: Int, lloydIters: Int, eps: Double): String = {
+  private def embSemDedupSql(nCells: Int, lloydIters: Int, eps: Double,
+                             maxCell: Int = Int.MaxValue): String = {
     val chain = (0 until lloydIters).map { i =>
       s"""asg$i AS (SELECT corpus_id, cv, cell FROM (
          |  SELECT corpus_id, cv, cell,
@@ -946,8 +949,10 @@ object SweepVerify {
        |    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
        |  FROM (SELECT corpus_id, cv, cell, ${duckCos("cv", "centroid")} AS csim
        |        FROM c CROSS JOIN cent$lloydIters)) WHERE rn = 1),
+       |ok AS (SELECT cell FROM asg GROUP BY cell HAVING count(*) <= $maxCell),
        |ep AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+       |  JOIN ok ON ok.cell = a.cell
        |  WHERE ${duckCos("a.cv", "b.cv")} >= $eps),
        |nodes AS (SELECT DISTINCT id FROM (
        |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
@@ -1672,10 +1677,16 @@ object SweepVerify {
           // literal and the Scala double agree bit-for-bit
           val nc = pick(Seq(8, 16, 32)); val ll = pick(Seq(0, 1, 2))
           val epsQ = pick(Seq(0.25, 0.3125, 0.375))
+          // drawn hot-cell cap: cell sizes at sf0.01 run ~500/nCells
+          // (62/31/16), so 25 usually caps everything (zero pairs —
+          // everyone survives), 60 bites partially at nc=8, and 2^20
+          // never bites — all three regimes land in the sweep
+          val mc = pick(Seq(25, 60, 1 << 20))
           (graft.llm.Similarity.semDedup(emb, "vec_id", "embedding",
-            dim = 64, eps = epsQ, nCells = nc, lloydIters = ll),
-            embSemDedupSql(nc, ll, epsQ),
-            s"c${nc}_l${ll}_e$epsQ")
+            dim = 64, eps = epsQ, nCells = nc, lloydIters = ll,
+            maxCell = mc),
+            embSemDedupSql(nc, ll, epsQ, mc),
+            s"c${nc}_l${ll}_e${epsQ}_mc$mc")
         case "emb_ivfpq_stream" =>
           // the CELL-BUCKETED streaming form through the replay harness:
           // every arrival retrieves against earlier arrivals from its

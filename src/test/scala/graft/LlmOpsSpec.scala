@@ -421,6 +421,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       s"kept $kept != $n - ($members - $comps)")
   }
 
+  test("semDedup: the hot-cell cap drops the over-cap cell from the pair " +
+      "scan, its members survive, and the telemetry names it") {
+    // nCells=1, lloydIters=0 → ONE 4-member cell holding the ε-component
+    // {0,1,3}. maxCell=3 excludes the cell from the pair scan entirely:
+    // everyone survives, and droppedCells reports (cell, size=4).
+    val vs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.05, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.1, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val r = Similarity.semDedupStats(vs, "vec_id", "embedding",
+      dim = 4, eps = 0.95, nCells = 1, lloydIters = 0, maxCell = 3)
+    assert(r.survivors.as[Long].collect().toSet === Set(0L, 1L, 2L, 3L),
+      "over-cap cell members must all survive (conservative drop)")
+    val dropped = r.droppedCells.select(col("size").cast("long"))
+      .as[Long].collect().toSeq
+    assert(dropped === Seq(4L), s"expected one dropped cell of size 4, got $dropped")
+    // a non-binding cap leaves the uncapped result and empty telemetry
+    val r2 = Similarity.semDedupStats(vs, "vec_id", "embedding",
+      dim = 4, eps = 0.95, nCells = 1, lloydIters = 0, maxCell = 4)
+    assert(r2.survivors.as[Long].collect().toSet === Set(2L, 3L))
+    assert(r2.droppedCells.isEmpty, "non-binding cap must report no drops")
+  }
+
   test("pqTopK: anchors encode to their own codes; self-similarity is exact") {
     // anchor j's subspace slice is at L2 distance 0 from centroid (m, j),
     // so its code vector must be [j] * nSub; its ADC score against its own
