@@ -851,6 +851,108 @@ object SparkEntry {
         streaming.Bm25SearchStream.bm25StatsStream(sdf, "text", "query_id", idx))
         .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
     }),
+    // STREAMING BM25 INDEX INGESTION (graft.streaming.Bm25IngestStream):
+    // documents ENTER the searchable index as they arrive (token-sharded
+    // transformWithState postings + df state, maxDf Zipf-head saturation)
+    // and interleaved queries probe exactly the arrivals-so-far — the
+    // emb_ann_stream_replay earlier-arrivals contract applied to lexical
+    // retrieval. The id-ordered tagged feed (docs = id % 10 != 0,
+    // queries = id % 10 == 0, one seq axis) makes "so far" = doc_id <
+    // query_id, and the per-batch seq sort makes that CHUNKING-
+    // INSENSITIVE; the mirror re-derives the stored-postings prefix
+    // (row_number ≤ maxDf per token) and the at-probe df in SQL. The
+    // per-(query, doc) fold of the emitted per-token rows is the
+    // consumer-side contract (as in doc_bm25_stream_replay's ranking).
+    "doc_bm25_index_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      val tagged = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        (col("doc_id") % 10 === 0).as("is_query"))
+      try
+        streaming.Replay.replay(s, tagged, "doc_id", 50, "append")(sdf =>
+          streaming.Bm25IngestStream.bm25IngestStream(sdf, "doc_id", "text",
+            "is_query", maxDf = 250))
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("n_match"), sum(col("tf")).as("tf_sum"),
+            sum(col("tf") * col("df_p")).as("tfdf_sum"),
+            min(col("dl")).as("dl"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // ... and the kill/restart form: stopped at the half-way chunk and
+    // recovered from the checkpoint — the RocksDB df/postings state must
+    // restore exactly for the later queries' probes to match (append-mode
+    // emissions are final, so the row shares the ingestion mirror).
+    "doc_bm25_index_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      val tagged = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        (col("doc_id") % 10 === 0).as("is_query"))
+      try
+        streaming.Replay.replayWithRestart(s, tagged, "doc_id", 50)(sdf =>
+          streaming.Bm25IngestStream.bm25IngestStream(sdf, "doc_id", "text",
+            "is_query", maxDf = 250))
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("n_match"), sum(col("tf")).as("tf_sum"),
+            sum(col("tf") * col("df_p")).as("tfdf_sum"),
+            min(col("dl")).as("dl"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // WATERMARK-BOUNDED scoring streams (the windowed twins of the three
+    // rows above): event time = timestamp_seconds(id) — one event time
+    // per document, the natural ingestion-time shape — fed in id order,
+    // 50 s windows under a 10 s watermark. Each chunk advances event time
+    // past several window ends, so STATE EVICTION FIRES throughout the
+    // replay while completed docs score identically (the window key is
+    // constant within a doc and merely partitions the doc set) — each
+    // row shares its unwindowed sibling's batch mirror.
+    "doc_lm_ppl_windowed_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.lmTrain(docs, "text")
+      streaming.Replay.replay(s,
+        docs.withColumn("event_ts", timestamp_seconds(col("doc_id"))),
+        "doc_id", 100, "update")(sdf =>
+        streaming.LmScoreStream.lmScoreStreamWindowed(sdf, "text", "doc_id",
+          "event_ts", model, "50 seconds", "10 seconds"))
+        .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+          "hit_prev", "hit_bigram")
+    }),
+    "doc_dsir_windowed_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.dsirTrain(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "text",
+        gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+      streaming.Replay.replay(s,
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("event_ts", timestamp_seconds(col("doc_id"))),
+        "doc_id", 100, "update")(sdf =>
+        streaming.DsirScoreStream.dsirScoreStreamWindowed(sdf, "text",
+          "doc_id", "event_ts", model, "50 seconds", "10 seconds"))
+        .select("doc_id", "n_grams", "oov_tgt", "oov_raw",
+          "hit_tgt", "hit_raw")
+    }),
+    "doc_bm25_windowed_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx0 = llm.TextSearch.bm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val idx = idx0.copy(postings = idx0.postings.localCheckpoint(true))
+      streaming.Replay.replay(s,
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"), col("text"))
+          .withColumn("event_ts", timestamp_seconds(col("query_id"))),
+        "query_id", 10, "update")(sdf =>
+        streaming.Bm25SearchStream.bm25StatsStreamWindowed(sdf, "text",
+          "query_id", "event_ts", idx, "50 seconds", "10 seconds"))
+        .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
+    }),
     "doc_pack_stream_replay" -> ((s, d) => {
       streaming.UniqueStreams.useRocksDBStateStore(s)
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100, "update")(sdf =>
@@ -1436,10 +1538,15 @@ object SparkEntry {
       "doc_langid" -> docLangIdOracle,
       "doc_lm_ppl" -> docLmPplOracle,
       "doc_lm_ppl_stream_replay" -> docLmPplOracle,
+      "doc_lm_ppl_windowed_stream_replay" -> docLmPplOracle,
+      "doc_dsir_windowed_stream_replay" -> docDsirOracle,
+      "doc_bm25_windowed_stream_replay" -> docBm25Oracle,
       "doc_dsir_md5" -> docDsirOracle,
       "doc_dsir_stream_replay" -> docDsirOracle,
       "doc_bm25_stats" -> docBm25Oracle,
       "doc_bm25_stream_replay" -> docBm25Oracle,
+      "doc_bm25_index_stream_replay" -> docBm25IngestOracle,
+      "doc_bm25_index_restart_stream_replay" -> docBm25IngestOracle,
       "doc_bm25_restart_stream_replay" -> docBm25Oracle,
       // ---- corpus-curation tier mirrors (llm.CorpusOps). Tokenization =
       // the established str_split_regex idiom; word n-grams via 1-based
@@ -2924,6 +3031,38 @@ object SparkEntry {
       |  CAST(min(post0.dl) AS BIGINT) AS dl
       |FROM qtd JOIN post0 ON qtd.tok = post0.tok
       |GROUP BY qtd.query_id, post0.doc_id""".stripMargin
+
+  /** DuckDB mirror of Bm25IngestStream's earlier-arrivals retrieval
+    * (tagged id-ordered feed: corpus = doc_id%10<>0, queries = %10=0,
+    * maxDf = 250): the STORED postings are each term's first-by-id
+    * maxDf docs (`rnk <= 250` — the online Zipf-head saturation), a
+    * query sees exactly the stored postings with doc_id < query_id, and
+    * the at-probe df counts those same rows; the per-(query, doc) fold
+    * matches the consumer-side fold in the SparkEntry row.
+    */
+  private def docBm25IngestOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |corp AS (SELECT doc_id, len(toks) AS dl, toks FROM t WHERE doc_id % 10 <> 0),
+      |post0 AS (SELECT tok, doc_id, dl, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM corp)
+      |  GROUP BY tok, doc_id, dl),
+      |kept AS (SELECT * FROM (
+      |  SELECT tok, doc_id, dl, tf,
+      |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rnk
+      |  FROM post0) WHERE rnk <= 250),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS tok
+      |  FROM t WHERE doc_id % 10 = 0),
+      |probe AS (SELECT qt.query_id, k.doc_id, k.tok, k.tf, k.dl,
+      |    count(*) OVER (PARTITION BY qt.query_id, k.tok) AS df_p
+      |  FROM qt JOIN kept k ON k.tok = qt.tok AND k.doc_id < qt.query_id)
+      |SELECT query_id, doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_match,
+      |  CAST(sum(tf) AS BIGINT) AS tf_sum,
+      |  CAST(sum(tf * df_p) AS BIGINT) AS tfdf_sum,
+      |  CAST(min(dl) AS BIGINT) AS dl
+      |FROM probe GROUP BY query_id, doc_id""".stripMargin
 
   /** DuckDB mirror of Similarity.semDedup (dim=64, eps=0.3, nCells=16,
     * lloydIters=1): the emb_ann_ivf centroid chain (anchor init + one

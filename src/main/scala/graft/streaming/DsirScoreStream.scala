@@ -30,31 +30,68 @@ import graft.llm.TextDedup
   * within-doc straddle path is the same incremental fold).
   *
   * State: one aggregation row per document seen — bounded by the
-  * DISTINCT docs in flight; an unbounded-id production pipeline windows
-  * the aggregation with an event-time watermark upstream, the standard
-  * bounded-state recipe.
+  * DISTINCT docs in flight; an unbounded-id production pipeline uses
+  * [[dsirScoreStreamWindowed]], the event-time-watermarked form whose
+  * per-doc state EVICTS (`doc_dsir_windowed_stream_replay` pins it
+  * against the same batch mirror).
   */
 object DsirScoreStream {
 
   def dsirScoreStream(stream: DataFrame, textCol: String, idCol: String,
                       model: DsirModel): DataFrame = {
+    val j = gramJoin(stream.select(col(idCol).as("doc_id"),
+      TextDedup.tokenize(col(textCol)).as("toks")), model)
+    j.groupBy("doc_id").agg(dsirAggs(model).head, dsirAggs(model).tail: _*)
+  }
+
+  /** WATERMARK-BOUNDED form of [[dsirScoreStream]]: the per-doc
+    * aggregation keyed by (event-time window, doc) under a `tsCol`
+    * watermark, so windows below the watermark evict their state —
+    * bounded by the watermark horizon, not the docs ever seen. Completed
+    * docs score identically to the unwindowed form when each document's
+    * rows carry one event time (the window key is then constant within
+    * the doc); see [[LmScoreStream.lmScoreStreamWindowed]] for the full
+    * contract. Output adds the `window` struct column.
+    */
+  def dsirScoreStreamWindowed(stream: DataFrame, textCol: String,
+                              idCol: String, tsCol: String, model: DsirModel,
+                              windowDur: String,
+                              watermarkDelay: String): DataFrame = {
+    val j = gramJoin(stream.select(col(idCol).as("doc_id"),
+        col(tsCol).as("__ts"),
+        TextDedup.tokenize(col(textCol)).as("toks"))
+      .withWatermark("__ts", watermarkDelay), model, carryTs = true)
+    j.groupBy(window(col("__ts"), windowDur), col("doc_id"))
+      .agg(dsirAggs(model).head, dsirAggs(model).tail: _*)
+  }
+
+  /** gram explode → bucket → stream-static LEFT join against the bounded
+    * bucket-count relation; `carryTs` threads the event-time column
+    * through for the windowed form.
+    */
+  private def gramJoin(toks: DataFrame, model: DsirModel,
+                       carryTs: Boolean = false): DataFrame = {
+    val carry = if (carryTs) Seq(col("doc_id"), col("__ts"))
+                else Seq(col("doc_id"))
+    val d = toks
+      .select(carry :+
+        explode_outer(CorpusOps.dsirGrams(col("toks"), model.gramNs))
+          .as("gram"): _*)
+      .withColumn("bucket",
+        CorpusOps.dsirBucket(col("gram"), model.hexChars, model.md5Family))
+    d.join(model.buckets, Seq("bucket"), "left")
+      .select(carry ++ Seq(col("gram"),
+        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw")): _*)
+  }
+
+  // the null-gram sentinel of an empty doc contributes to no sum
+  private def dsirAggs(model: DsirModel) = {
     val logConst = math.log(
       (model.totRaw + model.alpha * model.nBuckets) /
         (model.totTgt + model.alpha * model.nBuckets))
-    val d = stream.select(col(idCol).as("doc_id"),
-        TextDedup.tokenize(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        explode_outer(CorpusOps.dsirGrams(col("toks"), model.gramNs))
-          .as("gram"))
-      .withColumn("bucket",
-        CorpusOps.dsirBucket(col("gram"), model.hexChars, model.md5Family))
-    val j = d.join(model.buckets, Seq("bucket"), "left")
-      .select(col("doc_id"), col("gram"),
-        coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
-        coalesce(col("c_raw"), lit(0L)).as("c_raw"))
-    // the null-gram sentinel of an empty doc contributes to no sum
     val pos = col("gram").isNotNull
-    j.groupBy("doc_id").agg(
+    Seq(
       sum(when(pos, lit(1L)).otherwise(lit(0L))).as("n_grams"),
       sum(when(pos && col("c_tgt") === 0L, lit(1L)).otherwise(lit(0L)))
         .as("oov_tgt"),

@@ -25,10 +25,11 @@ import graft.llm.TextDedup
   *
   * State: one aggregation row per document seen — bounded by the
   * DISTINCT docs in flight, not the token stream. A production pipeline
-  * whose doc ids are unbounded should window the aggregation with an
-  * event-time watermark upstream (the standard bounded-state recipe);
-  * the replay gate (`doc_lm_ppl_stream_replay`, sharing the batch
-  * mirror) runs the unwindowed form.
+  * whose doc ids are unbounded uses [[lmScoreStreamWindowed]], the
+  * event-time-watermarked form whose per-doc state EVICTS; the replay
+  * gates run both (`doc_lm_ppl_stream_replay` unwindowed,
+  * `doc_lm_ppl_windowed_stream_replay` windowed, sharing the batch
+  * mirror).
   */
 object LmScoreStream {
 
@@ -52,15 +53,61 @@ object LmScoreStream {
     // the null-sh sentinel of an empty/1-token doc contributes to no sum
     val pos = col("sh").isNotNull
     joined.groupBy(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
-      .agg(
-        sum(when(pos, lit(1L)).otherwise(lit(0L))).as("n_bigrams"),
-        sum(when(pos && col("c12") === 0L, lit(1L)).otherwise(lit(0L)))
-          .as("oov_bigrams"),
-        sum(when(pos, col("c1")).otherwise(lit(0L))).as("hit_prev"),
-        sum(when(pos, col("c12")).otherwise(lit(0L))).as("hit_bigram"),
-        when(sum(when(pos, lit(1L)).otherwise(lit(0L))) > 0L,
-          exp(-sum(when(pos, col("logp")).otherwise(lit(0.0))) /
-            sum(when(pos, lit(1L)).otherwise(lit(0L)))))
-          .as("ppl"))
+      .agg(lmAggs(pos).head, lmAggs(pos).tail: _*)
+  }
+
+  private def lmAggs(pos: org.apache.spark.sql.Column) = Seq(
+    sum(when(pos, lit(1L)).otherwise(lit(0L))).as("n_bigrams"),
+    sum(when(pos && col("c12") === 0L, lit(1L)).otherwise(lit(0L)))
+      .as("oov_bigrams"),
+    sum(when(pos, col("c1")).otherwise(lit(0L))).as("hit_prev"),
+    sum(when(pos, col("c12")).otherwise(lit(0L))).as("hit_bigram"),
+    when(sum(when(pos, lit(1L)).otherwise(lit(0L))) > 0L,
+      exp(-sum(when(pos, col("logp")).otherwise(lit(0.0))) /
+        sum(when(pos, lit(1L)).otherwise(lit(0L)))))
+      .as("ppl"))
+
+  /** WATERMARK-BOUNDED form of [[lmScoreStream]] — the bounded-state
+    * recipe its scaladoc names, built: the per-doc aggregation is keyed
+    * by (event-time window, doc), the stream carries a watermark of
+    * `watermarkDelay` on `tsCol`, and Spark EVICTS every window's
+    * aggregation rows once the watermark passes its end — state is
+    * bounded by the docs in the watermark horizon, not the docs ever
+    * seen (continuous ingestion over unbounded doc ids no longer grows
+    * state forever; `StreamBench`'s `scoring_windowed` section records
+    * the flat-vs-linear state-rows trajectory).
+    *
+    * Results for completed documents are IDENTICAL to the unwindowed
+    * form whenever all of a document's rows carry one event time (the
+    * natural shape — the timestamp is a per-document ingestion time),
+    * because the window key is then constant within the doc and merely
+    * partitions the doc set; `doc_lm_ppl_windowed_stream_replay` pins
+    * this by sharing the batch mirror at a geometry where eviction
+    * fires every few micro-batches. Output adds the `window` struct
+    * column ahead of the unwindowed surface.
+    */
+  def lmScoreStreamWindowed(stream: DataFrame, textCol: String, idCol: String,
+                            tsCol: String, model: LmBigramModel,
+                            windowDur: String, watermarkDelay: String): DataFrame = {
+    val denomAdd = model.alpha * (model.vocabSize + 1).toDouble
+    val d = stream.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        TextDedup.tokenize(col(textCol)).as("toks"))
+      .withWatermark("__ts", watermarkDelay)
+      .select(col("doc_id"), col("__ts"), size(col("toks")).as("n_tokens"),
+        explode_outer(TextDedup.shingles(col("toks"), 2)).as("sh"))
+      .withColumn("prev", split(col("sh"), " ").getItem(0))
+    val joined = d
+      .join(model.bi, Seq("sh"), "left")
+      .join(model.uni, d("prev") === model.uni("tok"), "left")
+      .select(col("doc_id"), col("__ts"), col("n_tokens"), col("sh"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+      .withColumn("logp",
+        log((col("c12").cast("double") + lit(model.alpha)) /
+          (col("c1").cast("double") + lit(denomAdd))))
+    val pos = col("sh").isNotNull
+    joined.groupBy(window(col("__ts"), windowDur), col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .agg(lmAggs(pos).head, lmAggs(pos).tail: _*)
   }
 }

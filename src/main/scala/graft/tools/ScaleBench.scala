@@ -117,7 +117,8 @@ object ScaleBench {
       "dupspan_stream_soak", "dupspan_sharded", "linededup_sharded",
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
-      "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale")
+      "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
+      "semdedup_hotcell")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -209,6 +210,40 @@ object ScaleBench {
         val idx = graft.llm.TextSearch.bm25Index(corp, "doc_id", "text")
         graft.llm.TextSearch.bm25TopK(qs, "query_id", "text", idx, k = 10)
           .agg(count(col("score")) + count(col("rank"))).head().getLong(0)
+      }
+      // the SHUFFLE-join regime (broadcastQueries = false; spec-pinned
+      // output-equal, previously unpriced — VERDICT r13 #4): first at the
+      // same eval-split batch as the broadcast arm above (direct A/B at
+      // N×), then at a CORPUS-SIZED query batch — the regime's actual
+      // target. The corpus-sized arms run at BASE scale in BOTH regimes:
+      // the synthetic 31-token vocabulary gives every term df ≈ 0.75·N,
+      // so every query matches nearly every doc and a corpus-sized batch
+      // is inherently quadratic IN THIS CORPUS (≈ 2×10⁹ folded (query,
+      // doc) rows at 10× — a data-shape artifact, not an operator cost;
+      // a real 100 TB vocabulary bounds candidates per query). The base-
+      // scale A/B prices the broadcast-vs-shuffle crossover where the
+      // fold is payable either way.
+      parts += timed("bm25_topk_shuffle_evalq") {
+        val corp = docsSf1.filter(col("doc_id") % 10 =!= 0)
+        val qs = docsSf1.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("query_id"), col("text"))
+        val idx = graft.llm.TextSearch.bm25Index(corp, "doc_id", "text")
+        graft.llm.TextSearch.bm25TopK(qs, "query_id", "text", idx, k = 10,
+            broadcastQueries = false)
+          .agg(count(col("score")) + count(col("rank"))).head().getLong(0)
+      }
+      val baseDocs = graft.Tables.documents(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      Seq(("bm25_topk_corpusq_shuffle_1x", false),
+          ("bm25_topk_corpusq_broadcast_1x", true)).foreach { case (nm, bc) =>
+        parts += timed(nm) {
+          val corp = baseDocs.filter(col("doc_id") % 10 =!= 0)
+          val qs = corp.select(col("doc_id").as("query_id"), col("text"))
+          val idx = graft.llm.TextSearch.bm25Index(corp, "doc_id", "text")
+          graft.llm.TextSearch.bm25TopK(qs, "query_id", "text", idx, k = 10,
+              broadcastQueries = bc)
+            .agg(count(col("score")) + count(col("rank"))).head().getLong(0)
+        }
       }
     }
     if (wanted("corpus_curation")) {
@@ -494,6 +529,53 @@ object ScaleBench {
           f""""kept":$kept,"cell_pairs":$cellPairs,""" +
           f""""brute_pairs":${nv * (nv - 1) / 2}}""")
       }
+    }
+    // SemDeDup HOT-CELL probe (VERDICT r13 ask #1's "done" measurement):
+    // PLANT one cell holding 50% of the corpus — every even vec_id is
+    // replaced by ONE fixed e0-dominated vector (bit-identical exact
+    // duplicates: every anchor sees the same csim, so the argmax
+    // tie-break sends ALL of them to one cell — the duplicate-heavy skew
+    // the operator targets). The uncapped pair scan is quadratic in the
+    // planted cell AND single-task (one cell = one shuffle partition);
+    // the capped run (maxCell between the normal cell size and the
+    // planted size) drops exactly that cell, pays only the normal cells,
+    // and reports it in droppedCells. A/B at BASE scale; at N× the
+    // uncapped arm is the measured quadratic single-task cliff — run
+    // capped-only there and report the avoided pair count.
+    if (wanted("semdedup_hotcell")) {
+      val baseEmb = graft.Tables.embeddings(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      def plant(em: org.apache.spark.sql.DataFrame) =
+        em.withColumn("embedding",
+          when(col("vec_id") % 2 === 0,
+            transform(col("embedding"), (x, p) =>
+              when(p === 0, lit(1.0f)).otherwise(lit(1e-4f))))
+            .otherwise(col("embedding")))
+      def run(em: org.apache.spark.sql.DataFrame, tag: String, nv: Long,
+              maxCell: Int): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val r = graft.llm.Similarity.semDedupStats(em, "vec_id", "embedding",
+          dim = 64, eps = 0.9, nCells = 16, lloydIters = 1, maxCell = maxCell)
+        val kept = r.survivors.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val dropped = r.droppedCells.select(col("size").cast("long"))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val avoided = dropped.map(s => s * (s - 1) / 2).sum
+        parts += (f""""semdedup_hotcell_$tag":{"sec":$sec%.2f,"vecs":$nv,""" +
+          f""""kept":$kept,"dropped_cells":${dropped.length},""" +
+          f""""dropped_sizes":[${dropped.mkString(",")}],""" +
+          f""""avoided_pairs":$avoided}""")
+        println(s"[soak] PART ${parts.last}")
+      }
+      val nvBase = baseEmb.count()
+      // cap: above the ~n/16 normal cell size, far below the n/2 plant
+      val cap = math.max(64, (nvBase / 8).toInt)
+      run(plant(baseEmb), "uncapped_1x", nvBase, Int.MaxValue)
+      run(plant(baseEmb), "capped_1x", nvBase, cap)
+      val nvN = embSf1.count()
+      run(plant(embSf1), s"capped_${copies}x", nvN,
+        math.max(64, (nvN / 8).toInt))
     }
     // ANN quality at 10×: recall@20 of IVF (64 cells, 8 probes — each
     // query scans ~1/8 of the corpus) against brute-force ground truth on

@@ -15,6 +15,8 @@ import graft.streaming.UniqueStreams
 object StreamBench {
   case class Ev(ts: Timestamp, key: String, seq: Long)
   case class DocEv(doc_id: Long, text: String)
+  case class DocTsEv(doc_id: Long, text: String, event_ts: Timestamp)
+  case class TaggedEv(doc_id: Long, text: String, is_query: Boolean)
 
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toInt).getOrElse(200000)
@@ -207,11 +209,96 @@ object StreamBench {
       bm25Idx.postings.unpersist()
       r
     }
+    // WATERMARK-BOUNDED scoring state trajectory (VERDICT r13 ask #2's
+    // "done" measurement): the same corpus with advancing per-doc event
+    // time (doc i at i seconds) through lmScoreStream vs
+    // lmScoreStreamWindowed (50 s windows, 10 s watermark); after each
+    // micro-batch record the aggregation's total state rows. The
+    // unwindowed form holds one row per doc EVER seen (linear growth);
+    // the windowed form evicts windows below the watermark and stays at
+    // the horizon (flat).
+    val scoringWindowed: String = if (!want("scoring_windowed")) "" else {
+      implicit val denc: org.apache.spark.sql.Encoder[DocTsEv] = Encoders.product[DocTsEv]
+      val all = (0 until nDocs).map(i =>
+        DocTsEv(i.toLong, docText(i), new Timestamp(i * 1000L)))
+      val corpus = spark.createDataFrame(all.map(d => DocEv(d.doc_id, d.text)))
+      val lmModel = graft.llm.CorpusOps.lmTrain(corpus, "text")
+      def traj(windowed: Boolean): (Seq[Long], Double) = {
+        val ms = MemoryStream[DocTsEv]
+        val out =
+          if (windowed) graft.streaming.LmScoreStream.lmScoreStreamWindowed(
+            ms.toDF(), "text", "doc_id", "event_ts", lmModel,
+            "50 seconds", "10 seconds")
+          else graft.streaming.LmScoreStream.lmScoreStream(
+            ms.toDF(), "text", "doc_id", lmModel)
+        val q = out.writeStream.format("memory")
+          .queryName(s"sb_lmwin_$windowed").outputMode(OutputMode.Update())
+          .option("checkpointLocation",
+            Files.createTempDirectory(s"sb_lmwin_$windowed").toString)
+          .start()
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val per = nDocs / 10
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          val hi = if (b == 9) nDocs else (b + 1) * per
+          ms.addData(all.slice(b * per, hi))
+          q.processAllAvailable()
+          rows += Option(q.lastProgress)
+            .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        (rows.toSeq, nDocs / secs)
+      }
+      val (winRows, winRate) = traj(windowed = true)
+      val (unRows, unRate) = traj(windowed = false)
+      s""","scoring_windowed":{"docs":$nDocs,"window_s":50,"watermark_s":10,""" +
+        s""""windowed_state_rows":[${winRows.mkString(",")}],""" +
+        s""""unwindowed_state_rows":[${unRows.mkString(",")}],""" +
+        f""""windowed_docs_per_sec":$winRate%.0f,"unwindowed_docs_per_sec":$unRate%.0f}"""
+    }
+    // STREAMING BM25 INDEX INGESTION throughput: tagged feed (every 10th
+    // arrival a query probing the ingested-so-far index), token-sharded
+    // transformWithState postings + df state
+    val bm25Ingest: String = if (!want("bm25_ingest")) "" else {
+      UniqueStreams.useRocksDBStateStore(spark)
+      implicit val tenc: org.apache.spark.sql.Encoder[TaggedEv] = Encoders.product[TaggedEv]
+      // query i carries family (i/10)'s text, so it probes a family whose
+      // first member (id i/10 < i) has already been ingested — real
+      // candidate traffic (query i's OWN family members all arrive later)
+      val all = (0 until nDocs).map(i =>
+        TaggedEv(i.toLong, if (i % 10 == 0) docText(i / 10) else docText(i),
+          i % 10 == 0))
+      val ms = MemoryStream[TaggedEv]
+      val q = graft.streaming.Bm25IngestStream
+        .bm25IngestStream(ms.toDF(), "doc_id", "text", "is_query", maxDf = 1000)
+        .writeStream.format("memory").queryName("sb_bm25ingest")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation",
+          Files.createTempDirectory("sb_bm25ingest").toString)
+        .start()
+      val per = nDocs / 10
+      val t0 = System.nanoTime()
+      (0 until 10).foreach { b =>
+        val hi = if (b == 9) nDocs else (b + 1) * per
+        ms.addData(all.slice(b * per, hi))
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (stRows, stBytes) = Option(q.lastProgress)
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum)).getOrElse((-1L, -1L))
+      val emitted = spark.table("sb_bm25ingest").count()
+      q.stop()
+      s""","bm25_ingest":{"arrivals":$nDocs,"probe_rows":$emitted,""" +
+        s""""state_rows":$stRows,"state_bytes":$stBytes,""" +
+        f""""arrivals_per_sec":${nDocs / secs}%.0f}"""
+    }
     val qs = (results ++ scoringRates)
       .map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
     val st = stateOf.map { case (k, (r, b)) => s""""$k":{"rows":$r,"bytes":$b}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"state":$st,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}}""")
+    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"state":$st,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}$scoringWindowed$bm25Ingest}""")
     spark.stop()
   }
 }

@@ -1726,13 +1726,17 @@ object SweepVerify {
         case "ann_sharded_stream" =>
           // the CELL-SHARDED two-stage bridge with randomized geometry —
           // the new operator's differential coverage: drawn cells ×
-          // probes × subspaces × residual × stage-A chunking, same
-          // mirrors as the monolith stream family (the bridge computes
-          // the identical retrieval log)
+          // probes × subspaces × residual × stage-A chunking × (round 14)
+          // Lloyd-trained-codebook passes in direct mode — the last
+          // batch-vs-stream sweep asymmetry (the batch emb_ivfpq family
+          // draws lloyd_iters; residual draws stay anchor-codebook, no
+          // residual-Lloyd mirror) — same mirrors as the monolith stream
+          // family (the bridge computes the identical retrieval log)
           val nc = pick(Seq(8, 16, 32)); val np = pick(Seq(2, 4))
           val ns = pick(Seq(4, 8)); val kk = pick(Seq(5, 10))
           val rs = pick(Seq(false, true))
           val chunkA = pick(Seq(700, 1000))
+          val ll = if (rs) 0 else pick(Seq(0, 1, 2))
           val pKey = "spark.sql.streaming.stateStore.providerClass"
           val prev = spark.conf.getOption(pKey)
           graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
@@ -1746,8 +1750,9 @@ object SweepVerify {
               } else {
                 (graft.llm.Similarity.anchorCentroids(emb, "vec_id",
                     "embedding", dim = 64, nCells = nc),
-                  graft.llm.Similarity.anchorCodebook(emb, "vec_id",
-                    "embedding", dim = 64, nSub = ns, codesPerSub = 16)._1)
+                  graft.llm.Similarity.trainedCodebook(emb, "vec_id",
+                    "embedding", dim = 64, nSub = ns, codesPerSub = 16,
+                    lloydIters = ll)._1)
               }
             val hits = graft.streaming.Replay.replay(spark, emb, "vec_id",
               chunkA, "append")(sdf =>
@@ -1762,8 +1767,9 @@ object SweepVerify {
             case None => spark.conf.unset(pKey)
           }
           (d, if (rs) embIvfPqResidualSql(nc, np, ns, 16, kk, stream = true)
-              else embIvfPqSql(nc, np, ns, 16, kk, stream = true),
-            s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}_a$chunkA")
+              else embIvfPqSql(nc, np, ns, 16, kk, stream = true, lloydIters = ll),
+            s"c${nc}p${np}s${ns}_k$kk${if (rs) "_res" else ""}_a$chunkA" +
+              (if (ll > 0) s"_l$ll" else ""))
         case "curation_pipeline" =>
           // every stage parameter drawn JOINTLY: split modulus and fuzzy
           // geometry (decontam stage), per-source cap, packing budget —

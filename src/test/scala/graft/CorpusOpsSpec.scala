@@ -248,6 +248,83 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("lmScoreStreamWindowed: parity with batch AND state evicts below " +
+      "the watermark (the unwindowed form's state only grows)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = CorpusOps.lmTrain(docs, "text")
+    val batch = CorpusOps.lmPerplexity(docs, "text", "doc_id", docs, "text")
+      .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+        "hit_prev", "hit_bigram")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val input = docs.withColumn("event_ts",
+      org.apache.spark.sql.functions.timestamp_seconds($"doc_id"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.row(input.schema)
+    def stateRowsAfterReplay(windowed: Boolean): (Set[(Long, Long, Long, Long, Long, Long)], Long) = {
+      val ms = MemoryStream[Row]
+      val out =
+        if (windowed)
+          graft.streaming.LmScoreStream.lmScoreStreamWindowed(ms.toDF(),
+            "text", "doc_id", "event_ts", model, "50 seconds", "10 seconds")
+        else graft.streaming.LmScoreStream.lmScoreStream(ms.toDF(),
+          "text", "doc_id", model)
+      val sink = s"lm_win_${windowed}_${System.identityHashCode(ms)}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_lmwin").toString)
+        .start()
+      val rows = input.orderBy($"doc_id").collect()
+      try
+        rows.grouped(100).foreach { chunk =>
+          ms.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      finally ()
+      val st = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(-1L)
+      val got = spark.table(sink)
+        .select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
+          "hit_prev", "hit_bigram")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      q.stop()
+      (got, st)
+    }
+    val (winSet, winRows) = stateRowsAfterReplay(windowed = true)
+    val (unSet, unRows) = stateRowsAfterReplay(windowed = false)
+    assert(winSet === batch, "windowed stream diverged from batch")
+    assert(unSet === batch, "unwindowed stream diverged from batch")
+    // the unwindowed aggregation holds one row per doc EVER seen; the
+    // windowed one only the un-evicted horizon (last chunk's windows +
+    // the watermark tail)
+    val n = docs.count()
+    assert(unRows === n, s"unwindowed state $unRows != corpus size $n")
+    assert(winRows < n / 2,
+      s"windowed state $winRows did not evict (corpus $n, unwindowed $unRows)")
+  }
+
+  test("dsirScoreStreamWindowed equals batch dsirWeights when each doc " +
+      "carries one event time") {
+    val tgt = docs.filter($"doc_id" % 10 === 0)
+    val raw = docs.filter($"doc_id" % 10 =!= 0)
+    val model = CorpusOps.dsirTrain(tgt, "text", raw, "text",
+      gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+    val batch = CorpusOps.dsirWeights(raw, "doc_id", "text", model)
+      .select("doc_id", "n_grams", "oov_tgt", "oov_raw", "hit_tgt", "hit_raw")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = graft.streaming.Replay.replay(spark,
+      raw.withColumn("event_ts",
+        org.apache.spark.sql.functions.timestamp_seconds($"doc_id")),
+      "doc_id", 100, "update")(sdf =>
+        graft.streaming.DsirScoreStream.dsirScoreStreamWindowed(sdf, "text",
+          "doc_id", "event_ts", model, "50 seconds", "10 seconds"))
+      .select("doc_id", "n_grams", "oov_tgt", "oov_raw", "hit_tgt", "hit_raw")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(streamed.toSet === batch, "windowed dsir stream diverged from batch")
+    assert(streamed.length === streamed.toSet.size,
+      "a doc emitted more than once despite whole-doc chunks")
+  }
+
   // ---------------------------------------------------------------- DSIR
 
   /** Independent re-derivation of the DSIR md5 bucketing + stats in plain

@@ -133,6 +133,90 @@ class TextSearchSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bm25StatsStreamWindowed equals batch bm25Stats when each query " +
+      "carries one event time") {
+    val docs = Tables.documents(spark, sf)
+    val ix = TextSearch.bm25Index(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text")
+    val queries = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("query_id"), $"text")
+      .withColumn("event_ts",
+        org.apache.spark.sql.functions.timestamp_seconds($"query_id"))
+    val batch = TextSearch.bm25Stats(
+        queries.select("query_id", "text"), "query_id", "text", ix)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = graft.streaming.Replay
+      .replay(spark, queries, "query_id", 10, "update")(sdf =>
+        graft.streaming.Bm25SearchStream.bm25StatsStreamWindowed(sdf, "text",
+          "query_id", "event_ts", ix, "50 seconds", "10 seconds"))
+      .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(streamed.toSet === batch, "windowed bm25 stream diverged from batch")
+  }
+
+  test("bm25IngestStream: queries retrieve exactly the arrivals-so-far " +
+      "with at-probe df, at any chunking") {
+    graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+    val docs = Tables.documents(spark, sf)
+    val tagged = docs.select($"doc_id", $"text",
+      ($"doc_id" % 10 === 0).as("is_query"))
+    // independent batch expectation: stored postings = first-by-id maxDf
+    // docs per token; a query probes stored postings with doc_id < qid;
+    // df at probe = count of those rows per (query, token)
+    val maxDf = 20
+    import org.apache.spark.sql.expressions.Window
+    val corp = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", graft.llm.TextDedup.tokenize($"text").as("toks"))
+      .select($"doc_id", org.apache.spark.sql.functions.size($"toks").as("dl"),
+        explode($"toks").as("tok"))
+      .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val kept = corp.withColumn("rnk",
+        row_number().over(Window.partitionBy("tok").orderBy("doc_id")))
+      .filter($"rnk" <= maxDf)
+    val qt = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("query_id"),
+        explode(array_distinct(graft.llm.TextDedup.tokenize($"text"))).as("tok"))
+    val probe = qt.join(kept, Seq("tok")).filter($"doc_id" < $"query_id")
+      .withColumn("df_p",
+        count(lit(1)).over(Window.partitionBy("query_id", "tok")))
+    val expected = probe.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_match"), sum($"tf").as("tf_sum"),
+        sum($"tf" * $"df_p").as("tfdf_sum"), min($"dl").as("dl"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    Seq(50, 7).foreach { chunk =>
+      val streamed = graft.streaming.Replay
+        .replay(spark, tagged, "doc_id", chunk, "append")(sdf =>
+          graft.streaming.Bm25IngestStream.bm25IngestStream(sdf, "doc_id",
+            "text", "is_query", maxDf = maxDf))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("n_match"), sum($"tf").as("tf_sum"),
+          sum($"tf" * $"df_p").as("tfdf_sum"), min($"dl").as("dl"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === expected, s"chunk=$chunk diverged from the batch prefix derivation")
+    }
+  }
+
+  test("bm25IngestStream: a saturated term stops storing postings and " +
+      "pins df (the online Zipf-head prune)") {
+    graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+    // docs 1,2,4 all carry "alpha"; maxDf=2 stores only docs 1,2; the
+    // query (id 10) sees both with df pinned at 2 — doc 4 is invisible
+    val tagged = Seq(
+      (1L, "alpha one", false),
+      (2L, "alpha two", false),
+      (4L, "alpha four", false),
+      (10L, "alpha", true)).toDF("doc_id", "text", "is_query")
+    val got = graft.streaming.Replay
+      .replay(spark, tagged, "doc_id", 2, "append")(sdf =>
+        graft.streaming.Bm25IngestStream.bm25IngestStream(sdf, "doc_id",
+          "text", "is_query", maxDf = 2))
+      .select("query_id", "doc_id", "tf", "df_p")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L, 1L, 2L), (10L, 2L, 1L, 2L)),
+      s"expected docs 1,2 at df=2 and no doc 4, got $got")
+  }
+
   test("bm25 shuffle-join query regime equals the broadcast regime") {
     val docs = Tables.documents(spark, sf)
     val ix = TextSearch.bm25Index(
