@@ -118,7 +118,7 @@ object ScaleBench {
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
-      "semdedup_hotcell")
+      "semdedup_hotcell", "dsir_scale", "bm25_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -194,7 +194,11 @@ object ScaleBench {
     // docs). Aggregates run over output VALUE columns so Catalyst cannot
     // elide the ordered selection / the rank window (the count-star
     // trap the decontam arm documents).
-    if (wanted("dsir_bm25_scale")) {
+    // dsir_scale / bm25_scale run the halves separately: the 100× probe
+    // wants dsir (linear) WITHOUT the bm25 broadcast arm, whose candidate
+    // relation is queries × corpus under the synthetic 31-token vocab
+    // (every term matches ~every doc) — quadratic by data shape at 100×
+    if (wanted("dsir_bm25_scale") || wanted("dsir_scale")) {
       parts += timed("dsir_select_scale") {
         val tgt = docsSf1.filter(col("doc_id") % 10 === 0)
         val raw = docsSf1.filter(col("doc_id") % 10 =!= 0)
@@ -203,6 +207,8 @@ object ScaleBench {
           .agg(count(col("gumbel_key")) + count(col("doc_id")))
           .head().getLong(0)
       }
+    }
+    if (wanted("dsir_bm25_scale") || wanted("bm25_scale")) {
       parts += timed("bm25_topk_scale") {
         val corp = docsSf1.filter(col("doc_id") % 10 =!= 0)
         val qs = docsSf1.filter(col("doc_id") % 10 === 0)
@@ -576,6 +582,13 @@ object ScaleBench {
       val nvN = embSf1.count()
       run(plant(embSf1), s"capped_${copies}x", nvN,
         math.max(64, (nvN / 8).toInt))
+      // the cliff itself, opt-in (env) because it is deliberately
+      // pathological: the N× planted cell's pair scan runs n²/8 pairs in
+      // ONE task (single cell = single shuffle partition) — the
+      // SPARK_GRAFT_SOAK_MONO_INCS pattern: measure the bad arm once,
+      // bounded, not per round
+      if (sys.env.get("SPARK_GRAFT_HOTCELL_UNCAPPED_NX").contains("1"))
+        run(plant(embSf1), s"uncapped_${copies}x", nvN, Int.MaxValue)
     }
     // ANN quality at 10×: recall@20 of IVF (64 cells, 8 probes — each
     // query scans ~1/8 of the corpus) against brute-force ground truth on

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, min, sum, timestamp_seconds}
 import graft.operators.UniqueOps
 import java.nio.file.{Files, Paths}
 
@@ -917,6 +917,36 @@ object SweepVerify {
        |GROUP BY qtd.query_id, post0.doc_id""".stripMargin
   }
 
+  /** Parametrized mirror of Bm25IngestStream's earlier-arrivals retrieval
+    * (corpus = id % mod <> 0, queries = id % mod = 0, id-ordered tagged
+    * feed): stored postings = each term's first-by-id `maxDf` docs, a
+    * query sees stored postings with doc_id < query_id, df at probe
+    * counts those same rows, then the consumer-side (query, doc) fold.
+    */
+  private def docBm25IngestSql(mod: Int, maxDf: Int): String = {
+    val tok = "list_filter(str_split_regex(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '')"
+    s"""WITH t AS (SELECT doc_id, $tok AS toks FROM documents),
+       |corp AS (SELECT doc_id, len(toks) AS dl, toks FROM t WHERE doc_id % $mod <> 0),
+       |post0 AS (SELECT tok, doc_id, dl, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM corp)
+       |  GROUP BY tok, doc_id, dl),
+       |kept AS (SELECT * FROM (
+       |  SELECT tok, doc_id, dl, tf,
+       |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rnk
+       |  FROM post0) WHERE rnk <= $maxDf),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS tok
+       |  FROM t WHERE doc_id % $mod = 0),
+       |probe AS (SELECT qt.query_id, k.doc_id, k.tok, k.tf, k.dl,
+       |    count(*) OVER (PARTITION BY qt.query_id, k.tok) AS df_p
+       |  FROM qt JOIN kept k ON k.tok = qt.tok AND k.doc_id < qt.query_id)
+       |SELECT query_id, doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_match,
+       |  CAST(sum(tf) AS BIGINT) AS tf_sum,
+       |  CAST(sum(tf * df_p) AS BIGINT) AS tfdf_sum,
+       |  CAST(min(dl) AS BIGINT) AS dl
+       |FROM probe GROUP BY query_id, doc_id""".stripMargin
+  }
+
   /** Parametrized mirror of Similarity.semDedup: the ivf centroid chain
     * (anchor init + `lloydIters` quantized-mean passes) with the FINAL
     * assignment keeping each row's winning csim, the within-cell ε-pair
@@ -1162,7 +1192,7 @@ object SweepVerify {
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
-      "bm25")
+      "bm25", "bm25_ingest")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1606,22 +1636,34 @@ object SweepVerify {
           // drawn held-out train split (train = docs with id % mod <> 0,
           // score = all): varies both count tables and the OOV rate the
           // probe joins see; the integer sufficient statistics are the
-          // hashed surface (ppl's ln/exp is spec-pinned, not hashed)
+          // hashed surface (ppl's ln/exp is spec-pinned, not hashed).
+          // Round 14 adds the WINDOWED (watermark-bounded) streaming form
+          // as a third drawn variant — eviction fires mid-replay and the
+          // draw still shares the batch mirror.
           val mod = pick(Seq(2, 3, 5, 10))
-          val viaStream = rng.nextBoolean() // batch op or its replayed streaming twin
+          val form = pick(Seq("batch", "stream", "winstream"))
           val scored =
-            if (viaStream) {
+            if (form == "batch")
+              graft.llm.CorpusOps.lmPerplexity(docs, "text", "doc_id",
+                docs.filter(col("doc_id") % mod =!= 0), "text")
+            else {
               val model = graft.llm.CorpusOps.lmTrain(
                 docs.filter(col("doc_id") % mod =!= 0), "text")
-              graft.streaming.Replay.replay(spark, docs, "doc_id", 100, "update")(
-                sdf => graft.streaming.LmScoreStream.lmScoreStream(
-                  sdf, "text", "doc_id", model))
-            } else graft.llm.CorpusOps.lmPerplexity(docs, "text", "doc_id",
-              docs.filter(col("doc_id") % mod =!= 0), "text")
+              if (form == "stream")
+                graft.streaming.Replay.replay(spark, docs, "doc_id", 100, "update")(
+                  sdf => graft.streaming.LmScoreStream.lmScoreStream(
+                    sdf, "text", "doc_id", model))
+              else graft.streaming.Replay.replay(spark,
+                docs.withColumn("event_ts", timestamp_seconds(col("doc_id"))),
+                "doc_id", 100, "update")(
+                  sdf => graft.streaming.LmScoreStream.lmScoreStreamWindowed(
+                    sdf, "text", "doc_id", "event_ts", model,
+                    "50 seconds", "10 seconds"))
+            }
           (scored.select("doc_id", "n_tokens", "n_bigrams", "oov_bigrams",
               "hit_prev", "hit_bigram"),
             docLmPplSql(mod),
-            s"m$mod${if (viaStream) "_stream" else ""}")
+            s"m$mod${if (form == "batch") "" else s"_$form"}")
         case "bm25" =>
           // drawn BM25 geometry: query/corpus split × stopword-pruning
           // fraction, through the batch op or its replayed streaming
@@ -1630,22 +1672,65 @@ object SweepVerify {
           // values are binary-exact so the HAVING literal agrees
           val mod = pick(Seq(2, 3, 5, 10))
           val frac = pick(Seq(0.25, 0.5, 1.0))
-          val viaStream = rng.nextBoolean()
+          val form = pick(Seq("batch", "stream", "winstream"))
           val corpD = docs.filter(col("doc_id") % mod =!= 0)
           val qD = docs.filter(col("doc_id") % mod === 0)
             .select(col("doc_id").as("query_id"), col("text"))
           val idx = graft.llm.TextSearch.bm25Index(corpD, "doc_id", "text",
             maxDfFrac = frac)
-          val scored =
-            if (viaStream)
+          val scored = form match {
+            case "stream" =>
               graft.streaming.Replay.replay(spark, qD, "query_id", 10, "update")(
                 sdf => graft.streaming.Bm25SearchStream.bm25StatsStream(
                   sdf, "text", "query_id", idx))
-            else graft.llm.TextSearch.bm25Stats(qD, "query_id", "text", idx)
+            case "winstream" =>
+              graft.streaming.Replay.replay(spark,
+                qD.withColumn("event_ts", timestamp_seconds(col("query_id"))),
+                "query_id", 10, "update")(
+                sdf => graft.streaming.Bm25SearchStream.bm25StatsStreamWindowed(
+                  sdf, "text", "query_id", "event_ts", idx,
+                  "50 seconds", "10 seconds"))
+            case _ => graft.llm.TextSearch.bm25Stats(qD, "query_id", "text", idx)
+          }
           (scored.select("query_id", "doc_id", "n_match", "tf_sum",
               "tfdf_sum", "dl"),
             docBm25Sql(mod, frac),
-            s"m${mod}_f$frac${if (viaStream) "_stream" else ""}")
+            s"m${mod}_f$frac${if (form == "batch") "" else s"_$form"}")
+        case "bm25_ingest" =>
+          // STREAMING INDEX INGESTION (round 14): drawn query/corpus
+          // split × maxDf saturation cap × chunking × kill/restart —
+          // each draw's mirror re-derives the stored-postings prefix
+          // (row_number ≤ maxDf) and the at-probe df from the SAME
+          // parameters; "arrivals-so-far" is chunking-insensitive by
+          // the processor's in-batch seq sort, so every chunk size
+          // shares the one mirror
+          val mod = pick(Seq(3, 5, 10))
+          val maxDf = pick(Seq(25, 100, 1 << 20))
+          val chunk = pick(Seq(20, 50))
+          val restart = rng.nextBoolean()
+          val tagged = docs.select(col("doc_id"), col("text"),
+            (col("doc_id") % mod === 0).as("is_query"))
+          val pKey = "spark.sql.streaming.stateStore.providerClass"
+          val prev = spark.conf.getOption(pKey)
+          graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+          val raw = try {
+            def build(sdf: DataFrame) = graft.streaming.Bm25IngestStream
+              .bm25IngestStream(sdf, "doc_id", "text", "is_query", maxDf = maxDf)
+            if (restart)
+              graft.streaming.Replay.replayWithRestart(spark, tagged,
+                "doc_id", chunk)(build)
+            else graft.streaming.Replay.replay(spark, tagged, "doc_id",
+              chunk, "append")(build)
+          } finally prev match {
+            case Some(v) => spark.conf.set(pKey, v)
+            case None => spark.conf.unset(pKey)
+          }
+          (raw.groupBy("query_id", "doc_id")
+            .agg(count(lit(1)).as("n_match"), sum(col("tf")).as("tf_sum"),
+              sum(col("tf") * col("df_p")).as("tfdf_sum"),
+              min(col("dl")).as("dl")),
+            docBm25IngestSql(mod, maxDf),
+            s"m${mod}_df${maxDf}_c$chunk${if (restart) "_restart" else ""}")
         case "dsir" =>
           // drawn DSIR geometry: target split × bucket width × feature
           // gram sizes, through the batch op or its replayed streaming
@@ -1654,21 +1739,29 @@ object SweepVerify {
           val mod = pick(Seq(2, 3, 5, 10))
           val hc = pick(Seq(1, 2, 3))
           val gns = pick(Seq(Seq(1), Seq(2), Seq(1, 2), Seq(1, 2, 3)))
-          val viaStream = rng.nextBoolean()
+          val form = pick(Seq("batch", "stream", "winstream"))
           val tgtD = docs.filter(col("doc_id") % mod === 0)
           val rawD = docs.filter(col("doc_id") % mod =!= 0)
           val model = graft.llm.CorpusOps.dsirTrain(tgtD, "text", rawD, "text",
             gramNs = gns, hexChars = hc, md5Family = true)
-          val scored =
-            if (viaStream)
+          val scored = form match {
+            case "stream" =>
               graft.streaming.Replay.replay(spark, rawD, "doc_id", 100, "update")(
                 sdf => graft.streaming.DsirScoreStream.dsirScoreStream(
                   sdf, "text", "doc_id", model))
-            else graft.llm.CorpusOps.dsirWeights(rawD, "doc_id", "text", model)
+            case "winstream" =>
+              graft.streaming.Replay.replay(spark,
+                rawD.withColumn("event_ts", timestamp_seconds(col("doc_id"))),
+                "doc_id", 100, "update")(
+                sdf => graft.streaming.DsirScoreStream.dsirScoreStreamWindowed(
+                  sdf, "text", "doc_id", "event_ts", model,
+                  "50 seconds", "10 seconds"))
+            case _ => graft.llm.CorpusOps.dsirWeights(rawD, "doc_id", "text", model)
+          }
           (scored.select("doc_id", "n_grams", "oov_tgt", "oov_raw",
               "hit_tgt", "hit_raw"),
             docDsirSql(mod, hc, gns),
-            s"m${mod}_h${hc}_g${gns.mkString("")}${if (viaStream) "_stream" else ""}")
+            s"m${mod}_h${hc}_g${gns.mkString("")}${if (form == "batch") "" else s"_$form"}")
         case "semdedup" =>
           // drawn SemDeDup geometry: cells × Lloyd passes × ε. ε is drawn
           // from the corpus' real cosine range (p99 ≈ 0.29, max ≈ 0.51 at
