@@ -218,6 +218,10 @@ object StreamBench {
     // the windowed form evicts windows below the watermark and stays at
     // the horizon (flat).
     val scoringWindowed: String = if (!want("scoring_windowed")) "" else {
+      // SPARK_GRAFT_WINDOW_S varies the window (default 50 s): the
+      // eviction machinery is per-WINDOW, so wider windows amortize it —
+      // the knob that prices boundedness against throughput
+      val windowS = sys.env.getOrElse("SPARK_GRAFT_WINDOW_S", "50").toInt
       implicit val denc: org.apache.spark.sql.Encoder[DocTsEv] = Encoders.product[DocTsEv]
       val all = (0 until nDocs).map(i =>
         DocTsEv(i.toLong, docText(i), new Timestamp(i * 1000L)))
@@ -228,7 +232,7 @@ object StreamBench {
         val out =
           if (windowed) graft.streaming.LmScoreStream.lmScoreStreamWindowed(
             ms.toDF(), "text", "doc_id", "event_ts", lmModel,
-            "50 seconds", "10 seconds")
+            s"$windowS seconds", "10 seconds")
           else graft.streaming.LmScoreStream.lmScoreStream(
             ms.toDF(), "text", "doc_id", lmModel)
         val q = out.writeStream.format("memory")
@@ -252,7 +256,7 @@ object StreamBench {
       }
       val (winRows, winRate) = traj(windowed = true)
       val (unRows, unRate) = traj(windowed = false)
-      s""","scoring_windowed":{"docs":$nDocs,"window_s":50,"watermark_s":10,""" +
+      s""","scoring_windowed":{"docs":$nDocs,"window_s":$windowS,"watermark_s":10,""" +
         s""""windowed_state_rows":[${winRows.mkString(",")}],""" +
         s""""unwindowed_state_rows":[${unRows.mkString(",")}],""" +
         f""""windowed_docs_per_sec":$winRate%.0f,"unwindowed_docs_per_sec":$unRate%.0f}"""

@@ -282,6 +282,24 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
       "fixture should drop at least one semantic duplicate")
   }
 
+  test("graft_semdedup TVF optional max_cell arg pins to the Scala API " +
+      "at a cap-binding geometry") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("emb_semdedup_cap_tvf")
+    // nCells=2 halves the corpus; a cap of n/2 - 1 is guaranteed to drop
+    // at least the larger cell, so the capped set must differ from the
+    // uncapped fixture above whenever that cell held any ε-pair
+    val cap = (emb.count() / 2 - 1).toInt
+    val viaSql = spark.sql(
+      s"""SELECT vec_id FROM graft_semdedup(
+         |  TABLE(emb_semdedup_cap_tvf), 'vec_id', 'embedding', 64, 0.3, 2, 1, $cap)
+         |""".stripMargin).as[Long].collect().toSet
+    val viaApi = llm.Similarity.semDedup(emb, "vec_id", "embedding",
+        dim = 64, eps = 0.3, nCells = 2, lloydIters = 1, maxCell = cap)
+      .as[Long].collect().toSet
+    assert(viaSql === viaApi, "TVF max_cell diverged from the Scala API")
+  }
+
   test("graft_ann_ivfpq TVF optional lloyd_iters/refine args pin to the Scala API") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     emb.createOrReplaceTempView("emb_ivfpq_lloyd_tvf")
