@@ -953,6 +953,26 @@ object SparkEntry {
           "query_id", "event_ts", idx, "50 seconds", "10 seconds"))
         .select("query_id", "doc_id", "n_match", "tf_sum", "tfdf_sum", "dl")
     }),
+    // ... and a kill/restart form of a WINDOWED scoring stream: the
+    // checkpoint must restore not just the per-(window, doc) aggregation
+    // rows but the WATERMARK itself (a restart that lost it would
+    // re-admit or drop rows differently) — the one recovery surface the
+    // unwindowed restart rows don't exercise. Shares the batch mirror.
+    "doc_dsir_windowed_restart_stream_replay" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.dsirTrain(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        docs.filter(col("doc_id") % 10 =!= 0), "text",
+        gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+      streaming.Replay.replayWithRestart(s,
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("event_ts", timestamp_seconds(col("doc_id"))),
+        "doc_id", 100)(sdf =>
+        streaming.DsirScoreStream.dsirScoreStreamWindowed(sdf, "text",
+          "doc_id", "event_ts", model, "50 seconds", "10 seconds"))
+        .select("doc_id", "n_grams", "oov_tgt", "oov_raw",
+          "hit_tgt", "hit_raw")
+    }),
     "doc_pack_stream_replay" -> ((s, d) => {
       streaming.UniqueStreams.useRocksDBStateStore(s)
       streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100, "update")(sdf =>
@@ -1540,6 +1560,7 @@ object SparkEntry {
       "doc_lm_ppl_stream_replay" -> docLmPplOracle,
       "doc_lm_ppl_windowed_stream_replay" -> docLmPplOracle,
       "doc_dsir_windowed_stream_replay" -> docDsirOracle,
+      "doc_dsir_windowed_restart_stream_replay" -> docDsirOracle,
       "doc_bm25_windowed_stream_replay" -> docBm25Oracle,
       "doc_dsir_md5" -> docDsirOracle,
       "doc_dsir_stream_replay" -> docDsirOracle,
