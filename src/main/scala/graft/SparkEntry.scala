@@ -1028,6 +1028,26 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // ... and the bridge under KILL/RESTART: stage A is stopped at the
+    // half-way chunk and recovered from its checkpoint — the per-bucket
+    // member state must restore exactly for later probes' candidate sets
+    // to match (append emissions are final, so the accumulated hit log —
+    // and therefore the merged output — shares the monolith mirror)
+    "emb_ann_sharded_lsh_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val hits = streaming.Replay.replayWithRestart(s, Tables.embeddings(s, d),
+          "vec_id", 1000)(sdf =>
+          streaming.AnnStream.shardedLshBucketHits(sdf, "vec_id", "embedding"))
+        streaming.Replay.replay(s, hits, "query_id", 1 << 20,
+          "append")(sdf => streaming.AnnStream.annMergeStage(sdf, nProbe = 9))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // PQ-compressed continuous ANN: same feed and probe structure, but
     // the stateful index stores 8-int PQ codes instead of raw vectors
     // (32× smaller state); the mirror computes the identical ADC scores
@@ -1803,6 +1823,7 @@ object SparkEntry {
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,
       "emb_ann_sharded_lsh_stream_replay" -> embAnnStreamOracle,
+      "emb_ann_sharded_lsh_restart_stream_replay" -> embAnnStreamOracle,
       "emb_ann_pq_stream_replay" -> embPqStreamOracle,
       "emb_ann_pq_sharded_stream_replay" -> embPqStreamOracle,
       "emb_ann_ivfpq_stream_replay" -> embIvfPqStreamOracle,

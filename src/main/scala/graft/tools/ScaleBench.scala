@@ -118,7 +118,7 @@ object ScaleBench {
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
-      "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak")
+      "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak", "bm25_ingest_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -1361,6 +1361,59 @@ object ScaleBench {
     // separately and combined as a pipelined rate like neardup_sharded;
     // parity = sym-diff vs the monolith arm's sink when both arms ran
     // in this invocation.
+    // STREAMING BM25 INDEX INGESTION at N× (round 14): the 10×-copies
+    // document corpus fed as a tagged id-ordered stream (every 1000th
+    // arrival a query probing the ingested-so-far index), maxDf=1000
+    // bounding both per-term postings state and per-(query, term) probe
+    // fan-out. Per-increment [soak] rates expose the ingestion-rate
+    // trajectory as the token-sharded state grows.
+    if (wanted("bm25_ingest_scale")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val tagged = docsSf1.select(col("doc_id"), col("text"),
+        (col("doc_id") % 1000 === 0).as("is_query"))
+      val ids = tagged.agg(min(col("doc_id")).cast("long"),
+        max(col("doc_id")).cast("long")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val nInc = 10
+      val span = (hi - lo + nInc) / nInc
+      implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(tagged.schema)
+      val ms = MemoryStream[Row]
+      val q = graft.streaming.Bm25IngestStream
+        .bm25IngestStream(ms.toDF(), "doc_id", "text", "is_query", maxDf = 1000)
+        .writeStream.format("memory").queryName("soak_bm25_ingest")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_bm25ingest").toString)
+        .start()
+      var nArr = 0L
+      val t0 = System.nanoTime()
+      (0 until nInc).foreach { i =>
+        val chunk = tagged.filter(col("doc_id") >= lo + i * span &&
+          col("doc_id") < lo + (i + 1) * span).orderBy("doc_id").collect()
+        nArr += chunk.length
+        val ti = System.nanoTime()
+        ms.addData(chunk.toSeq)
+        q.processAllAvailable()
+        val incSec = (System.nanoTime() - ti) / 1e9
+        println(f"[soak] bm25_ingest inc$i: ${chunk.length} arrivals in " +
+          f"$incSec%.1f s (${chunk.length / incSec}%.0f/s)")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (stRows, stBytes) = Option(q.lastProgress)
+        .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum)).getOrElse((-1L, -1L))
+      val emitted = spark.table("soak_bm25_ingest").count()
+      q.stop()
+      val part = (f""""bm25_ingest_scale":{"arrivals":$nArr,"sec":$sec%.2f,""" +
+        f""""arrivals_per_sec":${nArr / sec}%.0f,"probe_rows":$emitted,""" +
+        f""""state_rows":$stRows,"state_bytes":$stBytes}""")
+      parts += part
+      println(s"[soak] PART $part")
+    }
     // BUCKET-SHARDED exact-ANN A/B (round 14 — the bucket-sharded twin of
     // the annStream monolith): same 10-increment id-ordered feed through
     // (a) the single-task monolith and (b) the LSH-bucket-keyed two-stage
