@@ -917,6 +917,38 @@ object SweepVerify {
        |GROUP BY qtd.query_id, post0.doc_id""".stripMargin
   }
 
+  /** Parametrized mirror of AnnStream.annStream /
+    * shardedLshBucketHits→annMergeStage (exact-cosine mode): hyperplane
+    * sign-bit buckets re-derived from the SAME deterministic planes,
+    * own + hamming-1 probes, candidates restricted to earlier arrivals
+    * (the id-ordered replay's "so far"), exact-cosine rank ≤ k. The
+    * sharded bridge computes the identical log (disjoint per-bucket
+    * candidates), so both forms share this mirror per draw.
+    */
+  private def embAnnStreamSql(nPlanes: Int, k: Int): String = {
+    val ps = graft.llm.Similarity.planes(nPlanes, 64)
+    def bucketExpr(v: String): String = ps.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(list_zip($v, $arr::DOUBLE[]),
+         |    p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) >= 0
+         |  THEN (1::BIGINT << $i) ELSE 0::BIGINT END""".stripMargin
+    }.mkString("\n + ")
+    val probes = "b0" +: (0 until nPlanes).map(i => s"xor(b0, ${1L << i}::BIGINT)")
+    s"""WITH c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+       |    ${bucketExpr("embedding")} AS bucket FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |    ${bucketExpr("embedding")} AS b0 FROM embeddings),
+       |pr AS (SELECT query_id, qv, unnest([${probes.mkString(", ")}]) AS bucket FROM q0),
+       |s AS (SELECT query_id, corpus_id,
+       |    list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * x)))
+       |       * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)))) AS sim
+       |  FROM c JOIN pr USING (bucket) WHERE corpus_id < query_id)
+       |SELECT query_id, corpus_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS INTEGER) AS rank
+       |FROM s QUALIFY rank <= $k""".stripMargin
+  }
+
   /** Parametrized mirror of Bm25IngestStream's earlier-arrivals retrieval
     * (corpus = id % mod <> 0, queries = id % mod = 0, id-ordered tagged
     * feed): stored postings = each term's first-by-id `maxDf` docs, a
@@ -1192,7 +1224,7 @@ object SweepVerify {
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
-      "bm25", "bm25_ingest")
+      "bm25", "bm25_ingest", "ann_lsh_stream")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1696,6 +1728,40 @@ object SweepVerify {
               "tfdf_sum", "dl"),
             docBm25Sql(mod, frac),
             s"m${mod}_f$frac${if (form == "batch") "" else s"_$form"}")
+        case "ann_lsh_stream" =>
+          // the exact LSH-probed continuous-ANN pair (round 14): drawn
+          // planes × k, through the single-task monolith OR the
+          // bucket-sharded two-stage bridge — both compute the identical
+          // earlier-arrivals retrieval log, so each draw's regenerated
+          // mirror serves either form
+          val np = pick(Seq(4, 6, 8)); val kk = pick(Seq(5, 10))
+          val form = pick(Seq("mono", "sharded"))
+          val chunkA = pick(Seq(700, 1000))
+          val pKey = "spark.sql.streaming.stateStore.providerClass"
+          val prev = spark.conf.getOption(pKey)
+          graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+          val d = try {
+            if (form == "mono")
+              graft.streaming.Replay.replay(spark, emb, "vec_id", chunkA,
+                "append")(sdf => graft.streaming.AnnStream.annStream(sdf,
+                  "vec_id", "embedding", k = kk, nPlanes = np))
+            else {
+              val hits = graft.streaming.Replay.replay(spark, emb, "vec_id",
+                chunkA, "append")(sdf =>
+                  graft.streaming.AnnStream.shardedLshBucketHits(sdf,
+                    "vec_id", "embedding", k = kk, nPlanes = np))
+              graft.streaming.Replay.replay(spark, hits, "query_id", 1 << 20,
+                "append")(sdf =>
+                  graft.streaming.AnnStream.annMergeStage(sdf,
+                    nProbe = np + 1, k = kk))
+            }
+          } finally prev match {
+            case Some(v) => spark.conf.set(pKey, v)
+            case None => spark.conf.unset(pKey)
+          }
+          (d.select("query_id", "corpus_id", "rank"),
+            embAnnStreamSql(np, kk),
+            s"p${np}_k${kk}_${form}_a$chunkA")
         case "bm25_ingest" =>
           // STREAMING INDEX INGESTION (round 14): drawn query/corpus
           // split × maxDf saturation cap × chunking × kill/restart —
