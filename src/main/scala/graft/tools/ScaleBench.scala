@@ -1438,9 +1438,17 @@ object ScaleBench {
       }
       val allChunks = chunks
       val nVecs = allChunks.map(_.length.toLong).sum
+      // arm filter for big-corpus runs: the monolith is 1/state-collapsing
+      // by design (the 10× A/B prices it); at 100× only the sharded arm
+      // is meaningful — SPARK_GRAFT_LSH_SOAK_ARMS=sharded skips the
+      // monolith (and the parity check reports -1, like the prefix-
+      // bounded cell-sharded soak)
+      val lshArms = sys.env.get("SPARK_GRAFT_LSH_SOAK_ARMS")
+        .map(_.split(",").map(_.trim).toSet)
+      def lshWanted(a: String): Boolean = lshArms.forall(_.contains(a))
       // arm 1: the monolith
       var secMono = 0.0
-      locally {
+      if (lshWanted("mono")) locally {
         implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
         val ms = MemoryStream[Row]
         val q = graft.streaming.AnnStream.annStream(ms.toDF(), "vec_id", "embedding")
@@ -1501,13 +1509,18 @@ object ScaleBench {
         secB = (System.nanoTime() - t0) / 1e9
         q.stop()
       }
-      val mono = spark.table("soak_ann_lsh_mono")
-        .select("query_id", "corpus_id", "rank")
-      val sharded = spark.table("soak_ann_lsh_sharded")
-        .select("query_id", "corpus_id", "rank")
-      val symDiff = sharded.exceptAll(mono).count() + mono.exceptAll(sharded).count()
+      val symDiff =
+        if (!lshWanted("mono")) -1L
+        else {
+          val mono = spark.table("soak_ann_lsh_mono")
+            .select("query_id", "corpus_id", "rank")
+          val sharded = spark.table("soak_ann_lsh_sharded")
+            .select("query_id", "corpus_id", "rank")
+          sharded.exceptAll(mono).count() + mono.exceptAll(sharded).count()
+        }
+      val monoRate = if (lshWanted("mono")) f"${nVecs / secMono}%.0f" else "-1"
       val part = (f""""emb_ann_lsh_sharded_soak":{"vecs":$nVecs,""" +
-        f""""mono_sec":$secMono%.2f,"mono_vecs_per_sec":${nVecs / secMono}%.0f,""" +
+        f""""mono_sec":$secMono%.2f,"mono_vecs_per_sec":$monoRate,""" +
         f""""stage_a_sec":$secA%.2f,"stage_b_sec":$secB%.2f,""" +
         f""""pipelined_vecs_per_sec":${nVecs / math.max(secA, secB)}%.0f,""" +
         f""""sym_diff_vs_monolith":$symDiff}""")
