@@ -249,14 +249,26 @@ object GraftSql {
       // their members survive). Eagerly materializes the CC loop during
       // analysis, like graft_neardup_dedup.
       "graft_semdedup" -> { (es: Seq[Expression]) =>
+        // explicit arity: extra trailing args must error, not silently
+        // drop — and max_cell is range-checked before the Int narrowing
+        // (a > Int.MaxValue literal would otherwise truncate silently)
+        require(es.length == 7 || es.length == 8,
+          s"graft_semdedup expects 7 or 8 arguments " +
+            s"(t, id, vec, dim, eps, n_cells, lloyd_iters[, max_cell]), " +
+            s"got ${es.length}")
+        val maxCell = if (es.length > 7) {
+          val mc = litLong(es(7), "max_cell")
+          require(mc >= 1L && mc <= Int.MaxValue.toLong,
+            s"max_cell must be in [1, ${Int.MaxValue}], got $mc")
+          mc.toInt
+        } else Int.MaxValue
         plan(llm.Similarity.semDedup(tableArg(es.head),
           litStr(es(1), "id column"), litStr(es(2), "vector column"),
           dim = litLong(es(3), "dim").toInt,
           eps = litDouble(es(4), "eps"),
           nCells = litLong(es(5), "n_cells").toInt,
           lloydIters = litLong(es(6), "lloyd_iters").toInt,
-          maxCell = if (es.length > 7) litLong(es(7), "max_cell").toInt
-                    else Int.MaxValue))
+          maxCell = maxCell))
       },
       "graft_ann_ivf" -> { (es: Seq[Expression]) =>
         plan(llm.Similarity.ivfTopK(tableArg(es.head),

@@ -215,7 +215,8 @@ object AnnStream {
           dot += lut(idx); cn2 += norm2(idx)
           m += 1
         }
-        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+        if (qn == 0.0) 0.0
+        else (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
       }
 
       override def handleInputRows(key: Int, rows: Iterator[Row],
@@ -470,7 +471,8 @@ object AnnStream {
           dot += lut(idx); cn2 += norm2(idx)
           m += 1
         }
-        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+        if (qn == 0.0) 0.0
+        else (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
       }
 
       // residual scoring: ivfPqResidualTopK's exact assembly —
@@ -487,7 +489,8 @@ object AnnStream {
           m += 1
         }
         val vn2 = cn2 + wsum
-        if (vn2 <= 0.0) 0.0 else (qdotc + adc) / (math.sqrt(vn2) * qn)
+        if (vn2 <= 0.0 || qn == 0.0) 0.0
+        else (qdotc + adc) / (math.sqrt(vn2) * qn)
       }
 
       override def handleInputRows(key: Int, rows: Iterator[Row],
@@ -667,7 +670,8 @@ object AnnStream {
           dot += lut(idx); cn2 += norm2(idx)
           m += 1
         }
-        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+        if (qn == 0.0) 0.0
+        else (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
       }
 
       private def residualSim(codes: Array[Byte], lut: Array[Double],
@@ -681,7 +685,8 @@ object AnnStream {
           m += 1
         }
         val vn2 = cn2 + wsum
-        if (vn2 <= 0.0) 0.0 else (qdotc + adc) / (math.sqrt(vn2) * qn)
+        if (vn2 <= 0.0 || qn == 0.0) 0.0
+        else (qdotc + adc) / (math.sqrt(vn2) * qn)
       }
 
       override def handleInputRows(cell: Long, rows: Iterator[Row],
@@ -852,7 +857,8 @@ object AnnStream {
           dot += lut(idx); cn2 += norm2(idx)
           m += 1
         }
-        (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
+        if (qn == 0.0) 0.0
+        else (if (cn2 == 0.0) 0.0 else dot / math.sqrt(cn2)) / qn
       }
 
       override def handleInputRows(code: Long, rows: Iterator[Row],

@@ -275,4 +275,44 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(!streamed.exists(_._1 == 4L), "null vector must not query")
     assert(!streamed.exists(_._2 == 4L), "null vector must not be retrieved")
   }
+
+  test("zero-norm (all-zero, non-empty) query scores 0.0, never NaN/Inf, " +
+      "in PQ mode — monolith and sharded bridge stay in parity") {
+    // an all-zero vector passes the null/size filters but has qn == 0;
+    // unguarded ADC division would emit NaN similarities no mirror can
+    // match. Guarded: it scores every candidate 0.0 (rank by id) in BOTH
+    // the monolith and the bucket-sharded bridge.
+    val withZero = vecs.take(4) ++ Seq(Vec(5, Array(0f, 0f, 0f, 0f)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val (cb, _) = llm.Similarity.anchorCodebook(vecs.toDF(), "vec_id", "embedding",
+        dim = DIM, nSub = 2, codesPerSub = 4)
+      val mono = Replay.replay(spark, withZero.toDF(), "vec_id", 1, "append")(sdf =>
+          AnnStream.pqAnnStream(sdf, "vec_id", "embedding", codebook = cb,
+            codesPerSub = 4, k = 100, nPlanes = PLANES, dim = DIM))
+        .select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect()
+      // guarded: every candidate of the zero-norm query scores exactly
+      // 0.0, so the (sim DESC, corpus_id) rank order degenerates to
+      // corpus_id ascending — deterministic, unlike NaN ordering
+      val zq = mono.filter(_._1 == 5L).sortBy(_._3)
+      assert(zq.nonEmpty, "zero-norm query must still retrieve (score 0.0)")
+      assert(zq.map(_._2).toSeq == zq.map(_._2).sorted.toSeq,
+        s"zero-norm query ranks must follow corpus_id asc, got ${zq.mkString(",")}")
+      val hits = Replay.replay(spark, withZero.toDF(), "vec_id", 1, "append")(sdf =>
+        AnnStream.shardedLshBucketHits(sdf, "vec_id", "embedding",
+          codebook = Some((cb, 4)), k = 100, nPlanes = PLANES, dim = DIM))
+      val sharded = Replay.replay(spark, hits, "query_id", 1, "append")(sdf =>
+          AnnStream.annMergeStage(sdf, nProbe = PLANES + 1, k = 100))
+        .select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect()
+      assert(sharded.toSet === mono.toSet,
+        "zero-norm guard broke monolith/shard parity")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

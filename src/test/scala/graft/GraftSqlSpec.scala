@@ -300,6 +300,29 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(viaSql === viaApi, "TVF max_cell diverged from the Scala API")
   }
 
+  test("graft_semdedup TVF rejects extra trailing args and an out-of-range " +
+      "max_cell instead of silently ignoring/truncating them") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("emb_semdedup_argcheck_tvf")
+    val nine = intercept[Exception] {
+      spark.sql(
+        """SELECT vec_id FROM graft_semdedup(
+          |  TABLE(emb_semdedup_argcheck_tvf), 'vec_id', 'embedding',
+          |  64, 0.3, 16, 1, 100, 999)""".stripMargin).collect()
+    }
+    assert(nine.getMessage.contains("7 or 8 arguments"),
+      s"9-arg call must fail the arity check, got: ${nine.getMessage}")
+    val huge = intercept[Exception] {
+      spark.sql(
+        s"""SELECT vec_id FROM graft_semdedup(
+           |  TABLE(emb_semdedup_argcheck_tvf), 'vec_id', 'embedding',
+           |  64, 0.3, 16, 1, ${Int.MaxValue.toLong + 1L}L)""".stripMargin)
+        .collect()
+    }
+    assert(huge.getMessage.contains("max_cell must be in"),
+      s"out-of-Int-range max_cell must fail, got: ${huge.getMessage}")
+  }
+
   test("graft_ann_ivfpq TVF optional lloyd_iters/refine args pin to the Scala API") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     emb.createOrReplaceTempView("emb_ivfpq_lloyd_tvf")

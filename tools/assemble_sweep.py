@@ -15,8 +15,20 @@ for spec in sys.argv[2:]:
     r = subprocess.run(
         [sys.executable, "tools/check_correctness.py", sfdir, d, "--skip-verify"],
         cwd="/root/repo", capture_output=True, text=True)
-    body = r.stdout[:r.stdout.rfind("}") + 1]
-    res = json.loads(body)
+    # a checker CRASH (no JSON on stdout) must name the failing spec and
+    # keep assembling the rest, not abort the whole assembly
+    end = r.stdout.rfind("}")
+    try:
+        if end == -1:
+            raise ValueError("no JSON object on checker stdout")
+        res = json.loads(r.stdout[:end + 1])
+    except (ValueError, json.JSONDecodeError) as e:
+        all_green = False
+        sys.stderr.write(f"{label} seed{seed}: checker crashed ({e}); "
+                         f"stderr tail: {r.stderr[-2000:]}\n")
+        agg.setdefault(label, {})[f"seed{seed}"] = {
+            "__checker_crash__": str(e)}
+        continue
     agg.setdefault(label, {})[f"seed{seed}"] = res
     total += len(res)
     if r.returncode != 0:
