@@ -370,6 +370,84 @@ object SparkEntry {
         maxCell = 130).droppedCells
         .select(col("cell").cast("long").as("cell"),
           col("size").cast("long").as("size"))),
+    // STREAMING SemDeDup — the batch operator's continuous-ingestion
+    // twin (cell-SHARDED transformWithState; deployed-centroid contract
+    // via semDedupCentroids, the same lloydAssign chain the batch oracle
+    // re-derives). Replay the embeddings in vec_id order; the change
+    // log's final verdicts must reduce to EXACTLY the batch survivor
+    // set, so this row shares the emb_semdedup DuckDB mirror.
+    "emb_semdedup_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val cents = llm.Similarity.semDedupCentroids(emb, "vec_id",
+          "embedding", dim = 64, nCells = 16, lloydIters = 1)
+        val log = streaming.Replay.replay(s, emb, "vec_id", 1000, "update")(sdf =>
+          streaming.SemDedupStream.semDedupStream(sdf, "vec_id", "embedding",
+            dim = 64, eps = 0.3, centroids = cents))
+        log.groupBy(col("vec_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+          .select("vec_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // ... the HOT-CELL-CAPPED stream at the cap-binding batch geometry
+    // (nCells=4, maxCell=130): the batch rule "final occupancy > maxCell
+    // → the cell is excluded, members all survive" depends only on the
+    // final count, so the stream saturates at the crossing arrival —
+    // telemetry row, retroactive re-promotion of dropped members, cell
+    // state FREED — and still hash-matches the capped batch mirror.
+    "emb_semdedup_capped_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val cents = llm.Similarity.semDedupCentroids(emb, "vec_id",
+          "embedding", dim = 64, nCells = 4, lloydIters = 1)
+        val log = streaming.Replay.replay(s, emb, "vec_id", 1000, "update")(sdf =>
+          streaming.SemDedupStream.semDedupStream(sdf, "vec_id", "embedding",
+            dim = 64, eps = 0.3125, centroids = cents, maxCell = 130))
+        log.filter(col("change").isin("keep", "drop"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+          .select("vec_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // CHECKPOINT-RESTART for the streaming SemDeDup: killed at the
+    // halfway chunk boundary, restarted from checkpoint — offset
+    // recovery plus RocksDB restore of all five states (members,
+    // union-find forest, keeper summaries, occupancy, seq) — and the
+    // accumulated log must still reduce to the batch survivor set.
+    "emb_semdedup_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val emb = Tables.embeddings(s, d)
+        val cents = llm.Similarity.semDedupCentroids(emb, "vec_id",
+          "embedding", dim = 64, nCells = 16, lloydIters = 1)
+        val log = streaming.Replay.replayWithRestart(s, emb, "vec_id", 200)(sdf =>
+          streaming.SemDedupStream.semDedupStream(sdf, "vec_id", "embedding",
+            dim = 64, eps = 0.3, centroids = cents))
+        log.groupBy(col("vec_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+          .select("vec_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "mm_features" -> ((s, d) =>
       llm.Multimodal.extractFeaturesChecked(
         llm.Multimodal.withSyntheticMedia(Tables.documents(s, d), "doc_id", "text",
@@ -1819,6 +1897,12 @@ object SparkEntry {
       "emb_semdedup" -> embSemDedupOracle,
       "emb_semdedup_capped" -> embSemDedupCappedOracle,
       "emb_semdedup_dropped_cells" -> embSemDedupDroppedCellsOracle,
+      // the streaming twin converges to the batch survivor set (same
+      // centroid chain, same ε-relation, same keep policy), so all three
+      // stream rows share the batch mirrors
+      "emb_semdedup_stream_replay" -> embSemDedupOracle,
+      "emb_semdedup_capped_stream_replay" -> embSemDedupCappedOracle,
+      "emb_semdedup_restart_stream_replay" -> embSemDedupOracle,
       "emb_neardup_stream_replay" -> embNearDupStreamOracle,
       "emb_neardup_clusters_stream_replay" -> embNearDupClustersOracle,
       "emb_ann_stream_replay" -> embAnnStreamOracle,

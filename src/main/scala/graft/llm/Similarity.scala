@@ -371,6 +371,28 @@ object Similarity {
     SemDedupResult(survivors, droppedCells)
   }
 
+  /** The SemDeDup cell model as deployable literals — EXACTLY the
+    * [[lloydAssign]] centroid chain [[semDedup]] and its DuckDB mirror
+    * pin (anchor init, quantized-mean refinement), collected for the
+    * streaming twin [[graft.streaming.SemDedupStream]]. Train offline,
+    * deploy: nCells rows, the same constant-size driver-anchor policy as
+    * the ANN codebooks, so the stream's assignment (and therefore its
+    * survivor set) is bit-identical to the batch operator's on the same
+    * corpus.
+    */
+  def semDedupCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nCells: Int = 16,
+                        lloydIters: Int = 1): Seq[(Long, Seq[Double])] = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      requireDim(col(vecCol).cast("array<double>"), dim).as("cv"))
+    lloydAssign(c, nCells, lloydIters)._1
+      .select(col("cell").cast("long").as("cell"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+      .toIndexedSeq.sortBy(_._1)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 0): DataFrame = {
