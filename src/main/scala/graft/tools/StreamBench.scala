@@ -17,6 +17,7 @@ object StreamBench {
   case class DocEv(doc_id: Long, text: String)
   case class DocTsEv(doc_id: Long, text: String, event_ts: Timestamp)
   case class TaggedEv(doc_id: Long, text: String, is_query: Boolean)
+  case class VecEv(vec_id: Long, embedding: Array[Float])
 
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toInt).getOrElse(200000)
@@ -298,11 +299,78 @@ object StreamBench {
         s""""state_rows":$stRows,"state_bytes":$stBytes,""" +
         f""""arrivals_per_sec":${nDocs / secs}%.0f}"""
     }
+    // STREAMING SemDeDup throughput (vecs/s): cell-sharded incremental
+    // semantic dedup. Two regimes:
+    //  - balanced: ~n/20 near-dup families spread over 32 cells (each
+    //    arrival scans its own cell's members — the n²/nCells budget
+    //    paid online)
+    //  - hot: 50% of arrivals in ONE family (one cell holds half the
+    //    corpus — the quadratic cliff). Run CAPPED: the cell saturates
+    //    at maxCell, re-promotes, FREES its state, and admits the rest
+    //    at O(1) — state_rows at the end must sit near the balanced
+    //    cells' total, not n/2 (the batch semdedup_hotcell cliff's
+    //    streaming answer)
+    val semDedupArm: String = if (!want("semdedup_stream")) "" else {
+      UniqueStreams.useRocksDBStateStore(spark)
+      implicit val venc: org.apache.spark.sql.Encoder[VecEv] = Encoders.product[VecEv]
+      val dim = 16
+      val nVecs = nEvents / 10
+      val nFam = (nVecs / 20) max 32
+      def famBase(f: Int): Array[Double] = {
+        val rnd = new scala.util.Random(f * 2654435761L)
+        Array.fill(dim)(rnd.nextGaussian())
+      }
+      def member(f: Int, j: Int): Array[Float] = {
+        val b = famBase(f)
+        val rnd = new scala.util.Random(f * 31L + j * 7L + 13L)
+        b.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat)
+      }
+      def feed(hot: Boolean)(i: Int): VecEv = {
+        val f = if (hot && i % 2 == 0) 0 else i % nFam
+        VecEv(i.toLong, member(f, i / nFam))
+      }
+      def runSd(name: String, hot: Boolean, maxCell: Int): (Double, Long, Long, Long) = {
+        val all = (0 until nVecs).map(feed(hot))
+        val corpus = spark.createDataFrame(all)
+        val cents = graft.llm.Similarity.semDedupCentroids(corpus, "vec_id",
+          "embedding", dim = dim, nCells = 32, lloydIters = 0)
+        val ms = MemoryStream[VecEv]
+        val q = graft.streaming.SemDedupStream
+          .semDedupStream(ms.toDF(), "vec_id", "embedding", dim = dim,
+            eps = 0.9, centroids = cents, maxCell = maxCell)
+          .writeStream.format("memory").queryName(s"sb_$name")
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", Files.createTempDirectory(s"sb_$name").toString)
+          .start()
+        val per = nVecs / 10
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          val hi = if (b == 9) nVecs else (b + 1) * per
+          ms.addData(all.slice(b * per, hi))
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (stRows, stBytes) = Option(q.lastProgress)
+          .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum)).getOrElse((-1L, -1L))
+        val saturated = spark.table(s"sb_$name")
+          .filter(col("change") === "saturated").count()
+        q.stop()
+        (nVecs / secs, stRows, stBytes, saturated)
+      }
+      val (balRate, balRows, balBytes, _) = runSd("sd_bal", hot = false, Int.MaxValue)
+      val hotCap = (nVecs / 32) * 2
+      val (hotRate, hotRows, hotBytes, hotSat) = runSd("sd_hot", hot = true, hotCap)
+      s""","semdedup_stream":{"vecs":$nVecs,"cells":32,"eps":0.9,""" +
+        f""""balanced_vecs_per_sec":$balRate%.0f,"balanced_state_rows":$balRows,"balanced_state_bytes":$balBytes,""" +
+        s""""hot_cap":$hotCap,"hot_saturated_cells":$hotSat,""" +
+        f""""hot_capped_vecs_per_sec":$hotRate%.0f,"hot_state_rows":$hotRows,"hot_state_bytes":$hotBytes}"""
+    }
     val qs = (results ++ scoringRates)
       .map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
     val st = stateOf.map { case (k, (r, b)) => s""""$k":{"rows":$r,"bytes":$b}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"state":$st,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}$scoringWindowed$bm25Ingest}""")
+    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"state":$st,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}$scoringWindowed$bm25Ingest$semDedupArm}""")
     spark.stop()
   }
 }

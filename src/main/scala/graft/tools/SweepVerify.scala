@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, min, sum, timestamp_seconds}
+import org.apache.spark.sql.functions.{col, count, lit, max_by, min, sum, timestamp_seconds}
 import graft.operators.UniqueOps
 import java.nio.file.{Files, Paths}
 
@@ -1224,7 +1224,7 @@ object SweepVerify {
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
-      "bm25", "bm25_ingest", "ann_lsh_stream")
+      "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1846,6 +1846,37 @@ object SweepVerify {
             maxCell = mc),
             embSemDedupSql(nc, ll, epsQ, mc),
             s"c${nc}_l${ll}_e${epsQ}_mc$mc")
+        case "semdedup_stream" =>
+          // the STREAMING twin through the replay harness with the same
+          // drawn geometry grid as the batch family (cells × Lloyd ×
+          // ε × hot-cell cap) plus drawn chunking — the final verdicts
+          // must hash-match the SAME regenerated batch mirror, capped
+          // regimes included (saturation re-promotion is retroactive)
+          val nc = pick(Seq(8, 16, 32)); val ll = pick(Seq(0, 1, 2))
+          val epsQ = pick(Seq(0.25, 0.3125, 0.375))
+          val mc = pick(Seq(25, 60, 1 << 20))
+          val chunk = pick(Seq(300, 1000))
+          val pKey = "spark.sql.streaming.stateStore.providerClass"
+          val prev = spark.conf.getOption(pKey)
+          graft.streaming.UniqueStreams.useRocksDBStateStore(spark)
+          val d = try {
+            val cents = graft.llm.Similarity.semDedupCentroids(emb, "vec_id",
+              "embedding", dim = 64, nCells = nc, lloydIters = ll)
+            graft.streaming.Replay.replay(spark, emb, "vec_id", chunk,
+              "update")(sdf => graft.streaming.SemDedupStream.semDedupStream(
+                sdf, "vec_id", "embedding", dim = 64, eps = epsQ,
+                centroids = cents, maxCell = mc))
+              .filter(col("change").isin("keep", "drop"))
+              .groupBy(col("vec_id"))
+              .agg(max_by(col("change"), col("upd_seq")).as("change"))
+              .filter(col("change") === "keep")
+              .select("vec_id")
+          } finally prev match {
+            case Some(v) => spark.conf.set(pKey, v)
+            case None => spark.conf.unset(pKey)
+          }
+          (d, embSemDedupSql(nc, ll, epsQ, mc),
+            s"c${nc}_l${ll}_e${epsQ}_mc${mc}_ch$chunk")
         case "emb_ivfpq_stream" =>
           // the CELL-BUCKETED streaming form through the replay harness:
           // every arrival retrieves against earlier arrivals from its
