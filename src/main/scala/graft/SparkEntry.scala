@@ -256,6 +256,65 @@ object SparkEntry {
     "doc_neardup_dedup_md5" -> ((s, d) =>
       llm.TextDedup.dedupByPairs(Tables.documents(s, d), "doc_id",
         llm.TextDedup.minhashPairsMd5(Tables.documents(s, d), "text", "doc_id"))),
+    // EDIT-DISTANCE (Levenshtein) near-dup — the CHARACTER-level dedup
+    // family (Gopher-style edit-similarity; token-set MinHash is blind
+    // to intra-word edits). Banded char-5-gram MinHash candidates
+    // (bands=4×4 — 322 candidates at sf0.01, of which 24 verify), exact
+    // integer lev ≤ 5 verify on both engines (Spark's thresholded
+    // Ukkonen band, DuckDB's full levenshtein — same integer).
+    "doc_editdist_pairs_md5" -> ((s, d) =>
+      llm.TextDedup.editDistancePairsMd5(Tables.documents(s, d), "text",
+        "doc_id", maxDist = 5, shingleN = 5, bands = 4, rowsPerBand = 4)),
+    // ... → min-id connected-component dedup over that relation (the
+    // dedupByPairs policy, recursive-CTE-mirrored)
+    "doc_editdist_dedup_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.dedupByPairs(docs, "doc_id",
+        llm.TextDedup.editDistancePairsMd5(docs, "text", "doc_id",
+          maxDist = 5, shingleN = 5, bands = 4, rowsPerBand = 4)
+          .select("id_a", "id_b"))
+    }),
+    // STREAMING incremental edit-distance dedup: same banded index +
+    // union-find change log as nearDupStreamMd5 with the exact-lev
+    // verify; final survivors hash-match the batch CC oracle.
+    "doc_editdist_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val log = streaming.Replay.replay(s, docs, "doc_id", 1000, "update")(sdf =>
+          streaming.NearDupStream.editNearDupStreamMd5(sdf, "doc_id", "text",
+            maxDist = 5, shingleN = 5, bands = 4, rowsPerBand = 4))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // ... and its kill/restart form (offset recovery + RocksDB restore
+    // of the band index / text payloads / union-find / seq states)
+    "doc_editdist_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val log = streaming.Replay.replayWithRestart(s, docs, "doc_id", 200)(sdf =>
+          streaming.NearDupStream.editNearDupStreamMd5(sdf, "doc_id", "text",
+            maxDist = 5, shingleN = 5, bands = 4, rowsPerBand = 4))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "emb_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // sim column excluded: engines agree on double-precision RANKS, but
@@ -1426,6 +1485,16 @@ object SparkEntry {
     "doc_minhash_pairs" -> ((s, d) =>
       llm.TextDedup.minhashPairs(Tables.documents(s, d), "text", "doc_id",
         threshold = 0.2)),
+    // production edit-distance dedup: native xxhash64 char-shingle
+    // banding end-to-end + thresholded-lev verify + CC (the md5 twin
+    // carries the oracle check)
+    "doc_editdist_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.dedupByPairs(docs, "doc_id",
+        llm.TextDedup.editDistancePairs(docs, "text", "doc_id",
+          maxDist = 5, shingleN = 5, bands = 8, rowsPerBand = 4)
+          .select("id_a", "id_b"))
+    }),
     // production BM25: the full index → score → rank path with the
     // ln-idf fold and per-query window (doc_bm25_stats carries the
     // oracle check on the integer join surface; score/rank re-derived
@@ -1875,6 +1944,11 @@ object SparkEntry {
           |  FROM documents) WHERE rk <= 10""".stripMargin,
       "doc_neardup_clusters_md5" -> docNeardupClustersOracle,
       "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
+      "doc_editdist_pairs_md5" -> docEditPairsOracle,
+      "doc_editdist_dedup_md5" -> docEditDedupOracle,
+      // the stream converges to the same min-id CC survivor set
+      "doc_editdist_stream_replay" -> docEditDedupOracle,
+      "doc_editdist_restart_stream_replay" -> docEditDedupOracle,
       // the streaming operator's final survivors = the batch CC survivors
       "doc_neardup_stream_replay" -> docNeardupDedupOracle,
       "doc_neardup_restart_stream_replay" -> docNeardupDedupOracle,
@@ -2504,6 +2578,64 @@ object SparkEntry {
 
   private def docNeardupDedupOracle: String =
     s"""WITH RECURSIVE $docNeardupClusterCtes
+       |SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin
+
+  /** DuckDB mirror of TextDedup.editDistancePairsMd5 (maxDist=5,
+    * shingleN=5, bands=4, rowsPerBand=4, maxBucket=1000) as a CTE chain
+    * ending in `ep(id_a, id_b, dist)`: char tokens → md5 5-gram fold →
+    * minhash signature → band hashes → capped buckets → distinct
+    * candidates → EXACT integer levenshtein ≤ 5 (DuckDB computes the
+    * full distance; Spark's thresholded form returns the same integer
+    * whenever it is ≤ the threshold, and the filter keeps only those).
+    */
+  private def docEditPairsCtes: String = {
+    val n = 5; val bands = 4; val r = 4; val k = bands * r
+    val fold = (1 until n).foldLeft("th[i]")((acc, j) => s"md5($acc || th[i+$j])")
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""tk AS (SELECT doc_id, text,
+       |  list_transform(generate_series(1, length(text)), i -> md5(text[i])) AS th
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, text, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(th) - ${n - 1}, 0)),
+       |  i -> $fold)) AS sh FROM tk),
+       |s2e AS (SELECT doc_id, text, sh FROM sh0 WHERE len(sh) > 0),
+       |sige AS (SELECT doc_id, [$sigItems] AS sig FROM s2e),
+       |bde AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sige CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |oke AS (SELECT band, bh FROM bde GROUP BY band, bh
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |ibe AS (SELECT bde.* FROM bde JOIN oke USING (band, bh)),
+       |cde AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ibe a JOIN ibe b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |ep AS (SELECT id_a, id_b, dist FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
+       |  FROM cde JOIN s2e ta ON ta.doc_id = cde.id_a
+       |           JOIN s2e tb ON tb.doc_id = cde.id_b)
+       |  WHERE dist <= 5)""".stripMargin
+  }
+
+  private def docEditPairsOracle: String =
+    s"""WITH $docEditPairsCtes
+       |SELECT id_a, id_b, dist FROM ep""".stripMargin
+
+  private def docEditDedupOracle: String =
+    s"""WITH RECURSIVE $docEditPairsCtes,
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM ep
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM ep),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
        |SELECT doc_id, text, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin
 

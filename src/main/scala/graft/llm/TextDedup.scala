@@ -167,6 +167,26 @@ object TextDedup {
       when(size(sh) === 0, emptyStr).otherwise(codes))
   }
 
+  /** Streaming index codes for the EDIT-DISTANCE near-dup operator
+    * (graft.streaming.NearDupStream.editNearDupStream): the
+    * [[indexCols]] band-code pipeline over CHARACTER shingles
+    * ([[charTokens]], the [[editDistancePairs]] candidate relation).
+    * Codes only — the streaming payload is the raw text itself (the
+    * exact-lev verify needs the string, not a hash set). Docs shorter
+    * than `shingleN` chars get an empty code array (never candidates,
+    * matching the batch empty-shingle drop).
+    */
+  private[graft] def editIndexCols(textCol: Column, shingleN: Int, bands: Int,
+                                   rowsPerBand: Int, md5Family: Boolean): Column = {
+    val fam: HashFamily = if (md5Family) Md5Hash else XxHash
+    val sh = array_distinct(shingleHashes(charTokens(textCol), shingleN, fam))
+    val sig = minhashFromBaseHashes(sh, bands * rowsPerBand, fam)
+    val codes = array((0 until bands).map(b =>
+      concat(lit(s"$b:"),
+        fam.band(slice(sig, b * rowsPerBand + 1, rowsPerBand), b).cast("string"))): _*)
+    when(size(sh) === 0, array().cast("array<string>")).otherwise(codes)
+  }
+
   /** Exact duplicates: keep the lowest-id row per identical value of
     * `exactCols` (a hash-groupBy — one shuffle, partial-aggregable).
     */
@@ -261,6 +281,121 @@ object TextDedup {
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccardDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    PairsWithStats(pairs, dropped, cached = Seq(withSig))
+  }
+
+  /** One single-character token per position of the RAW text (no
+    * lowercasing, no punctuation stripping — edit distance is a
+    * character-level contract, unlike the tokenized word pipelines).
+    * Engine-mirrorable by construction: DuckDB's
+    * `list_transform(generate_series(1, length(text)), i -> text[i])`
+    * produces the identical array. Empty text → empty array (the
+    * sequence(1, 0)-is-descending guard, see [[shingles]]).
+    *
+    * Pass the result as a PROJECTED COLUMN before shingling — the same
+    * HOF re-evaluation pitfall as [[shingles]]'s note.
+    */
+  private[graft] def charTokens(text: Column): Column =
+    when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text)),
+        i => text.substr(i, lit(1))))
+
+  /** EDIT-DISTANCE (Levenshtein) near-duplicate pairs — the
+    * CHARACTER-level dedup family (Gopher-style edit-similarity dedup;
+    * RETSim's target relation), complementing the token-set families:
+    * MinHash/Jaccard is blind to intra-word edits (one typo changes a
+    * whole word shingle), while edit distance prices every insert/
+    * delete/substitute exactly. Pairs (id_a < id_b) from the banded
+    * candidate relation with EXACT `levenshtein(a, b) = dist ≤ maxDist`,
+    * the dist column an integer — bit-exact across engines, no float
+    * tolerance anywhere in this operator.
+    *
+    * Candidate generation reuses the banded-MinHash machinery VERBATIM
+    * but over CHARACTER n-gram shingles ([[charTokens]] →
+    * [[shingleHashes]]): char-shingle Jaccard degrades smoothly with
+    * edit distance (one edit perturbs ≤ n shingles), so banding recall
+    * concentrates exactly where lev ≤ maxDist lives — and two IDENTICAL
+    * texts always share every band, so dist-0 pairs are never missed.
+    * The relation contract is the [[minhashPairs]] one: pairs from THIS
+    * blocking (bands × rowsPerBand, bucket-capped with dropped-bucket
+    * telemetry), lev-verified — not exhaustive all-pairs; recall is the
+    * band curve's. Docs shorter than `shingleN` chars have no shingles
+    * and never pair (the blocking's floor), matching the word pipelines'
+    * empty-shingle drop.
+    *
+    * Scale shape, 100 TB: identical to minhashPairs — ids-only band
+    * explode, bucket cap bounds the self-join, candidates verified ONCE
+    * after a distinct. The verify itself is `levenshtein(a, b, maxDist)`
+    * — Spark's THRESHOLDED form, the Ukkonen band: O(maxDist·len) per
+    * pair instead of O(len²), returning -1 past the threshold — behind
+    * a |len_a − len_b| ≤ maxDist pre-gate (a necessary condition that
+    * costs two ints). Text payloads travel only to candidate pairs,
+    * never through the band shuffle.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int, shingleN: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4, maxBucket: Int = 1000): DataFrame =
+    editDistancePairsStats(df, textCol, idCol, maxDist, shingleN, bands,
+      rowsPerBand, maxBucket, XxHash).pairs
+
+  /** md5-family twin of [[editDistancePairs]] — DuckDB-checkable band
+    * hashes (see HashFamily); the lev verify is already exact on both
+    * engines.
+    */
+  def editDistancePairsMd5(df: DataFrame, textCol: String, idCol: String,
+                           maxDist: Int, shingleN: Int = 3, bands: Int = 4,
+                           rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame =
+    editDistancePairsStats(df, textCol, idCol, maxDist, shingleN, bands,
+      rowsPerBand, maxBucket, Md5Hash).pairs
+
+  /** [[editDistancePairs]] with dropped-bucket telemetry. */
+  def editDistancePairsWithStats(df: DataFrame, textCol: String, idCol: String,
+                                 maxDist: Int, shingleN: Int = 3, bands: Int = 8,
+                                 rowsPerBand: Int = 4, maxBucket: Int = 1000): PairsWithStats =
+    editDistancePairsStats(df, textCol, idCol, maxDist, shingleN, bands,
+      rowsPerBand, maxBucket, XxHash)
+
+  private[llm] def editDistancePairsStats(df: DataFrame, textCol: String,
+                                          idCol: String, maxDist: Int,
+                                          shingleN: Int, bands: Int,
+                                          rowsPerBand: Int, maxBucket: Int,
+                                          fam: HashFamily): PairsWithStats = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val k = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("ctoks", charTokens(col("text")))
+      .withColumn("sh", array_distinct(shingleHashes(col("ctoks"), shingleN, fam)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashFromBaseHashes(col("sh"), k, fam))
+      .select("id", "text", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withSig.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          fam.band(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b).as("bh"))): _*))
+        .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val bucketStats = banded.groupBy("band", "bh").count()
+    val okBuckets = bucketStats
+      .filter(col("count") <= maxBucket && col("count") > 1)
+      .select("band", "bh")
+    val dropped = bucketStats.filter(col("count") > maxBucket)
+      .select(col("band"), col("bh").cast("string").as("bucket"), col("count").as("size"))
+    val inBucket = banded.join(okBuckets, Seq("band", "bh"))
+    val cand = inBucket.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(inBucket.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val texts = withSig.select(col("id"), col("text"))
+    val pairs = cand
+      .join(texts.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
     PairsWithStats(pairs, dropped, cached = Seq(withSig))
   }
 

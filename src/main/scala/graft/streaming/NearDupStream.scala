@@ -168,6 +168,86 @@ object NearDupStream {
       })
   }
 
+  /** Streaming incremental EDIT-DISTANCE near-dup — the character-level
+    * member of the family (`TextDedup.editDistancePairs`'s stream twin):
+    * same banded index and union-find change log, with the exact-
+    * Levenshtein verify (`lev(a, b) ≤ maxDist`, a banded two-row DP with
+    * row-min early exit — integer-exact, so a streamed verdict equals
+    * the batch pair predicate on any engine) replacing Jaccard/cosine.
+    * State payload is the RAW TEXT (the verify needs the string); band
+    * codes come from the same char-shingle pipeline as the batch
+    * candidates, so below `maxBucket` the streamed pair relation IS the
+    * batch one and final survivors hash-match the batch
+    * `dedupByPairs(editDistancePairs)` oracle
+    * (`doc_editdist_stream_replay`). Docs shorter than `shingleN` chars
+    * are vector-less keeps (batch parity: no shingles, never banded).
+    */
+  def editNearDupStreamMd5(sdf: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int, shingleN: Int = 3, bands: Int = 4,
+                           rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame =
+    buildEdit(sdf, idCol, textCol, maxDist, shingleN, bands, rowsPerBand,
+      maxBucket, md5Family = true)
+
+  def editNearDupStream(sdf: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, shingleN: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4, maxBucket: Int = 1000): DataFrame =
+    buildEdit(sdf, idCol, textCol, maxDist, shingleN, bands, rowsPerBand,
+      maxBucket, md5Family = false)
+
+  private def buildEdit(sdf: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, shingleN: Int, bands: Int,
+                        rowsPerBand: Int, maxBucket: Int,
+                        md5Family: Boolean): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val txt = coalesce(col(textCol), lit(""))
+    val codes = graft.llm.TextDedup.editIndexCols(txt, shingleN, bands,
+      rowsPerBand, md5Family)
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+      txt.as("payload"), codes.as("codes"))
+      .where(col("id").isNotNull)
+    val kd = maxDist
+    val sn = shingleN
+    buildCore[String, String](prepared, idCol, maxBucket,
+      extract = _.getString(1),
+      isEmpty = _.length < sn,
+      decode = identity,
+      simOk = (a, b) => levWithin(a, b, kd))
+  }
+
+  /** lev(a, b) ≤ k, banded two-row DP: O(min-len·len) worst case with a
+    * row-minimum early exit (once every cell of a row exceeds k no path
+    * can come back under it) and the |len(a) − len(b)| ≤ k necessary
+    * pre-gate. Integer-exact — agrees with Spark's and DuckDB's
+    * levenshtein on the ≤-k decision by definition.
+    */
+  private def levWithin(a: String, b: String, k: Int): Boolean = {
+    val la = a.length; val lb = b.length
+    if (math.abs(la - lb) > k) return false
+    if (la == 0) return lb <= k
+    if (lb == 0) return la <= k
+    var prev = Array.tabulate(lb + 1)(j => j)
+    var cur = new Array[Int](lb + 1)
+    var i = 1
+    while (i <= la) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= lb) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1; if (del < v) v = del
+        val ins = cur(j - 1) + 1; if (ins < v) v = ins
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return false
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(lb) <= k
+  }
+
   private def build(sdf: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, bands: Int, rowsPerBand: Int,
                     threshold: Double, maxBucket: Int,

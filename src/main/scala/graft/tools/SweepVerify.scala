@@ -360,6 +360,45 @@ object SweepVerify {
     s"""WITH ${minhashCtes(shingleN, bands, r, threshold, maxBucket)}
        |SELECT id_a, id_b, jaccard FROM mp""".stripMargin
 
+  /** Parameterized mirror of `TextDedup.editDistancePairsMd5`: CHAR
+    * tokens (no lowercasing — the character-level contract), md5 n-gram
+    * fold, the minhash band chain, then EXACT integer levenshtein ≤
+    * maxDist (DuckDB full distance = Spark's thresholded distance
+    * whenever it is within the threshold).
+    */
+  private def editPairsSql(shingleN: Int, bands: Int, r: Int,
+                           maxDist: Int, maxBucket: Int): String = {
+    val k = bands * r
+    val fold = (1 until shingleN).foldLeft("th[i]")((acc, j) => s"md5($acc || th[i+$j])")
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, text,
+       |  list_transform(generate_series(1, length(text)), i -> md5(text[i])) AS th
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, text, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(th) - ${shingleN - 1}, 0)),
+       |  i -> $fold)) AS sh FROM tk),
+       |s2 AS (SELECT doc_id, text, sh FROM sh0 WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, [$sigItems] AS sig FROM s2),
+       |banded AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |ok AS (SELECT band, bh FROM banded GROUP BY band, bh
+       |  HAVING count(*) <= $maxBucket AND count(*) > 1),
+       |ib AS (SELECT banded.* FROM banded JOIN ok USING (band, bh)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ib a JOIN ib b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |ep AS (SELECT id_a, id_b, dist FROM (
+       |  SELECT id_a, id_b, CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
+       |  FROM cand JOIN s2 ta ON ta.doc_id = cand.id_a
+       |           JOIN s2 tb ON tb.doc_id = cand.id_b)
+       |  WHERE dist <= $maxDist)
+       |SELECT id_a, id_b, dist FROM ep""".stripMargin
+  }
+
   /** Parameterized mirror of `TextDedup.crossMinhashPairsMd5` over the
     * doc_id % evalMod train/eval split — the fuzzy-decontamination
     * candidate relation with DRAWN geometry: a (band, bucket) is
@@ -1224,7 +1263,8 @@ object SweepVerify {
       "emb_pairs", "boilerplate", "pack", "emb_pq", "emb_ivfpq",
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
-      "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream")
+      "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream",
+      "editdist_pairs")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1846,6 +1886,18 @@ object SweepVerify {
             maxCell = mc),
             embSemDedupSql(nc, ll, epsQ, mc),
             s"c${nc}_l${ll}_e${epsQ}_mc$mc")
+        case "editdist_pairs" =>
+          // drawn char-shingle banding × lev threshold × bucket cap:
+          // small caps drop degenerate buckets on BOTH sides; maxDist=1
+          // lands the near-exact regime, 10 the loose one
+          val n = pick(Seq(3, 5)); val bands = pick(Seq(4, 6))
+          val r = pick(Seq(1, 2, 4)); val md = pick(Seq(1, 5, 10))
+          val mb = pick(Seq(50, 1000))
+          (graft.llm.TextDedup.editDistancePairsMd5(docs, "text", "doc_id",
+            maxDist = md, shingleN = n, bands = bands, rowsPerBand = r,
+            maxBucket = mb),
+            editPairsSql(n, bands, r, md, mb),
+            s"n${n}_b${bands}x${r}_d${md}_mb$mb")
         case "semdedup_stream" =>
           // the STREAMING twin through the replay harness with the same
           // drawn geometry grid as the batch family (cells × Lloyd ×
