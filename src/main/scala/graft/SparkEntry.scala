@@ -236,6 +236,40 @@ object SparkEntry {
     "doc_source_cap" -> ((s, d) =>
       llm.CorpusOps.capPerGroup(Tables.documents(s, d), "source", "doc_id", 10)
         .select("doc_id", "source")),
+    // STREAMING per-group quota admission — capPerGroup applied at the
+    // ingest point (admit a source's first `cap` arrivals, O(1)/arrival,
+    // one long of state per group). Fed in doc_id order the admissions
+    // equal the batch cap exactly, so the row shares its mirror.
+    "doc_source_cap_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try
+        streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 1000,
+          "append")(sdf =>
+            streaming.QuotaStream.capPerGroupStream(sdf, "source", "doc_id", 10)
+              .select("doc_id", "source"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // ... and its kill/restart form (the admission counters restore from
+    // RocksDB — a re-fed batch must not re-admit past the quota)
+    "doc_source_cap_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try
+        streaming.Replay.replayWithRestart(s, Tables.documents(s, d), "doc_id",
+          200)(sdf =>
+            streaming.QuotaStream.capPerGroupStream(sdf, "source", "doc_id", 10)
+              .select("doc_id", "source"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "doc_simhash_md5" -> ((s, d) =>
       llm.TextDedup.simhashDfMd5(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -1938,6 +1972,18 @@ object SparkEntry {
       "doc_fuzzy_pairs_capped_md5" -> docFuzzyCappedOracle(evalSideOnly = false),
       "doc_fuzzy_pairs_capped_stream_replay" -> docFuzzyCappedOracle(evalSideOnly = true),
       "doc_source_cap" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+          |  FROM documents) WHERE rk <= 10""".stripMargin,
+      // ordered-feed admissions equal the batch cap, so both stream rows
+      // share the batch mirror
+      "doc_source_cap_stream_replay" ->
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+          |  FROM documents) WHERE rk <= 10""".stripMargin,
+      "doc_source_cap_restart_stream_replay" ->
         """SELECT doc_id, source FROM (
           |  SELECT doc_id, source,
           |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
