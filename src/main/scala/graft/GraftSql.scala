@@ -196,6 +196,38 @@ object GraftSql {
           tableArg(es(1)), litStr(es(2), "id column"),
           litStr(es(3), "vector column"), litLong(es(4), "k").toInt))
       },
+      // `graft_editdist_pairs(t, text, id, max_dist[, shingle_n, bands,
+      // rows_per_band, max_bucket])` — character-level Levenshtein
+      // near-dup pairs (banded char-shingle candidates, exact integer
+      // dist ≤ max_dist verify)
+      "graft_editdist_pairs" -> { (es: Seq[Expression]) =>
+        require(es.length == 4 || es.length == 8,
+          s"graft_editdist_pairs expects 4 or 8 arguments " +
+            s"(t, text, id, max_dist[, shingle_n, bands, rows_per_band, " +
+            s"max_bucket]), got ${es.length}")
+        if (es.length == 4)
+          plan(llm.TextDedup.editDistancePairs(tableArg(es.head),
+            litStr(es(1), "text column"), litStr(es(2), "id column"),
+            maxDist = litLong(es(3), "max_dist").toInt))
+        else
+          plan(llm.TextDedup.editDistancePairs(tableArg(es.head),
+            litStr(es(1), "text column"), litStr(es(2), "id column"),
+            maxDist = litLong(es(3), "max_dist").toInt,
+            shingleN = litLong(es(4), "shingle_n").toInt,
+            bands = litLong(es(5), "bands").toInt,
+            rowsPerBand = litLong(es(6), "rows_per_band").toInt,
+            maxBucket = litLong(es(7), "max_bucket").toInt))
+      },
+      // `graft_editdist_dedup(t, text, id, max_dist)` — min-id CC dedup
+      // over the pair relation (eager CC loop, like graft_neardup_dedup)
+      "graft_editdist_dedup" -> { (es: Seq[Expression]) =>
+        val t = tableArg(es.head)
+        val idc = litStr(es(2), "id column")
+        plan(llm.TextDedup.dedupByPairs(t, idc,
+          llm.TextDedup.editDistancePairs(t, litStr(es(1), "text column"),
+            idc, maxDist = litLong(es(3), "max_dist").toInt)
+            .select("id_a", "id_b")))
+      },
       // the remaining near-dup / ANN pipelines, completing the LLM tier:
       // `graft_simhash_pairs(t, text, id, maxHamming)`,
       // `graft_ngram_pairs(t, text, id, threshold)`,

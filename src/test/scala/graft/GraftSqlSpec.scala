@@ -300,6 +300,35 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(viaSql === viaApi, "TVF max_cell diverged from the Scala API")
   }
 
+  test("graft_editdist TVFs pin to the Scala API") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_editdist_tvf")
+    val viaSql = spark.sql(
+      """SELECT id_a, id_b, dist FROM graft_editdist_pairs(
+        |  TABLE(docs_editdist_tvf), 'text', 'doc_id', 5, 5, 4, 4, 1000)
+        |""".stripMargin).as[(Long, Long, Int)].collect().toSet
+    val viaApi = llm.TextDedup.editDistancePairs(docs, "text", "doc_id",
+        maxDist = 5, shingleN = 5, bands = 4, rowsPerBand = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSql === viaApi, "pairs TVF diverged from the Scala API")
+    val dedupSql = spark.sql(
+      """SELECT doc_id FROM graft_editdist_dedup(
+        |  TABLE(docs_editdist_tvf), 'text', 'doc_id', 5)
+        |""".stripMargin).as[Long].collect().toSet
+    val dedupApi = llm.TextDedup.dedupByPairs(docs, "doc_id",
+        llm.TextDedup.editDistancePairs(docs, "text", "doc_id", maxDist = 5)
+          .select("id_a", "id_b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(dedupSql === dedupApi, "dedup TVF diverged from the Scala API")
+    val bad = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM graft_editdist_pairs(
+          |  TABLE(docs_editdist_tvf), 'text', 'doc_id', 5, 5)""".stripMargin)
+        .collect()
+    }
+    assert(bad.getMessage.contains("4 or 8 arguments"))
+  }
+
   test("graft_semdedup TVF rejects extra trailing args and an out-of-range " +
       "max_cell instead of silently ignoring/truncating them") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
