@@ -94,6 +94,93 @@ case class XxMinhashSignature(child: Expression, k: Int)
   * plain per-token hash array. Null tokens hash to the seed (42), exactly
   * like `xxhash64(null)`.
   */
+/** Character n-gram shingle hashes STRAIGHT OFF THE STRING — the
+  * edit-distance tier's candidate hasher. Bit-identical to
+  * `XxShingleHashes(charTokens(text), n)` (each character position
+  * hashed as its own UTF8 byte run, then the same n-fold), but in one
+  * pass over the string's bytes: no per-char string array, no
+  * interpreted `transform` lambda, no substr allocations — measured the
+  * dominant cost of the char pipeline (a 3 KB doc is ~3k single-char
+  * strings through the HOF form). Walks UTF-8 char boundaries via
+  * `numBytesForFirstByte`, so multi-byte characters hash exactly like
+  * their substring would.
+  */
+case class XxCharShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"shingle size must be positive, got $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xx_char_shingle_hashes"
+  override protected def withNewChildInternal(newChild: Expression): XxCharShingleHashes =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val nb = s.numBytes()
+    val m = s.numChars()
+    val th = new Array[Long](m)
+    var i = 0; var j = 0
+    while (i < nb) {
+      var len = org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      if (len > nb - i) len = nb - i // malformed-tail clamp (substring parity)
+      th(j) = XXH64.hashUnsafeBytes(base, off + i, len, 42L)
+      i += len; j += 1
+    }
+    val out = new Array[Long](math.max(m - n + 1, 0))
+    var p = 0
+    while (p < out.length) {
+      var acc = th(p)
+      var q = 1
+      while (q < n) {
+        acc = XXH64.hashLong(th(p + q), XXH64.hashLong(acc, 42L))
+        q += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = NativeHashExpressions.XXH
+      val u8 = "org.apache.spark.unsafe.types.UTF8String"
+      val plat = "org.apache.spark.unsafe.Platform"
+      val base = ctx.freshName("base"); val off = ctx.freshName("off")
+      val nb = ctx.freshName("nb"); val m = ctx.freshName("m")
+      val th = ctx.freshName("th"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val len = ctx.freshName("len"); val p = ctx.freshName("p")
+      val q = ctx.freshName("q"); val acc = ctx.freshName("acc")
+      s"""
+         |final Object $base = $c.getBaseObject();
+         |final long $off = $c.getBaseOffset();
+         |final int $nb = $c.numBytes();
+         |final int $m = $c.numChars();
+         |final long[] $th = new long[$m];
+         |int $i = 0; int $j = 0;
+         |while ($i < $nb) {
+         |  int $len = $u8.numBytesForFirstByte($plat.getByte($base, $off + $i));
+         |  if ($len > $nb - $i) $len = $nb - $i;
+         |  $th[$j] = $xxh.hashUnsafeBytes($base, $off + $i, $len, 42L);
+         |  $i += $len; $j += 1;
+         |}
+         |final long[] $out = new long[java.lang.Math.max($m - $n + 1, 0)];
+         |for (int $p = 0; $p < $out.length; $p++) {
+         |  long $acc = $th[$p];
+         |  for (int $q = 1; $q < $n; $q++) {
+         |    $acc = $xxh.hashLong($th[$p + $q], $xxh.hashLong($acc, 42L));
+         |  }
+         |  $out[$p] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+}
+
 case class XxShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(n > 0, s"shingle size must be positive, got $n")

