@@ -218,6 +218,19 @@ object GraftSql {
             rowsPerBand = litLong(es(6), "rows_per_band").toInt,
             maxBucket = litLong(es(7), "max_bucket").toInt))
       },
+      // `graft_token_mix(t, id, text, group, default_budget)` —
+      // token-budget corpus mixing (admit each group's docs in id order
+      // while tokens consumed < budget; greedy fill). Per-group budget
+      // overrides are a Scala-API Map — SQL callers pre-split by group.
+      "graft_token_mix" -> { (es: Seq[Expression]) =>
+        require(es.length == 5,
+          s"graft_token_mix expects 5 arguments " +
+            s"(t, id, text, group, default_budget), got ${es.length}")
+        plan(llm.CorpusOps.mixByTokenBudget(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          litStr(es(3), "group column"),
+          defaultBudget = litLong(es(4), "default_budget")))
+      },
       // `graft_editdist_dedup(t, text, id, max_dist)` — min-id CC dedup
       // over the pair relation (eager CC loop, like graft_neardup_dedup)
       "graft_editdist_dedup" -> { (es: Seq[Expression]) =>

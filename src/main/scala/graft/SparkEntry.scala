@@ -236,6 +236,50 @@ object SparkEntry {
     "doc_source_cap" -> ((s, d) =>
       llm.CorpusOps.capPerGroup(Tables.documents(s, d), "source", "doc_id", 10)
         .select("doc_id", "source")),
+    // TOKEN-BUDGET corpus mixing — the data-mixture sampling stage:
+    // per-source token quotas (budgets chosen so all three regimes land
+    // at sf0.01: default 500 cuts every ~1300-token source mid-way,
+    // src1's 700 cuts later, src7's 100000 never bites)
+    "doc_token_mix" -> ((s, d) =>
+      llm.CorpusOps.mixByTokenBudget(Tables.documents(s, d), "doc_id", "text",
+        "source", defaultBudget = 500L,
+        budgetByGroup = Map("src1" -> 700L, "src7" -> 100000L))),
+    // ... and its INGEST-POINT streaming twin (one long of token state
+    // per group; ordered feed == batch admission set, shared mirror)
+    "doc_token_mix_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try
+        streaming.Replay.replay(s, Tables.documents(s, d), "doc_id", 100,
+          "append")(sdf =>
+            streaming.QuotaStream.tokenBudgetStream(sdf, "source", "doc_id",
+              "text", defaultBudget = 500L,
+              budgetByGroup = Map("src1" -> 700L, "src7" -> 100000L)))
+          .select(col("doc_id"), col("source"),
+            col("n_tok").cast("int").as("n_tok"), col("tok_before"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    "doc_token_mix_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try
+        streaming.Replay.replayWithRestart(s, Tables.documents(s, d), "doc_id",
+          100)(sdf =>
+            streaming.QuotaStream.tokenBudgetStream(sdf, "source", "doc_id",
+              "text", defaultBudget = 500L,
+              budgetByGroup = Map("src1" -> 700L, "src7" -> 100000L)))
+          .select(col("doc_id"), col("source"),
+            col("n_tok").cast("int").as("n_tok"), col("tok_before"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // STREAMING per-group quota admission — capPerGroup applied at the
     // ingest point (admit a source's first `cap` arrivals, O(1)/arrival,
     // one long of state per group). Fed in doc_id order the admissions
@@ -1976,6 +2020,11 @@ object SparkEntry {
           |  SELECT doc_id, source,
           |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
           |  FROM documents) WHERE rk <= 10""".stripMargin,
+      // token-budget mixing: the per-source running-sum cut, greedy fill
+      // (the crossing doc is admitted); all three rows share it
+      "doc_token_mix" -> docTokenMixOracle,
+      "doc_token_mix_stream_replay" -> docTokenMixOracle,
+      "doc_token_mix_restart_stream_replay" -> docTokenMixOracle,
       // ordered-feed admissions equal the batch cap, so both stream rows
       // share the batch mirror
       "doc_source_cap_stream_replay" ->
@@ -2282,6 +2331,25 @@ object SparkEntry {
           |FROM s QUALIFY rank <= 10""".stripMargin,
     )
   }
+
+  /** DuckDB mirror of CorpusOps.mixByTokenBudget (default 500, src1 →
+    * 700, src7 → 100000): the shared BPE-ish token count, the per-source
+    * running sum EXCLUSIVE of the current row, and the greedy-fill cut
+    * (admit while tok_before < budget). Shared by the batch row and both
+    * streaming replay rows — the stream's per-group token counter in
+    * doc_id order IS this window.
+    */
+  private def docTokenMixOracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tok,
+      |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+      |  FROM t)
+      |SELECT doc_id, source, n_tok, tok_before FROM c
+      |WHERE tok_before < (CASE source WHEN 'src1' THEN 700
+      |  WHEN 'src7' THEN 100000 ELSE 500 END)""".stripMargin
 
   /** DuckDB mirror of llm.CorpusOps.packSequences (budget 512, sharded by
     * `source`): the same BPE-ish token count as doc_text_stats, a

@@ -158,6 +158,48 @@ object CorpusOps {
       .withColumn("bin_id", floor(col("tok_offset") / budget))
   }
 
+  /** TOKEN-BUDGET corpus MIXING — the data-mixture sampling stage of a
+    * training pipeline (LLaMA/Pile-style: each source contributes up to
+    * a per-source token budget, not a row count): admit each group's
+    * documents in `idCol` order while the tokens consumed BEFORE the
+    * document are under the group's budget. Greedy fill — the document
+    * that crosses the boundary is admitted (its remainder overflows;
+    * budgets are targets, not hard ceilings, matching how mixture
+    * weights are applied in practice), every later one is rejected.
+    * Token counts are the BPE-ish `\w+|[^\w\s]` segmentation shared
+    * with `packSequences` / `TextAnalysis.tokenCounts`.
+    *
+    * Output per admitted doc: (idCol, groupCol, `n_tok`, `tok_before`)
+    * — the audit trail of WHY it was admitted (budget minus tok_before
+    * = remaining quota at admission). Deterministic on any engine,
+    * partitioning, or re-run: the cut depends only on the (group,
+    * idCol) total order. `budgetByGroup` overrides `defaultBudget` per
+    * group.
+    *
+    * PLAN / 100 TB: one group-keyed exchange for the running-sum
+    * window (shards parallelize across groups, like packSequences),
+    * a codegen'd regexp count, and a pure filter — no joins, no
+    * collects; the budget lookup folds to a literal CASE.
+    */
+  def mixByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, defaultBudget: Long,
+                       budgetByGroup: Map[String, Long] = Map.empty): DataFrame = {
+    require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
+    budgetByGroup.foreach { case (g, b) =>
+      require(b > 0, s"budget for group $g must be positive, got $b")
+    }
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgetByGroup.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget): Column) { case (acc, (g, b)) =>
+        when(col(groupCol) === g, lit(b)).otherwise(acc)
+      }
+    df.select(col(idCol), col(groupCol),
+        regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")).as("n_tok"))
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("tok_before") < budget)
+  }
+
   /** Per-group document cap — the RefinedWeb-style per-domain quota
     * (cap how much any one domain/source contributes to the corpus, so
     * boilerplate-heavy hosts can't dominate the training mix): keep at

@@ -77,4 +77,71 @@ object QuotaStream {
       .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
       .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** TOKEN-budget admission — `CorpusOps.mixByTokenBudget` applied at the
+    * ingest point (the quota is a token count, not a row count): admit
+    * an arrival while the group's tokens consumed so far are under its
+    * budget (the crossing document is admitted — greedy fill, the batch
+    * contract), reject everything after. Token counting (the shared
+    * BPE-ish regexp) runs in the distributed stateless stage; the
+    * stateful stage holds ONE long per group (tokens consumed). Output
+    * = the input row + `n_tok` + `tok_before` (the batch operator's
+    * audit columns), append-only; an `orderCol`-ordered feed reproduces
+    * the batch admission set exactly, so the replay row shares the
+    * batch mirror.
+    */
+  def tokenBudgetStream(sdf: DataFrame, groupCol: String, orderCol: String,
+                        textCol: String, defaultBudget: Long,
+                        budgetByGroup: Map[String, Long] = Map.empty): DataFrame = {
+    require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
+    budgetByGroup.foreach { case (g, b) =>
+      require(b > 0, s"budget for group $g must be positive, got $b")
+    }
+    val inSchema = sdf.schema
+    val prepared = sdf.select(
+      col(groupCol).cast("string").as("__g"),
+      col(orderCol).cast("long").as("__o"),
+      regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")).cast("long").as("__ntok"),
+      struct(col("*")).as("__row"))
+    val prepEnc = Encoders.row(prepared.schema)
+    val outSchema = inSchema
+      .add("n_tok", "long").add("tok_before", "long")
+    val outEnc = Encoders.row(outSchema)
+    val budgets = budgetByGroup
+    val dflt = defaultBudget
+
+    val processor = new StatefulProcessor[String, Row, Row] {
+      @transient private var toks: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+      override def init(outputMode: OutputMode, tm: TimeMode): Unit =
+        toks = getHandle.getValueState[Long]("toks", Encoders.scalaLong, TTLConfig.NONE)
+
+      override def handleInputRows(group: String, rows: Iterator[Row],
+                                   timerValues: TimerValues): Iterator[Row] = {
+        val budget = budgets.getOrElse(group, dflt)
+        var n = if (toks.exists()) toks.get() else 0L
+        if (n >= budget) {
+          rows.foreach(_ => ())
+          Iterator.empty
+        } else {
+          val admitted = scala.collection.mutable.ArrayBuffer.empty[Row]
+          rows.toSeq.sortBy(_.getLong(1)).foreach { r =>
+            if (n < budget) {
+              val nt = r.getLong(2)
+              val payload = r.getStruct(3)
+              admitted += Row.fromSeq(payload.toSeq :+ nt :+ n)
+              n += nt
+            }
+          }
+          toks.update(n)
+          admitted.iterator
+        }
+      }
+    }
+
+    implicit val outRowEnc: org.apache.spark.sql.Encoder[Row] = outEnc
+    prepared.as(prepEnc)
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .transformWithState[Row](processor, TimeMode.None(), OutputMode.Append())
+  }
 }

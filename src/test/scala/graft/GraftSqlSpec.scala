@@ -300,6 +300,21 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     assert(viaSql === viaApi, "TVF max_cell diverged from the Scala API")
   }
 
+  test("graft_token_mix TVF pins to CorpusOps.mixByTokenBudget") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_tokenmix_tvf")
+    val viaSql = spark.sql(
+      """SELECT doc_id, source, n_tok, tok_before FROM graft_token_mix(
+        |  TABLE(docs_tokenmix_tvf), 'doc_id', 'text', 'source', 300)
+        |""".stripMargin).as[(Long, String, Int, Long)].collect().toSet
+    val viaApi = llm.CorpusOps.mixByTokenBudget(docs, "doc_id", "text",
+        "source", defaultBudget = 300L)
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(viaSql === viaApi, "TVF diverged from the Scala API")
+    assert(viaApi.nonEmpty && viaApi.size < docs.count(),
+      "fixture should cut at least one source's tail")
+  }
+
   test("graft_editdist TVFs pin to the Scala API") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     docs.createOrReplaceTempView("docs_editdist_tvf")

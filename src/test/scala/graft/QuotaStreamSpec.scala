@@ -48,6 +48,52 @@ class QuotaStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("mixByTokenBudget: greedy fill admits the crossing doc, rejects " +
+      "the rest; over-budget groups keep everything") {
+    // s0: 4+4+4+4 tokens, budget 10 → docs 1,2,3 admitted (tok_before
+    // 0,4,8 < 10; doc 3 CROSSES — greedy fill), doc 4 rejected (12)
+    // s1: budget 1000 → all admitted
+    val df = Seq(
+      (1L, "s0", "a b c d"), (2L, "s0", "e f g h"),
+      (3L, "s0", "i j k l"), (4L, "s0", "m n o p"),
+      (5L, "s1", "q r"), (6L, "s1", "s t")
+    ).toDF("doc_id", "source", "text")
+    val got = llm.CorpusOps.mixByTokenBudget(df, "doc_id", "text", "source",
+        defaultBudget = 10L, budgetByGroup = Map("s1" -> 1000L))
+      .select("doc_id", "n_tok", "tok_before")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === Set((1L, 4, 0L), (2L, 4, 4L), (3L, 4, 8L),
+      (5L, 2, 0L), (6L, 2, 2L)))
+  }
+
+  test("tokenBudgetStream: ordered feed equals batch mixByTokenBudget; " +
+      "chunking-invariant; restart-safe (token counters restore)") {
+    val df = rows.toDF("doc_id", "source", "text") // texts "t$i": 2 toks each
+    val budgets = Map("s1" -> 8L)
+    val batch = llm.CorpusOps.mixByTokenBudget(df, "doc_id", "text", "source",
+        defaultBudget = 5L, budgetByGroup = budgets)
+      .select("doc_id", "n_tok", "tok_before")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(batch.nonEmpty && batch.size < rows.size, s"fixture drift: $batch")
+    withRocks {
+      def run(chunk: Int) =
+        Replay.replay(spark, df, "doc_id", chunk, "append")(sdf =>
+          QuotaStream.tokenBudgetStream(sdf, "source", "doc_id", "text",
+            defaultBudget = 5L, budgetByGroup = budgets))
+          .select(col("doc_id"), col("n_tok").cast("int"), col("tok_before"))
+          .as[(Long, Int, Long)].collect().toSet
+      assert(run(3) === batch, "streamed admissions diverged from batch")
+      assert(run(40) === batch, "single-batch admissions diverged")
+      val restarted =
+        Replay.replayWithRestart(spark, df, "doc_id", 7)(sdf =>
+          QuotaStream.tokenBudgetStream(sdf, "source", "doc_id", "text",
+            defaultBudget = 5L, budgetByGroup = budgets))
+          .select(col("doc_id"), col("n_tok").cast("int"), col("tok_before"))
+          .as[(Long, Int, Long)].collect().toSet
+      assert(restarted === batch, "restart changed token admissions")
+    }
+  }
+
   test("admitted rows carry the full input schema through") {
     val df = rows.toDF("doc_id", "source", "text")
     withRocks {
