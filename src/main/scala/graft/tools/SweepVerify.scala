@@ -1264,7 +1264,7 @@ object SweepVerify {
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
       "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream",
-      "editdist_pairs")
+      "editdist_pairs", "token_mix")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1886,6 +1886,24 @@ object SweepVerify {
             maxCell = mc),
             embSemDedupSql(nc, ll, epsQ, mc),
             s"c${nc}_l${ll}_e${epsQ}_mc$mc")
+        case "token_mix" =>
+          // drawn default budget × one per-group override: small budgets
+          // cut every source early, large ones never bite, and the src1
+          // override diverges from the default in both directions
+          val db = pick(Seq(200L, 500L, 1200L))
+          val b1 = pick(Seq(100L, 700L, 50000L))
+          (graft.llm.CorpusOps.mixByTokenBudget(docs, "doc_id", "text",
+            "source", defaultBudget = db, budgetByGroup = Map("src1" -> b1)),
+            s"""WITH t AS (SELECT doc_id, source,
+               |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tok
+               |  FROM documents),
+               |c AS (SELECT doc_id, source, n_tok,
+               |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+               |  FROM t)
+               |SELECT doc_id, source, n_tok, tok_before FROM c
+               |WHERE tok_before < (CASE source WHEN 'src1' THEN $b1 ELSE $db END)""".stripMargin,
+            s"d${db}_s1b$b1")
         case "editdist_pairs" =>
           // drawn char-shingle banding × lev threshold × bucket cap:
           // small caps drop degenerate buckets on BOTH sides; maxDist=1
