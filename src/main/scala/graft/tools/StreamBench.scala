@@ -366,11 +366,54 @@ object StreamBench {
         s""""hot_cap":$hotCap,"hot_saturated_cells":$hotSat,""" +
         f""""hot_capped_vecs_per_sec":$hotRate%.0f,"hot_state_rows":$hotRows,"hot_state_bytes":$hotBytes}"""
     }
+    // QUOTA-ADMISSION tier throughput (docs/s): per-group row cap and
+    // token-budget mixing at the ingest point — the O(1)/arrival,
+    // one-long-per-group operators. Groups = nDocs/50 sources; caps set
+    // so roughly half the feed is rejected (the steady state a filled
+    // quota spends its life in)
+    val quotaArm: String = if (!want("quota_stream")) "" else {
+      UniqueStreams.useRocksDBStateStore(spark)
+      implicit val denc: org.apache.spark.sql.Encoder[DocEv] = Encoders.product[DocEv]
+      val nGroups = (nDocs / 50) max 1
+      val all = (0 until nDocs).map(i => DocEv(i.toLong, docText(i)))
+      def runQ(name: String,
+               mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Double, Long, Long) = {
+        val ms = MemoryStream[DocEv]
+        val q = mk(ms.toDF().withColumn("src",
+            concat(lit("s"), pmod(col("doc_id"), lit(nGroups)).cast("string"))))
+          .writeStream.format("memory").queryName(s"sb_$name")
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", Files.createTempDirectory(s"sb_$name").toString)
+          .start()
+        val per = nDocs / 10
+        val t0 = System.nanoTime()
+        (0 until 10).foreach { b =>
+          val hi = if (b == 9) nDocs else (b + 1) * per
+          ms.addData(all.slice(b * per, hi))
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val stRows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        val admitted = spark.table(s"sb_$name").count()
+        q.stop()
+        (nDocs / secs, stRows, admitted)
+      }
+      val (capRate, capRows, capAdm) = runQ("quota_cap", df =>
+        graft.streaming.QuotaStream.capPerGroupStream(df, "src", "doc_id", 25))
+      val (tokRate, tokRows, tokAdm) = runQ("quota_tok", df =>
+        graft.streaming.QuotaStream.tokenBudgetStream(df, "src", "doc_id",
+          "text", defaultBudget = 625L))
+      s""","quota_stream":{"docs":$nDocs,"groups":$nGroups,""" +
+        f""""cap_docs_per_sec":$capRate%.0f,"cap_state_rows":$capRows,"cap_admitted":$capAdm,""" +
+        f""""token_docs_per_sec":$tokRate%.0f,"token_state_rows":$tokRows,"token_admitted":$tokAdm}"""
+    }
     val qs = (results ++ scoringRates)
       .map { case (k, v) => f""""$k":${v}%.0f""" }.mkString("{", ",", "}")
     val st = stateOf.map { case (k, (r, b)) => s""""$k":{"rows":$r,"bytes":$b}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"state":$st,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}$scoringWindowed$bm25Ingest$semDedupArm}""")
+    println(s"""{"metric":"streaming_events_per_sec","n_events":$nEvents,"micro_batches":10,"ops":$qs,"state":$st,"neardup_docs":$nDocs,"neardup_docs_per_sec":${f"$docRate%.0f"},"dupspan_docs_per_sec":${f"$dupSpanRate%.0f"}$scoringWindowed$bm25Ingest$semDedupArm$quotaArm}""")
     spark.stop()
   }
 }

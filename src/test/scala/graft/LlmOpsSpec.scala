@@ -165,6 +165,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       "partial group-limit is not below the exchange")
   }
 
+  test("mixByTokenBudget plan: the text column never enters the exchange " +
+      "(token count computed below it)") {
+    // the 100 TB shape: only (id, group, n_tok) shuffle to the window;
+    // a regression that shuffles the payload text re-opens a corpus-
+    // sized exchange for a three-small-column window
+    val plan = llm.CorpusOps.mixByTokenBudget(docs, "doc_id", "text",
+        "source", defaultBudget = 500L)
+      .queryExecution.executedPlan.toString
+    val exIdx = plan.indexOf("Exchange")
+    assert(exIdx >= 0, s"no exchange in plan:\n$plan")
+    val aboveExchange = plan.substring(0, exIdx)
+    assert(!aboveExchange.contains("text#"),
+      s"text column crossed the exchange:\n$plan")
+    assert(plan.indexOf("regexp_extract_all") > exIdx,
+      s"token count must be computed below the exchange:\n$plan")
+  }
+
   test("nearDupClusters: min-label CC equals an in-memory union-find closure") {
     // chain 1-2-3 (transitive: 1~3 never paired), clique 10/11/12,
     // isolated pair 20-21, and a 4-hop path 30..34 (exercises >1 round)
