@@ -373,6 +373,38 @@ object SparkEntry {
         case None => s.conf.unset(key)
       }
     }),
+    // BAND-SHARDED two-stage form — the scale path past the monolith's
+    // single-task index: stage A (editShardedEdges, keyed by band code)
+    // emits exactly-once lev-verified edges in parallel; stage B is the
+    // shared ids-only unionFindStage. Doc markers feed alongside each
+    // batch's edges (marker-before-edges per doc: the edges of doc i
+    // involve only earlier arrivals, fed after i's marker). Survivors
+    // share the batch CC oracle, like the monolith row.
+    "doc_editdist_sharded_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val edges = streaming.Replay.replay(s, docs, "doc_id", 100, "append")(sdf =>
+          streaming.NearDupStream.editShardedEdges(sdf, "doc_id", "text",
+            maxDist = 5, shingleN = 5, bands = 4, rowsPerBand = 4,
+            md5Family = true))
+        val feed = docs.select(col("doc_id").as("a"), col("doc_id").as("b"),
+            (col("doc_id") * 2).as("ord"))
+          .unionByName(edges.select(col("a"), col("b"),
+            (greatest(col("a"), col("b")) * 2 + 1).as("ord")))
+        val log = streaming.Replay.replay(s, feed, "ord", 5000, "update")(sdf =>
+          streaming.NearDupStream.unionFindStage(sdf))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ... and its kill/restart form (offset recovery + RocksDB restore
     // of the band index / text payloads / union-find / seq states)
     "doc_editdist_restart_stream_replay" -> ((s, d) => {
@@ -2044,6 +2076,7 @@ object SparkEntry {
       // the stream converges to the same min-id CC survivor set
       "doc_editdist_stream_replay" -> docEditDedupOracle,
       "doc_editdist_restart_stream_replay" -> docEditDedupOracle,
+      "doc_editdist_sharded_stream_replay" -> docEditDedupOracle,
       // the streaming operator's final survivors = the batch CC survivors
       "doc_neardup_stream_replay" -> docNeardupDedupOracle,
       "doc_neardup_restart_stream_replay" -> docNeardupDedupOracle,

@@ -528,26 +528,75 @@ object NearDupStream {
     val (sh, codes) = graft.llm.TextDedup.indexCols(
       coalesce(col(textCol), lit("")), shingleN, bands, rowsPerBand, md5Family)
     val prepared = sdf.select(col(idCol).cast("long").as("id"),
-      sh.as("sh"), codes.as("codes"))
+      sh.as("payload"), codes.as("codes"))
       .where(col("id").isNotNull)
-      .select(explode(col("codes")).as("code"), col("id"), col("sh"), col("codes"))
+      .select(explode(col("codes")).as("code"), col("id"), col("payload"), col("codes"))
+    val thr = threshold
+    shardedEdgesCore[Array[String], Set[String]](prepared, maxBucket,
+      extract = _.getSeq[String](2).toArray,
+      decode = _.toSet,
+      simOk = (mySet, mSet) => {
+        val inter = mySet.count(mSet)
+        val jac = if (inter == 0) 0.0
+                  else inter.toDouble / (mySet.size + mSet.size - inter)
+        jac >= thr
+      })
+  }
+
+  /** Band-SHARDED stage A for the EDIT-DISTANCE family — `shardedEdges`
+    * with the char-shingle band codes and the exact-lev verify (the same
+    * generic core; the payload is the raw text). Paired with the shared
+    * ids-only [[unionFindStage]] it is the scale path past
+    * [[editNearDupStream]]'s single-task index, emitting the identical
+    * verified-edge relation (each pair elected to its smallest shared
+    * band code, verified exactly once).
+    */
+  def editShardedEdges(sdf: DataFrame, idCol: String, textCol: String,
+                       maxDist: Int, shingleN: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 4, maxBucket: Int = 1000,
+                       md5Family: Boolean = false): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val txt = coalesce(col(textCol), lit(""))
+    val codes = graft.llm.TextDedup.editIndexCols(txt, shingleN, bands,
+      rowsPerBand, md5Family)
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+      txt.as("payload"), codes.as("codes"))
+      .where(col("id").isNotNull)
+      .select(explode(col("codes")).as("code"), col("id"), col("payload"), col("codes"))
+    val kd = maxDist
+    shardedEdgesCore[String, String](prepared, maxBucket,
+      extract = _.getString(2),
+      decode = identity,
+      simOk = (a, b) => levWithin(a, b, kd))
+  }
+
+  /** The shared band-sharded stage-A core: per band-code shard, hold the
+    * bucket's members (small code arrays split from the larger payloads,
+    * so the per-arrival election scan never decodes payloads of
+    * non-elected members), elect each candidate pair to its smallest
+    * shared code, and emit exactly-once verified edges. Generic over the
+    * payload like [[buildCore]]: `P` is the stored form, `D` the decoded
+    * one `simOk` compares. `prepared` must be (code: string, id: long,
+    * payload: P, codes: array<string>), one row per (doc, band code).
+    */
+  private def shardedEdgesCore[P: scala.reflect.ClassTag, D](
+      prepared: DataFrame, maxBucket: Int,
+      extract: Row => P, decode: P => D,
+      simOk: (D, D) => Boolean): DataFrame = {
     val rowEnc = Encoders.row(prepared.schema)
     val outSchema = new org.apache.spark.sql.types.StructType()
       .add("a", "long").add("b", "long")
     val outEnc = Encoders.row(outSchema)
 
     val processor = new StatefulProcessor[String, Row, Row] {
-      // bucket members of THIS band code, split so the per-arrival
-      // election scan decodes only the small code arrays; the large
-      // shingle arrays are read once per ELECTED pair, not per member
       @transient private var memberCodes: org.apache.spark.sql.streaming.MapState[Long, Array[String]] = _
-      @transient private var memberSh: org.apache.spark.sql.streaming.MapState[Long, Array[String]] = _
+      @transient private var memberP: org.apache.spark.sql.streaming.MapState[Long, P] = _
 
       override def init(outputMode: OutputMode, tm: TimeMode): Unit = {
         memberCodes = getHandle.getMapState[Long, Array[String]]("codes",
           Encoders.scalaLong, Encoders.kryo[Array[String]], TTLConfig.NONE)
-        memberSh = getHandle.getMapState[Long, Array[String]]("sh",
-          Encoders.scalaLong, Encoders.kryo[Array[String]], TTLConfig.NONE)
+        memberP = getHandle.getMapState[Long, P]("sh",
+          Encoders.scalaLong, Encoders.kryo[P], TTLConfig.NONE)
       }
 
       override def handleInputRows(code: String, rows: Iterator[Row],
@@ -555,9 +604,9 @@ object NearDupStream {
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         rows.toSeq.sortBy(_.getLong(1)).foreach { r =>
           val id = r.getLong(1)
-          val mySh = r.getSeq[String](2)
+          val myP = extract(r)
           val myCodes = r.getSeq[String](3)
-          val mySet = mySh.toSet
+          val myD = decode(myP)
           var n = 0
           memberCodes.iterator().foreach { case (mid, mCodes) =>
             n += 1
@@ -566,18 +615,15 @@ object NearDupStream {
               val mCodeSet = mCodes.toSet
               val minCommon = myCodes.iterator.filter(mCodeSet).min
               if (minCommon == code) {
-                val mSet = memberSh.getValue(mid).toSet
-                val inter = mySet.count(mSet)
-                val jac = if (inter == 0) 0.0
-                          else inter.toDouble / (mySet.size + mSet.size - inter)
-                if (jac >= threshold)
+                val mD = decode(memberP.getValue(mid))
+                if (simOk(myD, mD))
                   out += Row(math.min(id, mid), math.max(id, mid))
               }
             }
           }
           if (n < maxBucket) {
             memberCodes.updateValue(id, myCodes.toArray)
-            memberSh.updateValue(id, mySh.toArray)
+            memberP.updateValue(id, myP)
           }
         }
         out.iterator

@@ -72,6 +72,42 @@ class EditDistSpec extends AnyFunSuite with SparkTestSession {
         "(docs 6/7 are identical but below the 3-char shingle floor)")
   }
 
+  test("editShardedEdges two-stage: stage-A edges equal batch pairs, " +
+      "stage-B survivors equal batch dedup") {
+    val df = docs.toDF("doc_id", "text")
+    val bp = llm.TextDedup.editDistancePairsMd5(df, "text", "doc_id",
+        maxDist = 3, shingleN = 3, bands = 6, rowsPerBand = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      val edges = Replay.replay(spark, df, "doc_id", 1, "append")(sdf =>
+        NearDupStream.editShardedEdges(sdf, "doc_id", "text", maxDist = 3,
+          shingleN = 3, bands = 6, rowsPerBand = 1, md5Family = true))
+      val es = edges.select("a", "b").as[(Long, Long)].collect().toSet
+      assert(es === bp, s"sharded edge set $es != batch pair set $bp")
+      // stage B: doc markers before any edge touching the doc, then edges
+      val feed = docs.map(d => (d._1, d._1, d._1 * 2)) ++
+        es.toSeq.map { case (a, b) => (a, b, math.max(a, b) * 2 + 1) }
+      val log = Replay.replay(spark, feed.toDF("a", "b", "ord"), "ord", 1,
+        "update")(sdf => NearDupStream.unionFindStage(sdf))
+      val kept = log.groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = llm.TextDedup.dedupByPairs(df, "doc_id",
+          llm.TextDedup.editDistancePairsMd5(df, "text", "doc_id",
+            maxDist = 3, shingleN = 3, bands = 6, rowsPerBand = 1)
+            .select("id_a", "id_b"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === batch, "sharded survivors diverged from batch dedup")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("editNearDupStream: streamed survivors equal batch " +
       "dedupByPairs(editDistancePairs); chunking-invariant; floor docs keep") {
     val df = docs.toDF("doc_id", "text")
