@@ -119,7 +119,7 @@ object ScaleBench {
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
       "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak", "bm25_ingest_scale",
-      "editdist_scale")
+      "editdist_scale", "editdist_sharded")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -1078,6 +1078,103 @@ object ScaleBench {
         f""""stage_b_sec":$secB%.2f,"stage_b_rows_per_sec":${(markers.length + edges.length) / secB}%.0f,""" +
         f""""pipelined_docs_per_sec":$pipelined%.0f,""" +
         f""""survivors_stream":$nKept,"survivors_batch":$nBatch,"sym_diff":$symDiff}""")
+    }
+    // EDIT-DISTANCE sharded-vs-monolith A/B at N× (the neardup_sharded
+    // contract applied to the character-level family): the N×-copies
+    // corpus plants lev≤2 copy cliques, the sharded bridge's stage A
+    // parallelizes the lev verifies across band shards while the
+    // monolith serializes them in one task. Both reduce to the same
+    // survivor set as batch dedupByPairs(editDistancePairs) — sym-diff
+    // asserted 0.
+    if (wanted("editdist_sharded")) {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = docsSf1.select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val encA: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val rows = src.orderBy("doc_id").collect()
+      val nDocs = rows.length
+      val nInc = 10
+      val per = nDocs / nInc
+      def feedAll[T](ms: MemoryStream[Row], q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+        val t0 = System.nanoTime()
+        (0 until nInc).foreach { i =>
+          ms.addData(rows.slice(i * per, if (i == nInc - 1) nDocs else (i + 1) * per).toSeq)
+          q.processAllAvailable()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // monolith arm
+      val msM = MemoryStream[Row]
+      val qM = graft.streaming.NearDupStream.editNearDupStream(
+          msM.toDF(), "doc_id", "text", maxDist = 5, shingleN = 5)
+        .writeStream.format("memory").queryName("ed_mono")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_edM").toString)
+        .start()
+      val secM = feedAll(msM, qM)
+      val monoKept = spark.table("ed_mono")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").cache()
+      val nMono = monoKept.count()
+      qM.stop()
+      // sharded arm: stage A band-sharded lev edges, stage B union-find
+      val msA = MemoryStream[Row]
+      val qA = graft.streaming.NearDupStream.editShardedEdges(
+          msA.toDF(), "doc_id", "text", maxDist = 5, shingleN = 5)
+        .writeStream.format("memory").queryName("ed_edges")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_edA").toString)
+        .start()
+      val secA = feedAll(msA, qA)
+      val edges = spark.table("ed_edges")
+        .select(col("a"), col("b")).as[(Long, Long)](Encoders.product[(Long, Long)])
+        .collect()
+      qA.stop()
+      implicit val encB: org.apache.spark.sql.Encoder[(Long, Long)] =
+        Encoders.product[(Long, Long)]
+      val msB = MemoryStream[(Long, Long)]
+      val qB = graft.streaming.NearDupStream.unionFindStage(
+          msB.toDF().toDF("a", "b"))
+        .writeStream.format("memory").queryName("ed_verdicts")
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_edB").toString)
+        .start()
+      val t1 = System.nanoTime()
+      msB.addData(rows.map(r => (r.getLong(0), r.getLong(0))).toSeq)
+      msB.addData(edges.toSeq)
+      qB.processAllAvailable()
+      val secB = (System.nanoTime() - t1) / 1e9
+      val shardKept = spark.table("ed_verdicts")
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").cache()
+      val nShard = shardKept.count()
+      qB.stop()
+      val batchKept = graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",
+          graft.llm.TextDedup.editDistancePairs(docsSf1, "text", "doc_id",
+            maxDist = 5, shingleN = 5).select("id_a", "id_b"))
+        .select("doc_id").cache()
+      val nBatch = batchKept.count()
+      val symDiff = shardKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(shardKept).count() +
+        monoKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(monoKept).count()
+      monoKept.unpersist(); shardKept.unpersist(); batchKept.unpersist()
+      parts += (f""""editdist_sharded":{"docs":$nDocs,"edges":${edges.length},""" +
+        f""""mono_sec":$secM%.2f,"mono_docs_per_sec":${nDocs / secM}%.0f,""" +
+        f""""stage_a_sec":$secA%.2f,"stage_a_docs_per_sec":${nDocs / secA}%.0f,""" +
+        f""""stage_b_sec":$secB%.2f,""" +
+        f""""pipelined_docs_per_sec":${nDocs / math.max(secA, secB)}%.0f,""" +
+        f""""survivors_mono":$nMono,"survivors_sharded":$nShard,"survivors_batch":$nBatch,"sym_diff":$symDiff}""")
     }
     // Streaming EMBEDDING near-dup at N× — the vector twin of
     // neardup_stream_soak, in the production high-similarity regime the
