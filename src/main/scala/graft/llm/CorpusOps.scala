@@ -194,8 +194,12 @@ object CorpusOps {
       .foldLeft(lit(defaultBudget): Column) { case (acc, (g, b)) =>
         when(col(groupCol) === g, lit(b)).otherwise(acc)
       }
+    // null text counts 0 tokens (and is admissible) rather than
+    // propagating a null through the running sum and silently dropping
+    // every later row of its group
     df.select(col(idCol), col(groupCol),
-        regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")).as("n_tok"))
+        regexp_count(coalesce(col(textCol), lit("")),
+          lit("\\w+|[^\\w\\s]")).as("n_tok"))
       .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .filter(col("tok_before") < budget)
   }

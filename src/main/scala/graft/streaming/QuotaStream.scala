@@ -101,7 +101,8 @@ object QuotaStream {
     val prepared = sdf.select(
       col(groupCol).cast("string").as("__g"),
       col(orderCol).cast("long").as("__o"),
-      regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")).cast("long").as("__ntok"),
+      regexp_count(coalesce(col(textCol), lit("")),
+        lit("\\w+|[^\\w\\s]")).cast("long").as("__ntok"),
       struct(col("*")).as("__row"))
     val prepEnc = Encoders.row(prepared.schema)
     val outSchema = inSchema

@@ -64,6 +64,15 @@ class QuotaStreamSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Int, Long)].collect().toSet
     assert(got === Set((1L, 4, 0L), (2L, 4, 4L), (3L, 4, 8L),
       (5L, 2, 0L), (6L, 2, 2L)))
+    // null text = 0 tokens, admissible — must not null-poison the
+    // running sum and silently drop the rest of its group
+    val withNull = Seq((1L, "s0", "a b"), (2L, "s0", null),
+      (3L, "s0", "c d")).toDF("doc_id", "source", "text")
+    val gotN = llm.CorpusOps.mixByTokenBudget(withNull, "doc_id", "text",
+        "source", defaultBudget = 10L)
+      .select("doc_id", "n_tok", "tok_before")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(gotN === Set((1L, 2, 0L), (2L, 0, 2L), (3L, 2, 2L)))
   }
 
   test("tokenBudgetStream: ordered feed equals batch mixByTokenBudget; " +
