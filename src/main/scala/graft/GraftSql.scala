@@ -37,6 +37,18 @@ object GraftSql {
       s"$what must be a literal integer, got $other")
   }
 
+  /** Int-valued literal with a [1, Int.MaxValue] range check — the
+    * shared guard for every TVF argument that narrows to Int, so an
+    * out-of-range Long literal errors instead of silently truncating
+    * (the graft_semdedup max_cell hazard, applied uniformly).
+    */
+  private def litPosInt(e: Expression, what: String): Int = {
+    val v = litLong(e, what)
+    require(v >= 1L && v <= Int.MaxValue.toLong,
+      s"$what must be in [1, ${Int.MaxValue}], got $v")
+    v.toInt
+  }
+
   private def litDouble(e: Expression, what: String): Double = e match {
     case Literal(v: Double, _) => v
     case Literal(v: Float, _) => v.toDouble
@@ -208,15 +220,15 @@ object GraftSql {
         if (es.length == 4)
           plan(llm.TextDedup.editDistancePairs(tableArg(es.head),
             litStr(es(1), "text column"), litStr(es(2), "id column"),
-            maxDist = litLong(es(3), "max_dist").toInt))
+            maxDist = litPosInt(es(3), "max_dist")))
         else
           plan(llm.TextDedup.editDistancePairs(tableArg(es.head),
             litStr(es(1), "text column"), litStr(es(2), "id column"),
-            maxDist = litLong(es(3), "max_dist").toInt,
-            shingleN = litLong(es(4), "shingle_n").toInt,
-            bands = litLong(es(5), "bands").toInt,
-            rowsPerBand = litLong(es(6), "rows_per_band").toInt,
-            maxBucket = litLong(es(7), "max_bucket").toInt))
+            maxDist = litPosInt(es(3), "max_dist"),
+            shingleN = litPosInt(es(4), "shingle_n"),
+            bands = litPosInt(es(5), "bands"),
+            rowsPerBand = litPosInt(es(6), "rows_per_band"),
+            maxBucket = litPosInt(es(7), "max_bucket")))
       },
       // `graft_token_mix(t, id, text, group, default_budget)` —
       // token-budget corpus mixing (admit each group's docs in id order
@@ -234,11 +246,14 @@ object GraftSql {
       // `graft_editdist_dedup(t, text, id, max_dist)` — min-id CC dedup
       // over the pair relation (eager CC loop, like graft_neardup_dedup)
       "graft_editdist_dedup" -> { (es: Seq[Expression]) =>
+        require(es.length == 4,
+          s"graft_editdist_dedup expects 4 arguments " +
+            s"(t, text, id, max_dist), got ${es.length}")
         val t = tableArg(es.head)
         val idc = litStr(es(2), "id column")
         plan(llm.TextDedup.dedupByPairs(t, idc,
           llm.TextDedup.editDistancePairs(t, litStr(es(1), "text column"),
-            idc, maxDist = litLong(es(3), "max_dist").toInt)
+            idc, maxDist = litPosInt(es(3), "max_dist"))
             .select("id_a", "id_b")))
       },
       // the remaining near-dup / ANN pipelines, completing the LLM tier:

@@ -549,7 +549,13 @@ object NearDupStream {
     * ids-only [[unionFindStage]] it is the scale path past
     * [[editNearDupStream]]'s single-task index, emitting the identical
     * verified-edge relation (each pair elected to its smallest shared
-    * band code, verified exactly once).
+    * band code, verified exactly once) — PROVIDED every band bucket
+    * stays below `maxBucket` (the same condition documented on
+    * `editNearDupStreamMd5`). Above the cap the semantics diverge by
+    * design: batch `editDistancePairs` DROPS an over-cap bucket
+    * entirely, while this shard stops STORING past `maxBucket` members
+    * but keeps comparing overflow arrivals against the stored prefix,
+    * so it can still emit edges batch would have suppressed.
     */
   def editShardedEdges(sdf: DataFrame, idCol: String, textCol: String,
                        maxDist: Int, shingleN: Int = 3, bands: Int = 8,

@@ -76,6 +76,16 @@ object SemDedupStream {
     *                   [[graft.llm.Similarity.semDedupCentroids]] (train
     *                   offline, deploy — must be the lloydAssign output
     *                   for batch-oracle parity)
+    *
+    * PRECISION CONTRACT: input vectors are narrowed to float32 on entry
+    * (halves RocksDB state vs the batch path's array<double>; the
+    * subsequent compute re-widens float→double, which is exact). Batch
+    * hash-parity therefore holds exactly when the source vectors are
+    * float32-representable — true for `embeddings.parquet` and the
+    * usual model-emitted embeddings. A genuinely float64 source can
+    * land eps-boundary cosines (and centroid-assignment ties) on the
+    * other side of the batch verdict; for such sources widen the state
+    * (cast "array<double>") instead of expecting bit-parity.
     */
   def semDedupStream(sdf: DataFrame, idCol: String, vecCol: String,
                      dim: Int, eps: Double,
