@@ -243,6 +243,33 @@ object GraftSql {
           litStr(es(3), "group column"),
           defaultBudget = litLong(es(4), "default_budget")))
       },
+      // `graft_token_mix_segmented(t, id, text, group, default_budget,
+      // range_width)` — the hot-source-safe segmented-prefix-sum form
+      // (identical admission set; integral id required)
+      "graft_token_mix_segmented" -> { (es: Seq[Expression]) =>
+        require(es.length == 6,
+          s"graft_token_mix_segmented expects 6 arguments " +
+            s"(t, id, text, group, default_budget, range_width), got ${es.length}")
+        val rw = litLong(es(5), "range_width")
+        require(rw >= 1L, s"range_width must be positive, got $rw")
+        plan(llm.CorpusOps.mixByTokenBudgetSegmented(tableArg(es.head),
+          litStr(es(1), "id column"), litStr(es(2), "text column"),
+          litStr(es(3), "group column"),
+          defaultBudget = litLong(es(4), "default_budget"),
+          rangeWidth = rw))
+      },
+      // `graft_editdist_decontam(train, eval, text, id, max_dist)` —
+      // drop train docs within max_dist edits of some eval doc (the
+      // character-level decontamination tier)
+      "graft_editdist_decontam" -> { (es: Seq[Expression]) =>
+        require(es.length == 5,
+          s"graft_editdist_decontam expects 5 arguments " +
+            s"(train, eval, text, id, max_dist), got ${es.length}")
+        plan(llm.TextDedup.editDecontaminate(tableArg(es.head),
+          tableArg(es(1)), litStr(es(3), "id column"),
+          litStr(es(2), "text column"),
+          maxDist = litPosInt(es(4), "max_dist")))
+      },
       // `graft_editdist_dedup(t, text, id, max_dist)` — min-id CC dedup
       // over the pair relation (eager CC loop, like graft_neardup_dedup)
       "graft_editdist_dedup" -> { (es: Seq[Expression]) =>

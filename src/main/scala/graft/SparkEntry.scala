@@ -167,6 +167,43 @@ object SparkEntry {
         .select("doc_id", "n_grams", "oov_tgt", "oov_raw",
           "hit_tgt", "hit_raw")
     }),
+    // TRAINED quality classifier (fastText-style hashed-gram NB): train
+    // on the lang='en'-vs-rest labeled split, score the full corpus.
+    // Same verification policy as doc_dsir_md5: the integer sufficient
+    // statistics are the hashed surface; the closed-form double score +
+    // pred are pinned by the plain-Scala re-derivation in LlmOpsSpec.
+    "doc_quality_clf_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.qualityClfTrain(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text",
+        gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+      llm.CorpusOps.qualityClfScore(docs, "doc_id", "text", model)
+        .select("doc_id", "n_grams", "oov_pos", "oov_neg",
+          "hit_pos", "hit_neg")
+    }),
+    // ... and its stream-static deployment twin (score the crawl as it
+    // streams past the static model), sharing the batch mirror
+    "doc_quality_clf_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val model = llm.CorpusOps.qualityClfTrain(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text",
+          gramNs = Seq(1, 2), hexChars = 2, md5Family = true)
+        streaming.Replay.replay(s, docs, "doc_id", 100, "update")(sdf =>
+            streaming.QualityClfStream.qualityClfScoreStream(sdf, "text",
+              "doc_id", model))
+          .select("doc_id", "n_grams", "oov_pos", "oov_neg",
+            "hit_pos", "hit_neg")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     "doc_fingerprint_md5" -> ((s, d) =>
       llm.TextAnalysis.fingerprintMd5(Tables.documents(s, d), "text")
         .select("doc_id", "fp_min_gram_md5", "fp_full_md5")),
@@ -231,6 +268,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
         .select("doc_id")
     }),
+    // CHARACTER-level cross-corpus decontamination: drop train docs
+    // within 5 edits of an eval doc (closes the intra-word-edit gap
+    // both exact-n-gram and token-Jaccard decontam leave; same banded
+    // char-5-gram geometry as doc_editdist_pairs_md5, bipartite)
+    "doc_editdist_decontam_md5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.editDecontaminateMd5(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        maxDist = 5, shingleN = 5, bands = 4, rowsPerBand = 4)
+        .select("doc_id")
+    }),
     // per-source document cap (RefinedWeb-style per-domain quota): at
     // most 10 docs per source, priority = ascending doc_id
     "doc_source_cap" -> ((s, d) =>
@@ -244,6 +293,14 @@ object SparkEntry {
       llm.CorpusOps.mixByTokenBudget(Tables.documents(s, d), "doc_id", "text",
         "source", defaultBudget = 500L,
         budgetByGroup = Map("src1" -> 700L, "src7" -> 100000L))),
+    // ... and its HOT-SOURCE-SAFE segmented-prefix-sum form (same greedy
+    // fill, same mirror; rangeWidth 64 forces many occupied ranges per
+    // source at sf0.01 so the range-offset chain is genuinely exercised)
+    "doc_token_mix_segmented" -> ((s, d) =>
+      llm.CorpusOps.mixByTokenBudgetSegmented(Tables.documents(s, d),
+        "doc_id", "text", "source", defaultBudget = 500L,
+        budgetByGroup = Map("src1" -> 700L, "src7" -> 100000L),
+        rangeWidth = 64L)),
     // ... and its INGEST-POINT streaming twin (one long of token state
     // per group; ordered feed == batch admission set, shared mirror)
     "doc_token_mix_stream_replay" -> ((s, d) => {
@@ -636,6 +693,95 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id")), "doc_id"),
         "doc_id", everyK = 7)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))),
+    // IMAGE NEAR-DUP tier: REAL decode → bilinear → dHash over the
+    // id-derived 9×8 gray-pattern fixture (generated at the dHash grid
+    // size, so the decode path is pixel-exact and the oracle re-derives
+    // the hash with pure integer arithmetic — see
+    // withSyntheticPatternImages' scaladoc for the pattern contract)
+    "mm_phash" -> ((s, d) =>
+      llm.Multimodal.imageHashes(
+        llm.Multimodal.withSyntheticPatternImages(Tables.documents(s, d), "doc_id"),
+        "doc_id")
+        .select(col("id").as("doc_id"), col("dhash"))),
+    // ... → banded-hamming candidate pairs over the dhash (4×16-bit
+    // chunks, pigeonhole-exact at radius 3, capped buckets) with the
+    // codegen'd bit_count verify
+    "mm_image_neardup_pairs" -> ((s, d) =>
+      llm.TextDedup.hammingHashPairs(
+        llm.Multimodal.imageHashes(
+          llm.Multimodal.withSyntheticPatternImages(Tables.documents(s, d), "doc_id"),
+          "doc_id"),
+        "id", "dhash", chunkBits = 16, maxHamming = 3, maxBucket = 1000)),
+    // ... → min-id connected-component image dedup over that relation
+    "mm_image_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.dedupByPairs(docs, "doc_id",
+        llm.TextDedup.hammingHashPairs(
+          llm.Multimodal.imageHashes(
+            llm.Multimodal.withSyntheticPatternImages(docs, "doc_id"), "doc_id"),
+          "id", "dhash", chunkBits = 16, maxHamming = 3, maxBucket = 1000)
+          .select("id_a", "id_b"))
+        .select("doc_id")
+    }),
+    // BPE TOKENIZATION (train-offline/deploy-literals — llm.Bpe): train
+    // 16 merges on the bounded 4-doc sample, encode each doc's first
+    // 120 chars with the native expression, emit the INTEGER token-id
+    // sequence (the oracle re-derives training AND encoding in SQL)
+    "doc_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.Bpe.train(docs, "doc_id", "text", numMerges = 16,
+        sampleDocs = 4, sampleChars = 240)
+      docs.select(col("doc_id"),
+          posexplode(llm.Bpe.encode(substring(col("text"), 1, 120), model)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").cast("long").as("token_id"))
+    }),
+    // ... and the quota tier denominated in REAL tokens: mixByTokenBudget
+    // with the deployed BPE tokenizer (budgets in BPE tokens, not regex
+    // matches) — truncated text keeps the SQL mirror's recursion bounded
+    "doc_token_mix_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.Bpe.train(docs, "doc_id", "text", numMerges = 16,
+        sampleDocs = 4, sampleChars = 240)
+      llm.CorpusOps.mixByTokenBudget(
+        docs.withColumn("text_t", substring(col("text"), 1, 120)),
+        "doc_id", "text_t", "source", defaultBudget = 300L,
+        budgetByGroup = Map("src1" -> 500L),
+        tokenizer = Some(c => llm.Bpe.tokenCount(c, model)))
+    }),
+    // STREAMING image dedup: the sharded two-stage bridge over the
+    // dhash chunks (stage A per-chunk hamming edges — 8-byte payloads —
+    // + the shared ids-only union-find stage B); survivors hash-match
+    // the batch CC mirror
+    "mm_image_dedup_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val edges = streaming.Replay.replay(s, docs.select("doc_id"),
+          "doc_id", 100, "append")(sdf =>
+            streaming.NearDupStream.imageShardedEdges(
+              llm.Multimodal.imageHashes(
+                llm.Multimodal.withSyntheticPatternImages(sdf, "doc_id"),
+                "doc_id"),
+              "id", "dhash", maxHamming = 3))
+        val feed = docs.select(col("doc_id").as("a"), col("doc_id").as("b"),
+            (col("doc_id") * 2).as("ord"))
+          .unionByName(edges.select(col("a"), col("b"),
+            (greatest(col("a"), col("b")) * 2 + 1).as("ord")))
+        val log = streaming.Replay.replay(s, feed, "ord", 5000, "update")(sdf =>
+          streaming.NearDupStream.unionFindStage(sdf))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
     // ---- corpus-curation tier (llm.CorpusOps): the filter / packing /
     // decontamination layer between dedup and training ----
     "doc_repetition" -> ((s, d) =>
@@ -1605,6 +1751,28 @@ object SparkEntry {
           maxDist = 5, shingleN = 5, bands = 8, rowsPerBand = 4)
           .select("id_a", "id_b"))
     }),
+    // production CHARACTER-level cross-corpus decontamination: xxhash64
+    // char-shingle banding, bipartite candidates, thresholded-lev
+    // verify, anti-join (doc_editdist_decontam_md5 carries the oracle)
+    "doc_editdist_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.editDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        maxDist = 5, shingleN = 5, bands = 8, rowsPerBand = 4)
+        .select("doc_id")
+    }),
+    // production quality classifier: xxhash64 bucketing, finer feature
+    // space (4 hex chars), full train → score with the double log-odds
+    // (doc_quality_clf_md5 carries the integer-surface oracle)
+    "doc_quality_clf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.CorpusOps.qualityClfTrain(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text",
+        gramNs = Seq(1, 2), hexChars = 4)
+      llm.CorpusOps.qualityClfScore(docs, "doc_id", "text", model)
+    }),
     // production BM25: the full index → score → rank path with the
     // ln-idf fold and per-query window (doc_bm25_stats carries the
     // oracle check on the integer join surface; score/rank re-derived
@@ -1880,6 +2048,8 @@ object SparkEntry {
       "doc_dsir_windowed_stream_replay" -> docDsirOracle,
       "doc_dsir_windowed_restart_stream_replay" -> docDsirOracle,
       "doc_bm25_windowed_stream_replay" -> docBm25Oracle,
+      "doc_quality_clf_md5" -> docQualityClfOracle,
+      "doc_quality_clf_stream_replay" -> docQualityClfOracle,
       "doc_dsir_md5" -> docDsirOracle,
       "doc_dsir_stream_replay" -> docDsirOracle,
       "doc_bm25_stats" -> docBm25Oracle,
@@ -2055,6 +2225,7 @@ object SparkEntry {
       // token-budget mixing: the per-source running-sum cut, greedy fill
       // (the crossing doc is admitted); all three rows share it
       "doc_token_mix" -> docTokenMixOracle,
+      "doc_token_mix_segmented" -> docTokenMixOracle,
       "doc_token_mix_stream_replay" -> docTokenMixOracle,
       "doc_token_mix_restart_stream_replay" -> docTokenMixOracle,
       // ordered-feed admissions equal the batch cap, so both stream rows
@@ -2073,6 +2244,7 @@ object SparkEntry {
       "doc_neardup_dedup_md5" -> docNeardupDedupOracle,
       "doc_editdist_pairs_md5" -> docEditPairsOracle,
       "doc_editdist_dedup_md5" -> docEditDedupOracle,
+      "doc_editdist_decontam_md5" -> docEditDecontamOracle,
       // the stream converges to the same min-id CC survivor set
       "doc_editdist_stream_replay" -> docEditDedupOracle,
       "doc_editdist_restart_stream_replay" -> docEditDedupOracle,
@@ -2119,6 +2291,12 @@ object SparkEntry {
       "emb_ann_ivfpq_residual_stream_replay" -> embIvfPqResidualStreamOracle,
       "emb_ann_ivfpq_residual_restart_stream_replay" -> embIvfPqResidualStreamOracle,
       "mm_features" -> mmFeaturesOracle,
+      "doc_bpe_encode" -> docBpeEncodeOracle,
+      "doc_token_mix_bpe" -> docTokenMixBpeOracle,
+      "mm_phash" -> mmPhashOracle,
+      "mm_image_neardup_pairs" -> mmImagePairsOracle,
+      "mm_image_dedup" -> mmImageDedupOracle,
+      "mm_image_dedup_stream_replay" -> mmImageDedupOracle,
       // solid-color resize round-trip: target dims, one color, the color
       "mm_resize" ->
         """SELECT doc_id, 16::BIGINT AS out_w, 16::BIGINT AS out_h,
@@ -2768,9 +2946,240 @@ object SparkEntry {
        |  WHERE dist <= 5)""".stripMargin
   }
 
+  /** Self-contained DuckDB mirror of the BPE tier (llm.Bpe): re-derives
+    * TRAINING (recursive choose/apply state machine over the bounded
+    * sample — best pair by (max count, code-point lex), repeated
+    * leftmost single merges) and ENCODING (greedy min-rank leftmost, one
+    * merge per recursion step) from the raw table, per the determinism
+    * contract on Bpe's scaladoc — no Spark-side literal reaches the
+    * mirror (the lloyd-centroid re-derivation pattern). Built by plain
+    * concatenation, NOT stripMargin: the SQL is full of `||` operators
+    * that stripMargin would eat at line starts. Ends with
+    * done(doc_id, toks), tok2id(tok, id).
+    */
+  private[graft] def docBpeCtes(sampleDocs: Int, sampleChars: Int, numMerges: Int,
+                         encChars: Int): String =
+    s"""smp AS (SELECT string_agg(substr(text, 1, $sampleChars), chr(10) ORDER BY doc_id) AS s
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT $sampleDocs)),
+ini AS (SELECT list_transform(generate_series(1, length(s)), i -> s[i]) AS toks FROM smp),
+tr AS (
+  SELECT toks, 0 AS round, 0 AS step, CAST(NULL AS VARCHAR) AS cl,
+         CAST(NULL AS VARCHAR) AS cr,
+         CAST([] AS VARCHAR[]) AS ml, CAST([] AS VARCHAR[]) AS mr
+  FROM ini
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT * FROM tr),
+    choose AS (
+      SELECT c.toks, c.round + 1, c.step + 1, b.l, b.r,
+             list_append(c.ml, b.l), list_append(c.mr, b.r)
+      FROM cur c, LATERAL (
+        SELECT u.l, u.r FROM (
+          SELECT toks[i] AS l, toks[i + 1] AS r, count(*) AS n
+          FROM (SELECT unnest(generate_series(1, len(c.toks) - 1)) AS i)
+          GROUP BY 1, 2) u
+        WHERE u.n >= 2
+        ORDER BY u.n DESC, u.l, u.r LIMIT 1) b
+      WHERE c.cl IS NULL AND c.round < $numMerges
+    ),
+    apply AS (
+      SELECT CASE WHEN p.pos IS NULL THEN c.toks
+                  ELSE c.toks[1:p.pos - 1] || [c.cl || c.cr] || c.toks[p.pos + 2:len(c.toks)]
+             END,
+             c.round, c.step + 1,
+             CASE WHEN p.pos IS NULL THEN NULL ELSE c.cl END,
+             CASE WHEN p.pos IS NULL THEN NULL ELSE c.cr END,
+             c.ml, c.mr
+      FROM cur c, LATERAL (
+        SELECT list_filter(generate_series(1, len(c.toks) - 1),
+                 i -> c.toks[i] = c.cl AND c.toks[i + 1] = c.cr)[1] AS pos) p
+      WHERE c.cl IS NOT NULL
+    )
+    SELECT * FROM choose UNION ALL SELECT * FROM apply)
+),
+fin AS (SELECT ml, mr FROM tr ORDER BY step DESC LIMIT 1),
+basev AS (SELECT list_sort(list_distinct(toks)) AS bv FROM ini),
+base_ids AS (SELECT unnest(bv) AS tok, unnest(generate_series(1, len(bv))) AS id FROM basev),
+merge_toks AS (
+  SELECT tok, min(ord) AS ord FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ml)), k -> ml[k] || mr[k])) AS tok,
+           unnest(generate_series(1, len(ml))) AS ord
+    FROM fin)
+  WHERE tok NOT IN (SELECT tok FROM base_ids)
+  GROUP BY tok),
+tok2id AS (
+  SELECT tok, id FROM base_ids
+  UNION ALL
+  SELECT tok, (SELECT len(bv) FROM basev) + row_number() OVER (ORDER BY ord) AS id
+  FROM merge_toks),
+dini AS (SELECT doc_id,
+    list_transform(generate_series(1, length(substr(text, 1, $encChars))),
+      i -> substr(text, 1, $encChars)[i]) AS toks,
+    (SELECT ml FROM fin) AS ml, (SELECT mr FROM fin) AS mr
+  FROM documents),
+enc AS (
+  SELECT doc_id, toks, ml, mr, 0 AS step FROM dini
+  UNION ALL
+  SELECT e.doc_id,
+         e.toks[1:b.pos - 1] || [e.ml[b.rk] || e.mr[b.rk]] || e.toks[b.pos + 2:len(e.toks)],
+         e.ml, e.mr, e.step + 1
+  FROM enc e, LATERAL (
+    SELECT rks.rk, list_position(rks.rkl, rks.rk) AS pos FROM (
+      SELECT rkl, list_min(list_filter(rkl, x -> x IS NOT NULL)) AS rk FROM (
+        SELECT list_transform(generate_series(1, len(e.toks) - 1),
+          i -> list_filter(generate_series(1, len(e.ml)),
+                 k -> e.ml[k] = e.toks[i] AND e.mr[k] = e.toks[i + 1])[1]) AS rkl) ) rks
+    WHERE rks.rk IS NOT NULL) b
+),
+done AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks, row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) AS rn
+    FROM enc) WHERE rn = 1)"""
+
+  private[graft] def docBpeEncodeOracleFor(sampleDocs: Int, sampleChars: Int,
+                                           numMerges: Int, encChars: Int): String =
+    "WITH RECURSIVE\n" +
+      docBpeCtes(sampleDocs, sampleChars, numMerges, encChars) + """
+SELECT u.doc_id, u.pos, CAST(coalesce(t.id, 0) AS BIGINT) AS token_id
+FROM (SELECT doc_id, unnest(toks) AS tok,
+        CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos FROM done) u
+LEFT JOIN tok2id t ON u.tok = t.tok"""
+
+  private def docBpeEncodeOracle: String =
+    docBpeEncodeOracleFor(4, 240, 16, 120)
+
+  private def docTokenMixBpeOracle: String =
+    "WITH RECURSIVE\n" + docBpeCtes(4, 240, 16, 120) + """,
+cntb AS (SELECT d.doc_id, d.source, CAST(len(done.toks) AS INTEGER) AS n_tok
+  FROM done JOIN documents d ON d.doc_id = done.doc_id),
+cb AS (SELECT doc_id, source, n_tok,
+  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+  FROM cntb)
+SELECT doc_id, source, n_tok, tok_before FROM cb
+WHERE tok_before < (CASE source WHEN 'src1' THEN 500 ELSE 300 END)"""
+
+  /** The synthetic-pattern luma L(x,y) as a DuckDB integer expression —
+    * the exact formula of Multimodal.withSyntheticPatternImages (gray
+    * BMP at 9×8 = the dHash grid, so Spark's REAL decode→scale→hash
+    * pipeline and this arithmetic meet bit-for-bit).
+    */
+  private def mmPatternLuma(x: Int, y: Int): String = {
+    val k = x * 7 + y * 13 + 3
+    val raw = s"(((doc_id % 32) + 1) * $k) % 251"
+    if (x == 2 && y == 3) s"(CASE WHEN (doc_id // 32) % 3 >= 1 THEN 250 - ($raw) ELSE $raw END)"
+    else if (x == 5 && y == 1) s"(CASE WHEN (doc_id // 32) % 3 = 2 THEN 250 - ($raw) ELSE $raw END)"
+    else s"($raw)"
+  }
+
+  /** 64-bit dHash of the pattern fixture: bit (y*8+x) set iff
+    * L(x+1,y) > L(x,y); folded with bitwise OR (a SUM would overflow
+    * DuckDB's checked BIGINT when bit 63 participates — and so does
+    * `1::BIGINT << 63` itself, hence the INT64_MIN literal for the
+    * sign bit).
+    */
+  private def mmDhashExpr: String =
+    (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val bit = y * 8 + x
+      val mask = if (bit == 63) "(-9223372036854775807 - 1)"
+                 else s"(1::BIGINT << $bit)"
+      s"(CASE WHEN ${mmPatternLuma(x + 1, y)} > ${mmPatternLuma(x, y)} " +
+        s"THEN $mask ELSE 0::BIGINT END)"
+    }).mkString(" |\n  ")
+
+  private def mmPhashOracle: String =
+    s"""SELECT doc_id, $mmDhashExpr AS dhash FROM documents"""
+
+  /** CTE chain mirroring TextDedup.hammingHashPairs over the pattern
+    * dhash (chunkBits=16, maxHamming=3, maxBucket=1000), ending in
+    * `pairs(id_a, id_b, hamming)`: arithmetic >> then 16-bit mask (sign
+    * bits masked identically on both engines), bucket count in (1,
+    * maxBucket], bit_count(xor) verify.
+    */
+  private def mmImagePairsCtes: String =
+    s"""h AS (SELECT doc_id, $mmDhashExpr AS dhash FROM documents),
+       |chp AS (SELECT doc_id, dhash, c AS chunk, (dhash >> (c * 16)) & 65535 AS cv
+       |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t),
+       |okp AS (SELECT chunk, cv FROM chp GROUP BY chunk, cv
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |ibp AS (SELECT chp.* FROM chp JOIN okp USING (chunk, cv)),
+       |pairs AS (SELECT id_a, id_b, min(hamming) AS hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |  FROM ibp a JOIN ibp b ON a.chunk = b.chunk AND a.cv = b.cv
+       |    AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 3 GROUP BY id_a, id_b)""".stripMargin
+
+  private def mmImagePairsOracle: String =
+    s"""WITH $mmImagePairsCtes
+       |SELECT id_a, id_b, hamming FROM pairs""".stripMargin
+
+  private def mmImageDedupOracle: String =
+    s"""WITH RECURSIVE $mmImagePairsCtes,
+       |nodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+       |eg AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+       |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)""".stripMargin
+
   private def docEditPairsOracle: String =
     s"""WITH $docEditPairsCtes
        |SELECT id_a, id_b, dist FROM ep""".stripMargin
+
+  /** DuckDB mirror of TextDedup.editDecontaminateMd5 over the doc_id%10
+    * train/eval split (maxDist=5, shingleN=5, bands=4, rowsPerBand=4,
+    * maxBucket=1000): the docEditPairsCtes hash construction verbatim,
+    * but candidates are generated ONLY across the split (train × eval
+    * sharing a band bucket) under the combined-occupancy cap (admitted
+    * iff both sides appear and cl + cr ≤ maxBucket — no per-side > 1
+    * floor: a 1+1 bucket is a legitimate bipartite candidate), then the
+    * exact integer levenshtein ≤ 5 verify and the anti-join.
+    */
+  private def docEditDecontamOracle: String = {
+    val n = 5; val bands = 4; val r = 4; val k = bands * r
+    val fold = (1 until n).foldLeft("th[i]")((acc, j) => s"md5($acc || th[i+$j])")
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, text,
+       |  list_transform(generate_series(1, length(text)), i -> md5(text[i])) AS th
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, text, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(th) - ${n - 1}, 0)),
+       |  i -> $fold)) AS sh FROM tk),
+       |s2e AS (SELECT doc_id, text, sh FROM sh0 WHERE len(sh) > 0),
+       |sige AS (SELECT doc_id, [$sigItems] AS sig FROM s2e),
+       |bde AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sige CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |cnt AS (SELECT band, bh,
+       |    count(*) FILTER (WHERE doc_id % 10 <> 0) AS cl,
+       |    count(*) FILTER (WHERE doc_id % 10 = 0) AS cr
+       |  FROM bde GROUP BY band, bh),
+       |oke AS (SELECT band, bh FROM cnt
+       |  WHERE cl >= 1 AND cr >= 1 AND cl + cr <= 1000),
+       |cde AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bde a JOIN oke ON a.band = oke.band AND a.bh = oke.bh
+       |  JOIN bde b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+       |ep AS (SELECT id_a, id_b, dist FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
+       |  FROM cde JOIN s2e ta ON ta.doc_id = cde.id_a
+       |           JOIN s2e tb ON tb.doc_id = cde.id_b)
+       |  WHERE dist <= 5)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 10 <> 0
+       |  AND doc_id NOT IN (SELECT DISTINCT id_a FROM ep)""".stripMargin
+  }
 
   private def docEditDedupOracle: String =
     s"""WITH RECURSIVE $docEditPairsCtes,
@@ -3416,6 +3825,47 @@ object SparkEntry {
     * ln-based `logw` is excluded like doc_lm_ppl's `ppl` (doubles are
     * not correctly-rounded across engines; fixture-pinned in sbt).
     */
+  /** DuckDB mirror of CorpusOps.qualityClfScore's integer surface over
+    * the lang='en'-vs-rest labeled split (gramNs = 1,2, hexChars = 2,
+    * md5 family): re-derives tokenize, the unigram+bigram md5 feature
+    * buckets, both class count relations, and the per-doc probe-join
+    * folds. The NB log-odds score + pred are closed forms of these
+    * integers and the class totals — pinned by the plain-Scala
+    * re-derivation in LlmOpsSpec, not hashed (doubles).
+    */
+  private def docQualityClfOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, lang, list_concat(toks,
+      |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+      |      i -> array_to_string(toks[i:i+1], ' '))) AS grams
+      |  FROM t),
+      |occ AS (SELECT doc_id, lang, substr(md5(gr), 1, 2) AS bucket
+      |  FROM (SELECT doc_id, lang, unnest(grams) AS gr FROM g)),
+      |cpos AS (SELECT bucket, count(*) AS c_pos FROM occ
+      |  WHERE lang = 'en' GROUP BY bucket),
+      |cneg AS (SELECT bucket, count(*) AS c_neg FROM occ
+      |  WHERE lang <> 'en' GROUP BY bucket),
+      |db AS (SELECT doc_id, bucket, count(*) AS m FROM occ
+      |  GROUP BY doc_id, bucket),
+      |j AS (SELECT db.doc_id, db.m,
+      |    coalesce(cpos.c_pos, 0) AS c_pos, coalesce(cneg.c_neg, 0) AS c_neg
+      |  FROM db LEFT JOIN cpos ON db.bucket = cpos.bucket
+      |    LEFT JOIN cneg ON db.bucket = cneg.bucket),
+      |a AS (SELECT doc_id, sum(m) AS n_grams,
+      |    sum(CASE WHEN c_pos = 0 THEN m ELSE 0 END) AS oov_pos,
+      |    sum(CASE WHEN c_neg = 0 THEN m ELSE 0 END) AS oov_neg,
+      |    sum(c_pos * m) AS hit_pos, sum(c_neg * m) AS hit_neg
+      |  FROM j GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(a.oov_pos, 0) AS BIGINT) AS oov_pos,
+      |  CAST(coalesce(a.oov_neg, 0) AS BIGINT) AS oov_neg,
+      |  CAST(coalesce(a.hit_pos, 0) AS BIGINT) AS hit_pos,
+      |  CAST(coalesce(a.hit_neg, 0) AS BIGINT) AS hit_neg
+      |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+
   private def docDsirOracle: String =
     """WITH t AS (SELECT doc_id,
       |  list_filter(str_split_regex(lower(text), '[^\p{L}\p{Nd}]+'), x -> x <> '') AS toks

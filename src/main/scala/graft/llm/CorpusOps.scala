@@ -149,11 +149,13 @@ object CorpusOps {
     * `TextAnalysis.tokenCounts` (`\w+|[^\w\s]` matches).
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    shardCol: String, budget: Int = 512): DataFrame = {
+                    shardCol: String, budget: Int = 512,
+                    tokenizer: Option[Column => Column] = None): DataFrame = {
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(shardCol),
-        regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")).as("n_tok"))
+    val nTok = tokenizer.map(f => f(col(textCol)))
+      .getOrElse(regexp_count(col(textCol), lit("\\w+|[^\\w\\s]")))
+    df.select(col(idCol), col(shardCol), nTok.as("n_tok"))
       .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("bin_id", floor(col("tok_offset") / budget))
   }
@@ -183,7 +185,8 @@ object CorpusOps {
     */
   def mixByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                        groupCol: String, defaultBudget: Long,
-                       budgetByGroup: Map[String, Long] = Map.empty): DataFrame = {
+                       budgetByGroup: Map[String, Long] = Map.empty,
+                       tokenizer: Option[Column => Column] = None): DataFrame = {
     require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
     budgetByGroup.foreach { case (g, b) =>
       require(b > 0, s"budget for group $g must be positive, got $b")
@@ -197,11 +200,113 @@ object CorpusOps {
     // null text counts 0 tokens (and is admissible) rather than
     // propagating a null through the running sum and silently dropping
     // every later row of its group
-    df.select(col(idCol), col(groupCol),
-        regexp_count(coalesce(col(textCol), lit("")),
-          lit("\\w+|[^\\w\\s]")).as("n_tok"))
+    val nTok = tokenizer.map(f => f(coalesce(col(textCol), lit(""))))
+      .getOrElse(regexp_count(coalesce(col(textCol), lit("")),
+        lit("\\w+|[^\\w\\s]")))
+    df.select(col(idCol), col(groupCol), nTok.as("n_tok"))
       .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .filter(col("tok_before") < budget)
+  }
+
+  /** HOT-SOURCE-SAFE token-budget mixing — [[mixByTokenBudget]]'s exact
+    * semantics (same greedy fill, same audit columns, sym-diff-0 — the
+    * contract is that scaladoc) realized as a SEGMENTED PREFIX SUM so no
+    * single window task ever sorts a hot group's full corpus share:
+    *
+    *   1. one projection pass computes `n_tok` (codegen'd regexp count)
+    *      and an id-RANGE key `rng = id - pmod(id, rangeWidth)` (the
+    *      floor-division range lower bound — monotone in id, exact on
+    *      the full Long domain, no double rounding), so ranges
+    *      partition each group's admission order;
+    *   2. the corpus exchanges ONCE on (group, rng) — the hot group
+    *      splits across ceil(span/rangeWidth) tasks instead of one —
+    *      and a local window computes the within-range cumsum;
+    *   3. per-range token subtotals aggregate exchange-free on top of
+    *      that same partitioning (rows = groups × occupied ranges, a
+    *      TINY relation), a per-group window over ranges turns them
+    *      into running range offsets, and ranges whose offset already
+    *      meets the budget are dropped;
+    *   4. the offsets broadcast-join back and
+    *      `tok_before = range_offset + within_range_cumsum`.
+    *
+    * PLAN / 100 TB: the text column is scanned ONCE — both consumers of
+    * step 2 (the local window and the subtotal aggregate) read the same
+    * (group, rng) exchange, which Catalyst dedups via ReusedExchange
+    * (pinned in CorpusOpsSpec) — and never shuffles (n_tok is computed
+    * below the exchange, like the window form). The only per-doc
+    * exchange payload is (id, group, n_tok, rng); the only per-group
+    * serial work is the range-offset window over the tiny subtotal
+    * relation (one row per occupied range, not per doc). Catalyst has
+    * no InferWindowGroupLimit analog for running SUMs (that rule covers
+    * rank/row_number caps — see [[capPerGroup]]), so this is the shape
+    * the optimizer cannot derive from the bare window itself.
+    *
+    * `rangeWidth` trades task granularity against subtotal-relation
+    * size: the hot group's window tasks see at most the docs of one
+    * id-range. The default (1 « 20) keeps the subtotal relation ≤
+    * idSpan/2^20 rows per group — broadcast-safe up to multi-trillion
+    * id spans. Requires an INTEGRAL `idCol` (the range key is id div
+    * rangeWidth); [[mixByTokenBudget]] remains the small-scale /
+    * arbitrary-orderable-id arm.
+    */
+  def mixByTokenBudgetSegmented(df: DataFrame, idCol: String, textCol: String,
+                                groupCol: String, defaultBudget: Long,
+                                budgetByGroup: Map[String, Long] = Map.empty,
+                                rangeWidth: Long = 1L << 20,
+                                tokenizer: Option[Column => Column] = None): DataFrame = {
+    require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
+    require(rangeWidth > 0, s"rangeWidth must be positive, got $rangeWidth")
+    budgetByGroup.foreach { case (g, b) =>
+      require(b > 0, s"budget for group $g must be positive, got $b")
+    }
+    val budget = budgetByGroup.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget): Column) { case (acc, (g, b)) =>
+        when(col(groupCol) === g, lit(b)).otherwise(acc)
+      }
+    // step 1: n_tok + monotone range key, computed below the exchange
+    // (null text counts 0 tokens — the mixByTokenBudget hardening)
+    val nTok = tokenizer.map(f => f(coalesce(col(textCol), lit(""))))
+      .getOrElse(regexp_count(coalesce(col(textCol), lit("")),
+        lit("\\w+|[^\\w\\s]")))
+    val base = df.select(col(idCol), col(groupCol), nTok.as("n_tok"),
+      (col(idCol).cast("long") - pmod(col(idCol).cast("long"), lit(rangeWidth)))
+        .as("__rng_lo"))
+    // step 2: ONE (group, range) exchange; local cumsum excluding self
+    val wLoc = Window.partitionBy(col(groupCol), col("__rng_lo"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__loc_before",
+      coalesce(sum(col("n_tok")).over(wLoc), lit(0L)))
+    // step 3: subtotals DERIVED FROM THE WINDOW OUTPUT — the range total
+    // equals max(__loc_before + n_tok) (n_tok ≥ 0 makes the inclusive
+    // prefix sum monotone, so its max is the last row's total). A plain
+    // sum(n_tok) would let Catalyst prune the window out of this branch
+    // and re-scan the corpus with its own partial aggregate; anchoring
+    // on __loc_before forces the branch through step 2's exchange, which
+    // ReuseExchange then dedups — the corpus is scanned ONCE (pinned in
+    // LlmOpsSpec). The groupBy keys equal the exchange keys, so no new
+    // per-doc shuffle is planted either.
+    val sub = local.groupBy(col(groupCol), col("__rng_lo"))
+      .agg(max(col("__loc_before") + col("n_tok")).as("__rng_tok"))
+    val wRng = Window.partitionBy(col(groupCol)).orderBy(col("__rng_lo"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sub
+      .withColumn("__rng_before", coalesce(sum(col("__rng_tok")).over(wRng), lit(0L)))
+      .filter(col("__rng_before") < budget)
+      .select(col(groupCol), col("__rng_lo"), col("__rng_before"))
+    // step 4: broadcast the offsets back; the inner join IS the prune.
+    // NULL-SAFE keys, for two reasons: (a) the window form admits
+    // null-group rows (they form their own window partition) — a plain
+    // equi-join would silently drop them, breaking sym-diff-0; (b) a
+    // plain equi-join infers isnotnull filters into ONE side's scan,
+    // making the two exchange subtrees unequal and defeating
+    // ReuseExchange (the one-scan property).
+    val offs = offsets.select(col(groupCol).as("__off_grp"),
+      col("__rng_lo").as("__off_rng"), col("__rng_before"))
+    local.join(broadcast(offs),
+        col(groupCol) <=> col("__off_grp") && col("__rng_lo") <=> col("__off_rng"))
+      .withColumn("tok_before", col("__rng_before") + col("__loc_before"))
+      .filter(col("tok_before") < budget)
+      .select(col(idCol), col(groupCol), col("n_tok"), col("tok_before"))
   }
 
   /** Per-group document cap — the RefinedWeb-style per-domain quota
@@ -614,6 +719,111 @@ object CorpusOps {
         (coalesce(col("logratio"), lit(0.0)) +
           coalesce(col("n_grams"), lit(0L)).cast("double") * lit(logConst))
           .as("logw"))
+  }
+
+  /** TRAINED quality classifier model — the fastText-style hashed
+    * n-gram LINEAR scorer that standard curation pipelines run between
+    * the heuristic quality rules ([[TextAnalysis]]) and training
+    * (LLaMA/Phi-style "does this look like the reference corpus"
+    * filtering; Joulin et al. 2016, arXiv:1607.01759 is the feature
+    * construction): bucket counts per CLASS over a labeled split plus
+    * class document counts. Naive Bayes over hashed bag-of-gram
+    * features IS a linear classifier in this feature space, and its
+    * weights come in CLOSED FORM from these count sufficient statistics
+    * — so training is the same two map-side-combined `groupBy(bucket)`
+    * scans as [[dsirTrain]], the model is ≤ 16^hexChars rows, and the
+    * verification split is exact-integer (the LM/DSIR oracle pattern:
+    * integer stats hashed cross-engine, the double score spec-pinned as
+    * a closed form of those integers).
+    */
+  final case class QualityClfModel(buckets: DataFrame, totPos: Long,
+                                   totNeg: Long, nPosDocs: Long,
+                                   nNegDocs: Long, alpha: Double,
+                                   gramNs: Seq[Int], hexChars: Int,
+                                   md5Family: Boolean) {
+    def nBuckets: Long = 1L << (4 * hexChars)
+  }
+
+  /** Train on a labeled split: `pos` = the reference/high-quality class,
+    * `neg` = the rejection class. Same bounded-model contract as
+    * [[dsirTrain]] (the bucket relation materializes once, ≤
+    * 16^hexChars rows; both corpus scans are map-side-combined).
+    */
+  def qualityClfTrain(pos: DataFrame, neg: DataFrame, textCol: String,
+                      gramNs: Seq[Int] = Seq(1, 2), hexChars: Int = 2,
+                      alpha: Double = 1.0,
+                      md5Family: Boolean = false): QualityClfModel = {
+    require(gramNs.nonEmpty && gramNs.forall(_ >= 1),
+      s"gramNs must be non-empty positive gram sizes, got $gramNs")
+    require(gramNs.distinct == gramNs, s"gramNs must be distinct, got $gramNs")
+    require(hexChars >= 1 && hexChars <= 7,
+      s"hexChars must be in [1, 7], got $hexChars")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    def bucketCounts(df: DataFrame, cName: String): DataFrame =
+      df.select(TextDedup.tokenize(col(textCol)).as("toks"))
+        .select(explode(dsirGrams(col("toks"), gramNs)).as("gram"))
+        .groupBy(dsirBucket(col("gram"), hexChars, md5Family).as("bucket"))
+        .agg(count(lit(1)).as(cName))
+    val buckets = bucketCounts(pos, "c_pos")
+      .join(bucketCounts(neg, "c_neg"), Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("c_pos"), lit(0L)).as("c_pos"),
+        coalesce(col("c_neg"), lit(0L)).as("c_neg"))
+      .localCheckpoint(true) // train-offline: the dsirTrain materialization contract
+    val tots = buckets.agg(coalesce(sum("c_pos"), lit(0L)),
+      coalesce(sum("c_neg"), lit(0L))).head()
+    QualityClfModel(buckets, tots.getLong(0), tots.getLong(1),
+      pos.count(), neg.count(), alpha, gramNs, hexChars, md5Family)
+  }
+
+  /** Score documents against a trained [[QualityClfModel]]: the integer
+    * sufficient statistics (`n_grams`, `oov_pos`, `oov_neg`,
+    * `hit_pos` = Σ m·c_pos[b], `hit_neg` — the oracle surface) plus the
+    * NB log-odds `score` = ln(nPosDocs/nNegDocs) +
+    * Σ_b m_b·(ln(c_pos[b]+α) − ln(c_neg[b]+α)) + n_grams·ln((T_neg+αB)/
+    * (T_pos+αB)) and the decision `pred` = score > 0. Same plan shape
+    * as [[dsirWeights]]: gram explode → per-(doc, bucket) pre-agg →
+    * broadcast probe join → one doc-keyed fold; the corpus shuffles
+    * once on doc, the model never shuffles.
+    */
+  def qualityClfScore(docs: DataFrame, idCol: String, textCol: String,
+                      model: QualityClfModel): DataFrame = {
+    require(model.nPosDocs > 0 && model.nNegDocs > 0,
+      "model must be trained on non-empty classes")
+    val logConst = math.log(
+      (model.totNeg + model.alpha * model.nBuckets) /
+        (model.totPos + model.alpha * model.nBuckets))
+    val logPrior = math.log(model.nPosDocs.toDouble / model.nNegDocs)
+    val toksD = docs.select(col(idCol).as("doc_id"),
+      TextDedup.tokenize(col(textCol)).as("toks"))
+    val db = toksD
+      .select(col("doc_id"),
+        explode(dsirGrams(col("toks"), model.gramNs)).as("gram"))
+      .groupBy(col("doc_id"),
+        dsirBucket(col("gram"), model.hexChars, model.md5Family).as("bucket"))
+      .agg(count(lit(1)).as("m"))
+    val j = db.join(broadcast(model.buckets), Seq("bucket"), "left")
+      .select(col("doc_id"), col("m"),
+        coalesce(col("c_pos"), lit(0L)).as("c_pos"),
+        coalesce(col("c_neg"), lit(0L)).as("c_neg"))
+    val agg = j.groupBy("doc_id").agg(
+      sum(col("m")).as("n_grams"),
+      sum(when(col("c_pos") === 0L, col("m")).otherwise(lit(0L))).as("oov_pos"),
+      sum(when(col("c_neg") === 0L, col("m")).otherwise(lit(0L))).as("oov_neg"),
+      sum(col("c_pos") * col("m")).as("hit_pos"),
+      sum(col("c_neg") * col("m")).as("hit_neg"),
+      sum(col("m") * (log(col("c_pos").cast("double") + lit(model.alpha)) -
+        log(col("c_neg").cast("double") + lit(model.alpha)))).as("logratio"))
+    toksD.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("oov_pos"), lit(0L)).as("oov_pos"),
+        coalesce(col("oov_neg"), lit(0L)).as("oov_neg"),
+        coalesce(col("hit_pos"), lit(0L)).as("hit_pos"),
+        coalesce(col("hit_neg"), lit(0L)).as("hit_neg"),
+        (lit(logPrior) + coalesce(col("logratio"), lit(0.0)) +
+          coalesce(col("n_grams"), lit(0L)).cast("double") * lit(logConst))
+          .as("score"))
+      .withColumn("pred", col("score") > 0)
   }
 
   /** Gumbel top-k importance RESAMPLING (the paper's §2.3 selection

@@ -235,6 +235,165 @@ object Multimodal {
     }
   }
 
+  /** Bilinear scale to (w, h) — shared by resize and the perceptual
+    * hashes. Identity dims return the input untouched (also removes
+    * resampling from the oracle path: a fixture generated AT the hash
+    * grid size reaches the luma comparisons pixel-exact).
+    */
+  private[llm] def bilinearScale(img: java.awt.image.BufferedImage,
+                                 w: Int, h: Int): java.awt.image.BufferedImage =
+    if (img.getWidth == w && img.getHeight == h) img
+    else {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+  /** Integer luma grid of an image: L(x,y) = (r+g+b)/3, integer
+    * division — exact on any engine, and equal to the channel value on
+    * gray pixels.
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage): Array[Array[Int]] = {
+    val w = img.getWidth; val h = img.getHeight
+    val l = Array.ofDim[Int](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        l(y)(x) = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    l
+  }
+
+  /** PERCEPTUAL IMAGE HASHES — the image-dedup ladder's fingerprint
+    * stage (dHash/aHash, the standard CLIP-era pre-filter before
+    * embedding-level semantic dedup): decode the `media` payload, then
+    *
+    *   - `dhash` (difference hash): bilinear-downscale to 9×8, integer
+    *     luma, bit (y*8+x) set iff L(x+1,y) > L(x,y) — horizontal
+    *     gradient signs, robust to uniform brightness shifts;
+    *   - `ahash` (average hash): downscale to 8×8, bit set iff
+    *     L(x,y) > floor(mean) (integer mean over the 64 cells).
+    *
+    * Output (id, dhash, ahash); undecodable / null payloads yield null
+    * hashes (route or drop downstream — never silently zero, which
+    * would near-dup all broken files together). Projection-shaped like
+    * [[extractFeatures]]: pruned scan, per-partition decode, payload
+    * bytes never cross a shuffle; downstream [[graft.llm.TextDedup
+    * .hammingHashPairs]] ships only (id, hash) pairs. 100 TB: the only
+    * full-corpus pass is this decode projection.
+    */
+  def imageHashes(df: DataFrame, idCol: String): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("dhash", LongType).add("ahash", LongType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("media")
+        val img =
+          if (payload == null || !looksLikeImage(payload)) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+               catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.getLong(0), null, null)
+        else {
+          val dg = lumaGrid(bilinearScale(img, 9, 8))
+          var dhash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (dg(y)(x + 1) > dg(y)(x)) dhash |= (1L << (y * 8 + x))
+              x += 1
+            }
+            y += 1
+          }
+          val ag = lumaGrid(bilinearScale(img, 8, 8))
+          var sum = 0L
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) { sum += ag(yy)(xx); xx += 1 }
+            yy += 1
+          }
+          val mean = sum / 64
+          var ahash = 0L
+          yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              if (ag(yy)(xx) > mean) ahash |= (1L << (yy * 8 + xx))
+              xx += 1
+            }
+            yy += 1
+          }
+          Row(r.getLong(0), dhash, ahash)
+        }
+      }
+    }
+  }
+
+  /** Oracle-mirrorable image fixture: a 9×8 GRAY pattern BMP per row,
+    * every pixel derived from the id by pure integer arithmetic — the
+    * cross-engine contract for the image near-dup tier (a DuckDB oracle
+    * re-derives [[imageHashes]]' dhash without decoding pixels, because
+    * the fixture is generated AT the dHash grid size, so the decode →
+    * scale path is pixel-exact):
+    *
+    *   base   = id % 32 + 1
+    *   v      = (id / 32) % 3                      (variant)
+    *   raw(x,y) = (base * (x*7 + y*13 + 3)) % 251  (gray level)
+    *   flipped at (2,3) when v ≥ 1, and also (5,1) when v = 2,
+    *   where flipping sets L = 250 − raw
+    *
+    * ids sharing `base` are exact or near duplicates (each flipped
+    * pixel perturbs ≤ 2 dhash bits); different bases are unrelated —
+    * the three regimes an image near-dup fixture needs. BMP (24-bit)
+    * is lossless, so the gray levels survive the encode → ImageIO
+    * decode round-trip exactly.
+    */
+  def withSyntheticPatternImages(df: DataFrame, idCol: String): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as(idCol))
+    val outSchema = new StructType()
+      .add(idCol, LongType).add("media", BinaryType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = (id % 32) + 1
+        val v = (id / 32) % 3
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val raw = ((base * (x * 7 + y * 13 + 3)) % 251).toInt
+            val flip = (v >= 1 && x == 2 && y == 3) || (v == 2 && x == 5 && y == 1)
+            val l = if (flip) 250 - raw else raw
+            img.setRGB(x, y, (l << 16) | (l << 8) | l)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(id, bos.toByteArray), outSchema): Row
+      }
+    }
+  }
+
   /** Bilinear resize of one decodable image payload, re-encoded as PNG
     * (lossless, always ImageIO-writable). None when the bytes don't
     * decode.

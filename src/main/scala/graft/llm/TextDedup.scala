@@ -539,6 +539,129 @@ object TextDedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** CROSS-CORPUS edit-distance near-dup pairs — CHARACTER-level
+    * decontamination's candidate+verify stage. [[crossMinhashPairs]] is
+    * token-Jaccard: an eval prompt leaked with INTRA-WORD edits (typos,
+    * tokenization drift, "colour"/"color") changes whole tokens, so its
+    * shingle sets diverge fast and the Jaccard verify misses. This is
+    * the bipartite form of [[editDistancePairs]]: banded CHAR-shingle
+    * MinHash candidates generated only ACROSS the two relations (left ×
+    * right sharing a band bucket, never within one side), combined-
+    * occupancy bucket cap (admitted iff both sides appear and
+    * cl + cr ≤ maxBucket — the crossMinhashPairs telemetry contract),
+    * then the exact thresholded-levenshtein verify behind the
+    * |len_a − len_b| ≤ maxDist pre-gate.
+    *
+    * Scale shape, 100 TB: both sides shuffle once on (band, bucket)
+    * ids-only; the join cost is the bipartite bucket product, not a
+    * self-join square; texts travel only to distinct candidate pairs;
+    * the verify is Spark's Ukkonen-banded `levenshtein(a, b, maxDist)`
+    * (O(maxDist·len) per pair, integer-exact on any engine).
+    */
+  def crossEditDistancePairs(left: DataFrame, right: DataFrame,
+                             textCol: String, idCol: String, maxDist: Int,
+                             shingleN: Int = 3, bands: Int = 8,
+                             rowsPerBand: Int = 4,
+                             maxBucket: Int = 1000): DataFrame =
+    crossEditDistancePairsStats(left, right, textCol, idCol, maxDist,
+      shingleN, bands, rowsPerBand, maxBucket, XxHash).pairs
+
+  /** DuckDB-checkable md5 twin of [[crossEditDistancePairs]]. */
+  def crossEditDistancePairsMd5(left: DataFrame, right: DataFrame,
+                                textCol: String, idCol: String, maxDist: Int,
+                                shingleN: Int = 3, bands: Int = 4,
+                                rowsPerBand: Int = 2,
+                                maxBucket: Int = 1000): DataFrame =
+    crossEditDistancePairsStats(left, right, textCol, idCol, maxDist,
+      shingleN, bands, rowsPerBand, maxBucket, Md5Hash).pairs
+
+  private[llm] def crossEditDistancePairsStats(left: DataFrame,
+                                               right: DataFrame,
+                                               textCol: String, idCol: String,
+                                               maxDist: Int, shingleN: Int,
+                                               bands: Int, rowsPerBand: Int,
+                                               maxBucket: Int,
+                                               fam: HashFamily): PairsWithStats = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", array_distinct(charShingleHashes(col("text"), shingleN, fam)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashFromBaseHashes(col("sh"), k, fam))
+      .select("id", "text", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(withSig: DataFrame) = withSig.select(
+      col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          fam.band(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b).as("bh"))): _*))
+        .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val l = prep(left); val r = prep(right)
+    val lb = band(l); val rb = band(r)
+    val counts = lb.groupBy("band", "bh").agg(count(lit(1)).as("cl"))
+      .join(rb.groupBy("band", "bh").agg(count(lit(1)).as("cr")), Seq("band", "bh"))
+    val ok = counts.filter(col("cl") + col("cr") <= maxBucket).select("band", "bh")
+    val dropped = counts.filter(col("cl") + col("cr") > maxBucket)
+      .select(col("band"), col("bh").cast("string").as("bucket"),
+        (col("cl") + col("cr")).as("size"))
+    val cand = lb.join(ok, Seq("band", "bh"))
+      .select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(rb.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cand
+      .join(l.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(r.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+    PairsWithStats(pairs, dropped, cached = Seq(l, r))
+  }
+
+  /** CHARACTER-level cross-corpus decontamination: drop every `train`
+    * doc within `maxDist` edits of some `eval` doc
+    * ([[crossEditDistancePairs]] candidates, exact lev verify). Closes
+    * the gap BOTH other decontam tiers leave: `CorpusOps.decontaminate`
+    * needs a verbatim shared n-gram, [[fuzzyDecontaminate]] needs
+    * token-set overlap — a leaked prompt with intra-word edits evades
+    * both but not an edit-distance ball. Anti-join on contaminated
+    * train ids; same eager-materialize-then-unpersist endgame as
+    * [[fuzzyDecontaminate]] (the contaminated id set is tiny).
+    */
+  def editDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, maxDist: Int, shingleN: Int = 3,
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = 1000): DataFrame =
+    editDecontaminateImpl(train, eval, idCol, textCol, maxDist, shingleN,
+      bands, rowsPerBand, maxBucket, XxHash)
+
+  /** md5 twin of [[editDecontaminate]] (oracle-checkable end to end). */
+  def editDecontaminateMd5(train: DataFrame, eval: DataFrame, idCol: String,
+                           textCol: String, maxDist: Int, shingleN: Int = 3,
+                           bands: Int = 4, rowsPerBand: Int = 2,
+                           maxBucket: Int = 1000): DataFrame =
+    editDecontaminateImpl(train, eval, idCol, textCol, maxDist, shingleN,
+      bands, rowsPerBand, maxBucket, Md5Hash)
+
+  private def editDecontaminateImpl(train: DataFrame, eval: DataFrame,
+                                    idCol: String, textCol: String,
+                                    maxDist: Int, shingleN: Int, bands: Int,
+                                    rowsPerBand: Int, maxBucket: Int,
+                                    fam: HashFamily): DataFrame = {
+    val pws = crossEditDistancePairsStats(train, eval, textCol, idCol,
+      maxDist, shingleN, bands, rowsPerBand, maxBucket, fam)
+    // same materialize-before-unpersist rationale as fuzzyDecontaminateImpl
+    val contaminatedLazy = pws.pairs.select(col("id_a").as(idCol)).distinct()
+    val contaminated =
+      if (train.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        contaminatedLazy.checkpoint(true)
+      else contaminatedLazy.localCheckpoint(true)
+    pws.unpersist()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Jaccard similarity of two string arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column =
     jaccardDistinct(array_distinct(a), array_distinct(b))
@@ -629,6 +752,29 @@ object TextDedup {
   def simhashPairsWithStats(df: DataFrame, textCol: String, idCol: String,
                             maxHamming: Int = 3, maxBucket: Int = 1000): PairsWithStats =
     simhashPairsFrom(simhashDf(df, idCol, textCol), chunkBits = 16, maxHamming, maxBucket)
+
+  /** Banded HAMMING near-dup pairs over a PRECOMPUTED 64-bit hash column
+    * — the blocking+verify stage shared by simhash text near-dup and the
+    * perceptual-image tier ([[Multimodal.imageHashes]]' dhash/ahash):
+    * the hash splits into four `chunkBits`-bit chunks, candidates share
+    * a (chunk index, chunk value) bucket (pigeonhole: any pair within
+    * hamming ≤ 3 shares at least one of 4 chunks — exact recall at the
+    * default radius), buckets are capped with dropped-bucket telemetry,
+    * and the verify is one codegen'd `bit_count(a XOR b) ≤ maxHamming`
+    * per distinct candidate. Rows with a null hash never pair. At
+    * 100 TB the shuffle is (id, hash) only — 16 B/row.
+    */
+  def hammingHashPairs(df: DataFrame, idCol: String, hashCol: String,
+                       chunkBits: Int = 16, maxHamming: Int = 3,
+                       maxBucket: Int = 1000): DataFrame = {
+    require(chunkBits >= 1 && chunkBits <= 16,
+      s"chunkBits must be in [1, 16], got $chunkBits")
+    require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
+    simhashPairsFrom(
+      df.select(col(idCol).as("id"), col(hashCol).as("simhash"))
+        .filter(col("simhash").isNotNull),
+      chunkBits, maxHamming, maxBucket).pairs
+  }
 
   private def simhashPairsFrom(simDf: DataFrame, chunkBits: Int,
                                maxHamming: Int, maxBucket: Int): PairsWithStats = {

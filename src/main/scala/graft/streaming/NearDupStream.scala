@@ -576,6 +576,42 @@ object NearDupStream {
       simOk = (a, b) => levWithin(a, b, kd))
   }
 
+  /** Band-SHARDED stage A for the PERCEPTUAL-IMAGE family — incremental
+    * hamming near-dup edges over a PRECOMPUTED 64-bit hash column
+    * ([[graft.llm.Multimodal.imageHashes]]' dhash/ahash): codes are the
+    * four `chunkBits`-bit chunk values (the
+    * [[graft.llm.TextDedup.hammingHashPairs]] blocking — pigeonhole-
+    * exact at radius ≤ 3), the stored payload is the hash itself
+    * (8 bytes/member — the lightest payload of any sharded family), and
+    * the verify is one `Long.bitCount(a ^ b) ≤ maxHamming`. Paired with
+    * the shared ids-only [[unionFindStage]] it emits the batch pair
+    * relation exactly — PROVIDED every chunk bucket stays below
+    * `maxBucket` (above it the same divergence as [[editShardedEdges]]:
+    * batch drops the bucket, the shard keeps verifying against the
+    * stored prefix). Null hashes (undecodable payloads) never enter.
+    */
+  def imageShardedEdges(sdf: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int, chunkBits: Int = 16,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(chunkBits >= 1 && chunkBits <= 16,
+      s"chunkBits must be in [1, 16], got $chunkBits")
+    require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
+    val codes = array((0 until 4).map(c =>
+      concat(lit(s"c$c:"),
+        shiftright(col(hashCol), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1).cast("string"))): _*)
+    val prepared = sdf.select(col(idCol).cast("long").as("id"),
+      col(hashCol).cast("long").as("payload"), codes.as("codes"))
+      .where(col("id").isNotNull && col("payload").isNotNull)
+      .select(explode(col("codes")).as("code"), col("id"), col("payload"), col("codes"))
+    val mh = maxHamming
+    shardedEdgesCore[Long, Long](prepared, maxBucket,
+      extract = _.getLong(2),
+      decode = identity,
+      simOk = (a, b) => java.lang.Long.bitCount(a ^ b) <= mh,
+      payloadEnc = Encoders.scalaLong)
+  }
+
   /** The shared band-sharded stage-A core: per band-code shard, hold the
     * bucket's members (small code arrays split from the larger payloads,
     * so the per-arrival election scan never decodes payloads of
@@ -588,7 +624,12 @@ object NearDupStream {
   private def shardedEdgesCore[P: scala.reflect.ClassTag, D](
       prepared: DataFrame, maxBucket: Int,
       extract: Row => P, decode: P => D,
-      simOk: (D, D) => Boolean): DataFrame = {
+      simOk: (D, D) => Boolean,
+      // Kryo rejects primitive payloads (the image family stores a bare
+      // Long hash) — callers with primitive P pass the native encoder
+      payloadEnc: org.apache.spark.sql.Encoder[P] = null): DataFrame = {
+    val pEnc: org.apache.spark.sql.Encoder[P] =
+      if (payloadEnc != null) payloadEnc else Encoders.kryo[P]
     val rowEnc = Encoders.row(prepared.schema)
     val outSchema = new org.apache.spark.sql.types.StructType()
       .add("a", "long").add("b", "long")
@@ -602,7 +643,7 @@ object NearDupStream {
         memberCodes = getHandle.getMapState[Long, Array[String]]("codes",
           Encoders.scalaLong, Encoders.kryo[Array[String]], TTLConfig.NONE)
         memberP = getHandle.getMapState[Long, P]("sh",
-          Encoders.scalaLong, Encoders.kryo[P], TTLConfig.NONE)
+          Encoders.scalaLong, pEnc, TTLConfig.NONE)
       }
 
       override def handleInputRows(code: String, rows: Iterator[Row],

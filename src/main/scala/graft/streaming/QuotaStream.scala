@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
@@ -92,17 +92,24 @@ object QuotaStream {
     */
   def tokenBudgetStream(sdf: DataFrame, groupCol: String, orderCol: String,
                         textCol: String, defaultBudget: Long,
-                        budgetByGroup: Map[String, Long] = Map.empty): DataFrame = {
+                        budgetByGroup: Map[String, Long] = Map.empty,
+                        tokenizer: Option[Column => Column] = None): DataFrame = {
     require(defaultBudget > 0, s"defaultBudget must be positive, got $defaultBudget")
     budgetByGroup.foreach { case (g, b) =>
       require(b > 0, s"budget for group $g must be positive, got $b")
     }
     val inSchema = sdf.schema
+    // `tokenizer` swaps the BPE-ish regexp for a real token counter
+    // (e.g. Bpe.tokenCount under a deployed model) — still evaluated in
+    // the distributed stateless stage, identical batch/stream semantics
+    val nTok = tokenizer
+      .map(f => f(coalesce(col(textCol), lit(""))))
+      .getOrElse(regexp_count(coalesce(col(textCol), lit("")),
+        lit("\\w+|[^\\w\\s]")))
     val prepared = sdf.select(
       col(groupCol).cast("string").as("__g"),
       col(orderCol).cast("long").as("__o"),
-      regexp_count(coalesce(col(textCol), lit("")),
-        lit("\\w+|[^\\w\\s]")).cast("long").as("__ntok"),
+      nTok.cast("long").as("__ntok"),
       struct(col("*")).as("__row"))
     val prepEnc = Encoders.row(prepared.schema)
     val outSchema = inSchema

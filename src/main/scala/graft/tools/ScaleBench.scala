@@ -26,6 +26,112 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.tools.ScaleBench [outDir]"   # default /tmp/graft_sf1
   */
 object ScaleBench {
+  /** The editdist monolith-vs-sharded streaming A/B over `src`
+    * (doc_id, text): monolith editNearDupStream, band-sharded stage A +
+    * union-find stage B, batch dedup as ground truth; records rates and
+    * the three-way survivor sym-diff under `name`. Round 15 measured the
+    * CLIQUE regime (copies corpus — the monolith's connectivity shortcut
+    * wins); round 16 adds the PLANTED-PAIRS regime (salted corpus — no
+    * shortcut exists, candidates mostly fail verify, and stage A's
+    * distributed verify is the scale path). Regime rule (also on
+    * editShardedEdges' scaladoc): monolith when one bucket family
+    * dominates and components are dense; sharded when candidates spread
+    * across band families and mostly fail verify.
+    */
+  private def editShardedAB(spark: SparkSession,
+                            parts: scala.collection.mutable.ArrayBuffer[String],
+                            src0: org.apache.spark.sql.DataFrame,
+                            name: String): Unit = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = src0.select(col("doc_id"), col("text"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      implicit val encA: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
+      val rows = src.orderBy("doc_id").collect()
+      val nDocs = rows.length
+      val nInc = 10
+      val per = nDocs / nInc
+      def feedAll[T](ms: MemoryStream[Row], q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+        val t0 = System.nanoTime()
+        (0 until nInc).foreach { i =>
+          ms.addData(rows.slice(i * per, if (i == nInc - 1) nDocs else (i + 1) * per).toSeq)
+          q.processAllAvailable()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // monolith arm
+      val msM = MemoryStream[Row]
+      val qM = graft.streaming.NearDupStream.editNearDupStream(
+          msM.toDF(), "doc_id", "text", maxDist = 5, shingleN = 5)
+        .writeStream.format("memory").queryName("ed_mono_" + name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_edM").toString)
+        .start()
+      val secM = feedAll(msM, qM)
+      val monoKept = spark.table("ed_mono_" + name)
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").cache()
+      val nMono = monoKept.count()
+      qM.stop()
+      // sharded arm: stage A band-sharded lev edges, stage B union-find
+      val msA = MemoryStream[Row]
+      val qA = graft.streaming.NearDupStream.editShardedEdges(
+          msA.toDF(), "doc_id", "text", maxDist = 5, shingleN = 5)
+        .writeStream.format("memory").queryName("ed_edges_" + name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_edA").toString)
+        .start()
+      val secA = feedAll(msA, qA)
+      val edges = spark.table("ed_edges_" + name)
+        .select(col("a"), col("b")).as[(Long, Long)](Encoders.product[(Long, Long)])
+        .collect()
+      qA.stop()
+      implicit val encB: org.apache.spark.sql.Encoder[(Long, Long)] =
+        Encoders.product[(Long, Long)]
+      val msB = MemoryStream[(Long, Long)]
+      val qB = graft.streaming.NearDupStream.unionFindStage(
+          msB.toDF().toDF("a", "b"))
+        .writeStream.format("memory").queryName("ed_verdicts_" + name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckpt_edB").toString)
+        .start()
+      val t1 = System.nanoTime()
+      msB.addData(rows.map(r => (r.getLong(0), r.getLong(0))).toSeq)
+      msB.addData(edges.toSeq)
+      qB.processAllAvailable()
+      val secB = (System.nanoTime() - t1) / 1e9
+      val shardKept = spark.table("ed_verdicts_" + name)
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").cache()
+      val nShard = shardKept.count()
+      qB.stop()
+      val batchKept = graft.llm.TextDedup.dedupByPairs(src, "doc_id",
+          graft.llm.TextDedup.editDistancePairs(src, "text", "doc_id",
+            maxDist = 5, shingleN = 5).select("id_a", "id_b"))
+        .select("doc_id").cache()
+      val nBatch = batchKept.count()
+      val symDiff = shardKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(shardKept).count() +
+        monoKept.exceptAll(batchKept).count() +
+        batchKept.exceptAll(monoKept).count()
+      monoKept.unpersist(); shardKept.unpersist(); batchKept.unpersist()
+      parts += (f""""$name":{"docs":$nDocs,"edges":${edges.length},""" +
+        f""""mono_sec":$secM%.2f,"mono_docs_per_sec":${nDocs / secM}%.0f,""" +
+        f""""stage_a_sec":$secA%.2f,"stage_a_docs_per_sec":${nDocs / secA}%.0f,""" +
+        f""""stage_b_sec":$secB%.2f,""" +
+        f""""pipelined_docs_per_sec":${nDocs / math.max(secA, secB)}%.0f,""" +
+        f""""survivors_mono":$nMono,"survivors_sharded":$nShard,"survivors_batch":$nBatch,"sym_diff":$symDiff}""")
+      }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
@@ -119,7 +225,8 @@ object ScaleBench {
       "fuzzy_decontam_scale", "source_cap_hotgroup", "fuzzy_stream_soak",
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
       "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak", "bm25_ingest_scale",
-      "editdist_scale", "editdist_sharded")
+      "editdist_scale", "editdist_sharded", "editdist_sharded_mixed",
+      "token_mix_hotgroup")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -401,6 +508,66 @@ object ScaleBench {
       spark.sparkContext.removeSparkListener(recListener)
       parts += (s""""source_cap_hotgroup_bound":{"input_partitions":$nPart,""" +
         s""""cap":10,"hot_group_shuffled_rows_bound":${nPart * 10}}""")
+    }
+    // TOKEN-MIX hot-source A/B (round-15 VERDICT's one `weak`): ONE
+    // source holding 50% of the N× corpus, window form (running sum —
+    // Catalyst has NO InferWindowGroupLimit analog for SUM, so the hot
+    // group's full share sorts in ONE window task) vs the segmented
+    // prefix-sum form (one (group, range) exchange — the hot group
+    // spreads across span/rangeWidth tasks; range offsets from a tiny
+    // subtotal relation). Both admission sets are asserted IDENTICAL
+    // (sym-diff 0) before timing; the recorded delta is the hot-group
+    // serialization cost the segmentation removes.
+    if (wanted("token_mix_hotgroup")) {
+      // Run under default AQE (coalescing on): at this probe scale AQE
+      // merges near-empty partitions, so max_task_shuffle_read_rows
+      // understates the segmented form's structural spread (the plan
+      // pin in LlmOpsSpec carries the partitioning proof); the window
+      // form's max task is structural at ANY scale — the hot group's
+      // full share plus whatever hashes with it.
+      val hot = docsSf1.withColumn("source",
+        when(col("doc_id") % 2 === 0, lit("hotdomain")).otherwise(col("source")))
+      val budget = 100000L // admits a few hundred docs/group; the hot group rejects ~all
+      val rangeWidth = 4096L
+      val shufRecords = new java.util.concurrent.atomic.AtomicLong(0)
+      // max shuffle rows READ by any single task — the machine-speed-
+      // independent witness: the window form funnels the hot group's
+      // full share into ONE task's sort+cumsum; the segmented form's
+      // ceiling is its range granularity
+      val maxTaskRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val recListener = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          shufRecords.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val r = Option(te.taskMetrics).map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+          maxTaskRead.accumulateAndGet(r, Math.max(_, _))
+        }
+      }
+      spark.sparkContext.addSparkListener(recListener)
+      def timedRows(name: String)(rows: => Long): String = {
+        spark.catalog.clearCache()
+        shufRecords.set(0)
+        maxTaskRead.set(0)
+        val t0 = System.nanoTime()
+        val n = rows
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // async listener settle
+        f""""$name":{"sec":$sec%.2f,"rows":$n,"shuffled_rows":${shufRecords.get},""" +
+          f""""max_task_shuffle_read_rows":${maxTaskRead.get}}"""
+      }
+      def winDf() = graft.llm.CorpusOps.mixByTokenBudget(
+        hot, "doc_id", "text", "source", budget)
+      def segDf() = graft.llm.CorpusOps.mixByTokenBudgetSegmented(
+        hot, "doc_id", "text", "source", budget, rangeWidth = rangeWidth)
+      val symDiff = winDf().exceptAll(segDf()).count() +
+        segDf().exceptAll(winDf()).count()
+      require(symDiff == 0,
+        s"segmented token mix diverged from the window form: sym-diff $symDiff")
+      winDf().count(); segDf().count() // untimed warm-up
+      parts += timedRows("token_mix_window")(winDf().count())
+      parts += timedRows("token_mix_segmented")(segDf().count())
+      spark.sparkContext.removeSparkListener(recListener)
+      parts += s""""token_mix_hotgroup_symdiff":$symDiff"""
     }
     // FuzzyDecontamStream state soak (VERDICT r12 owed measurement): the
     // watermark-bounded pair dedup's state must track the RETENTION
@@ -1087,94 +1254,24 @@ object ScaleBench {
     // survivor set as batch dedupByPairs(editDistancePairs) — sym-diff
     // asserted 0.
     if (wanted("editdist_sharded")) {
-      import org.apache.spark.sql.{Encoders, Row}
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val src = docsSf1.select(col("doc_id"), col("text"))
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      implicit val encA: org.apache.spark.sql.Encoder[Row] = Encoders.row(src.schema)
-      val rows = src.orderBy("doc_id").collect()
-      val nDocs = rows.length
-      val nInc = 10
-      val per = nDocs / nInc
-      def feedAll[T](ms: MemoryStream[Row], q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
-        val t0 = System.nanoTime()
-        (0 until nInc).foreach { i =>
-          ms.addData(rows.slice(i * per, if (i == nInc - 1) nDocs else (i + 1) * per).toSeq)
-          q.processAllAvailable()
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      // monolith arm
-      val msM = MemoryStream[Row]
-      val qM = graft.streaming.NearDupStream.editNearDupStream(
-          msM.toDF(), "doc_id", "text", maxDist = 5, shingleN = 5)
-        .writeStream.format("memory").queryName("ed_mono")
-        .outputMode("update")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ckpt_edM").toString)
-        .start()
-      val secM = feedAll(msM, qM)
-      val monoKept = spark.table("ed_mono")
-        .groupBy(col("doc_id"))
-        .agg(max_by(col("change"), col("upd_seq")).as("change"))
-        .filter(col("change") === "keep")
-        .select("doc_id").cache()
-      val nMono = monoKept.count()
-      qM.stop()
-      // sharded arm: stage A band-sharded lev edges, stage B union-find
-      val msA = MemoryStream[Row]
-      val qA = graft.streaming.NearDupStream.editShardedEdges(
-          msA.toDF(), "doc_id", "text", maxDist = 5, shingleN = 5)
-        .writeStream.format("memory").queryName("ed_edges")
-        .outputMode("append")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ckpt_edA").toString)
-        .start()
-      val secA = feedAll(msA, qA)
-      val edges = spark.table("ed_edges")
-        .select(col("a"), col("b")).as[(Long, Long)](Encoders.product[(Long, Long)])
-        .collect()
-      qA.stop()
-      implicit val encB: org.apache.spark.sql.Encoder[(Long, Long)] =
-        Encoders.product[(Long, Long)]
-      val msB = MemoryStream[(Long, Long)]
-      val qB = graft.streaming.NearDupStream.unionFindStage(
-          msB.toDF().toDF("a", "b"))
-        .writeStream.format("memory").queryName("ed_verdicts")
-        .outputMode("update")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("ckpt_edB").toString)
-        .start()
-      val t1 = System.nanoTime()
-      msB.addData(rows.map(r => (r.getLong(0), r.getLong(0))).toSeq)
-      msB.addData(edges.toSeq)
-      qB.processAllAvailable()
-      val secB = (System.nanoTime() - t1) / 1e9
-      val shardKept = spark.table("ed_verdicts")
-        .groupBy(col("doc_id"))
-        .agg(max_by(col("change"), col("upd_seq")).as("change"))
-        .filter(col("change") === "keep")
-        .select("doc_id").cache()
-      val nShard = shardKept.count()
-      qB.stop()
-      val batchKept = graft.llm.TextDedup.dedupByPairs(docsSf1, "doc_id",
-          graft.llm.TextDedup.editDistancePairs(docsSf1, "text", "doc_id",
-            maxDist = 5, shingleN = 5).select("id_a", "id_b"))
-        .select("doc_id").cache()
-      val nBatch = batchKept.count()
-      val symDiff = shardKept.exceptAll(batchKept).count() +
-        batchKept.exceptAll(shardKept).count() +
-        monoKept.exceptAll(batchKept).count() +
-        batchKept.exceptAll(monoKept).count()
-      monoKept.unpersist(); shardKept.unpersist(); batchKept.unpersist()
-      parts += (f""""editdist_sharded":{"docs":$nDocs,"edges":${edges.length},""" +
-        f""""mono_sec":$secM%.2f,"mono_docs_per_sec":${nDocs / secM}%.0f,""" +
-        f""""stage_a_sec":$secA%.2f,"stage_a_docs_per_sec":${nDocs / secA}%.0f,""" +
-        f""""stage_b_sec":$secB%.2f,""" +
-        f""""pipelined_docs_per_sec":${nDocs / math.max(secA, secB)}%.0f,""" +
-        f""""survivors_mono":$nMono,"survivors_sharded":$nShard,"survivors_batch":$nBatch,"sym_diff":$symDiff}""")
+      editShardedAB(spark, parts, docsSf1, "editdist_sharded")
+    }
+    // PLANTED-PAIRS (mixed) regime at N× — the half of the r15 regime
+    // claim that was inferred, now measured: each even doc spawns a
+    // (d, d+1) pair sharing text + a pair-keyed md5 salt, the partner
+    // one edit away; every OTHER similarity (including the copy
+    // construction's cliques) is pushed ≥ ~30 edits apart by the salts,
+    // while char-shingle banding still buckets same-origin copies —
+    // heavy candidate load, almost all failing verify, components of
+    // size 2: no connectivity shortcut for the monolith to exploit.
+    if (wanted("editdist_sharded_mixed")) {
+      val mixed = docsSf1.filter(col("doc_id") % 2 === 0)
+        .select(explode(array(lit(0L), lit(1L))).as("v"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") + col("v")).as("doc_id"),
+          concat(col("text"), lit(" s"), md5(col("doc_id").cast("string")),
+            when(col("v") === 1L, lit("Q")).otherwise(lit(""))).as("text"))
+      editShardedAB(spark, parts, mixed, "editdist_sharded_mixed")
     }
     // Streaming EMBEDDING near-dup at N× — the vector twin of
     // neardup_stream_soak, in the production high-similarity regime the

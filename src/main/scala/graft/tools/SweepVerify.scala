@@ -399,6 +399,87 @@ object SweepVerify {
        |SELECT id_a, id_b, dist FROM ep""".stripMargin
   }
 
+  /** DuckDB mirror of the perceptual-image near-dup pair relation over
+    * the id-derived 9×8 gray-pattern fixture
+    * (Multimodal.withSyntheticPatternImages — the fixture is generated
+    * AT the dHash grid size, so Spark's real decode→hash meets this
+    * pure-integer arithmetic bit-for-bit), with DRAWN hamming radius
+    * and bucket cap.
+    */
+  private def imageHashPairsSql(maxHamming: Int, maxBucket: Int): String = {
+    def lum(x: Int, y: Int): String = {
+      val k = x * 7 + y * 13 + 3
+      val raw = s"(((doc_id % 32) + 1) * $k) % 251"
+      if (x == 2 && y == 3) s"(CASE WHEN (doc_id // 32) % 3 >= 1 THEN 250 - ($raw) ELSE $raw END)"
+      else if (x == 5 && y == 1) s"(CASE WHEN (doc_id // 32) % 3 = 2 THEN 250 - ($raw) ELSE $raw END)"
+      else s"($raw)"
+    }
+    val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val bit = y * 8 + x
+      val mask = if (bit == 63) "(-9223372036854775807 - 1)"
+                 else s"(1::BIGINT << $bit)"
+      s"(CASE WHEN ${lum(x + 1, y)} > ${lum(x, y)} THEN $mask ELSE 0::BIGINT END)"
+    }).mkString(" |\n  ")
+    s"""WITH h AS (SELECT doc_id, $dhash AS dhash FROM documents),
+       |chp AS (SELECT doc_id, dhash, c AS chunk, (dhash >> (c * 16)) & 65535 AS cv
+       |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t),
+       |okp AS (SELECT chunk, cv FROM chp GROUP BY chunk, cv
+       |  HAVING count(*) <= $maxBucket AND count(*) > 1),
+       |ibp AS (SELECT chp.* FROM chp JOIN okp USING (chunk, cv)),
+       |pairs AS (SELECT id_a, id_b, min(hamming) AS hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+       |  FROM ibp a JOIN ibp b ON a.chunk = b.chunk AND a.cv = b.cv
+       |    AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= $maxHamming GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, hamming FROM pairs""".stripMargin
+  }
+
+  /** Parameterized mirror of `TextDedup.editDecontaminateMd5` over the
+    * doc_id % 10 train/eval split: the editPairsSql hash construction
+    * with BIPARTITE candidates (train × eval sharing a band bucket,
+    * combined occupancy ≤ maxBucket, no per-side > 1 floor), exact
+    * integer lev ≤ maxDist verify, anti-join on contaminated train ids.
+    */
+  private def editDecontamSql(shingleN: Int, bands: Int, r: Int,
+                              maxDist: Int, maxBucket: Int): String = {
+    val k = bands * r
+    val fold = (1 until shingleN).foldLeft("th[i]")((acc, j) => s"md5($acc || th[i+$j])")
+    val sigItems = (0 until k).map(i =>
+      s"list_min(list_transform(sh, h -> md5(h || '#$i')))").mkString(",\n    ")
+    val bandCase = (0 until bands).map { b =>
+      val parts = (1 to r).map(j => s"sig[${b * r + j}]").mkString(" || '|' || ")
+      s"WHEN $b THEN md5($parts || '#$b')"
+    }.mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, text,
+       |  list_transform(generate_series(1, length(text)), i -> md5(text[i])) AS th
+       |  FROM documents),
+       |sh0 AS (SELECT doc_id, text, list_distinct(list_transform(
+       |  generate_series(1, greatest(len(th) - ${shingleN - 1}, 0)),
+       |  i -> $fold)) AS sh FROM tk),
+       |s2 AS (SELECT doc_id, text, sh FROM sh0 WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, [$sigItems] AS sig FROM s2),
+       |banded AS (SELECT doc_id, band, CASE band $bandCase END AS bh
+       |  FROM sig CROSS JOIN (SELECT unnest([${(0 until bands).mkString(", ")}]) AS band) b),
+       |cnt AS (SELECT band, bh,
+       |    count(*) FILTER (WHERE doc_id % 10 <> 0) AS cl,
+       |    count(*) FILTER (WHERE doc_id % 10 = 0) AS cr
+       |  FROM banded GROUP BY band, bh),
+       |ok AS (SELECT band, bh FROM cnt
+       |  WHERE cl >= 1 AND cr >= 1 AND cl + cr <= $maxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN ok ON a.band = ok.band AND a.bh = ok.bh
+       |  JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+       |ep AS (SELECT id_a FROM (
+       |  SELECT id_a, CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS dist
+       |  FROM cand JOIN s2 ta ON ta.doc_id = cand.id_a
+       |           JOIN s2 tb ON tb.doc_id = cand.id_b)
+       |  WHERE dist <= $maxDist)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT DISTINCT id_a FROM ep)""".stripMargin
+  }
+
   /** Parameterized mirror of `TextDedup.crossMinhashPairsMd5` over the
     * doc_id % evalMod train/eval split — the fuzzy-decontamination
     * candidate relation with DRAWN geometry: a (band, bucket) is
@@ -1264,7 +1345,8 @@ object SweepVerify {
       "emb_ivfpq_stream", "fuzzy_decontam", "source_cap", "fuzzy_stream",
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
       "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream",
-      "editdist_pairs", "token_mix")
+      "editdist_pairs", "token_mix", "editdist_decontam", "image_hash",
+      "bpe_encode")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -1887,13 +1969,23 @@ object SweepVerify {
             embSemDedupSql(nc, ll, epsQ, mc),
             s"c${nc}_l${ll}_e${epsQ}_mc$mc")
         case "token_mix" =>
-          // drawn default budget × one per-group override: small budgets
-          // cut every source early, large ones never bite, and the src1
-          // override diverges from the default in both directions
+          // drawn default budget × one per-group override × FORM
+          // (window vs segmented prefix sum with drawn rangeWidth —
+          // both must produce the identical admission set): small
+          // budgets cut every source early, large ones never bite, and
+          // the src1 override diverges from the default both ways
           val db = pick(Seq(200L, 500L, 1200L))
           val b1 = pick(Seq(100L, 700L, 50000L))
-          (graft.llm.CorpusOps.mixByTokenBudget(docs, "doc_id", "text",
-            "source", defaultBudget = db, budgetByGroup = Map("src1" -> b1)),
+          val rw = pick(Seq(0L, 1L, 16L, 1024L)) // 0 = window form
+          val mixed =
+            if (rw == 0L)
+              graft.llm.CorpusOps.mixByTokenBudget(docs, "doc_id", "text",
+                "source", defaultBudget = db, budgetByGroup = Map("src1" -> b1))
+            else
+              graft.llm.CorpusOps.mixByTokenBudgetSegmented(docs, "doc_id",
+                "text", "source", defaultBudget = db,
+                budgetByGroup = Map("src1" -> b1), rangeWidth = rw)
+          (mixed,
             s"""WITH t AS (SELECT doc_id, source,
                |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tok
                |  FROM documents),
@@ -1903,7 +1995,54 @@ object SweepVerify {
                |  FROM t)
                |SELECT doc_id, source, n_tok, tok_before FROM c
                |WHERE tok_before < (CASE source WHEN 'src1' THEN $b1 ELSE $db END)""".stripMargin,
-            s"d${db}_s1b$b1")
+            s"d${db}_s1b${b1}_rw$rw")
+        case "bpe_encode" =>
+          // drawn sample geometry × merge count × encode truncation —
+          // training AND encoding re-derived per draw on BOTH engines
+          // (the SQL mirror re-trains from the raw table, so every draw
+          // exercises the full trainer state machine, early-stop and
+          // tie-break rules included)
+          val sd = pick(Seq(2, 4, 8)); val sc = pick(Seq(120, 240))
+          val nm = pick(Seq(0, 8, 24)); val ec = pick(Seq(60, 120))
+          val model = graft.llm.Bpe.train(docs, "doc_id", "text",
+            numMerges = nm, sampleDocs = sd, sampleChars = sc)
+          (docs.select(col("doc_id"),
+              org.apache.spark.sql.functions.posexplode(graft.llm.Bpe.encode(
+                org.apache.spark.sql.functions.substring(col("text"), 1, ec), model)))
+            .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+              col("col").cast("long").as("token_id")),
+            graft.SparkEntry.docBpeEncodeOracleFor(sd, sc, nm, ec),
+            s"s${sd}x${sc}_m${nm}_e$ec")
+        case "image_hash" =>
+          // drawn hamming radius × bucket cap over the pattern-image
+          // fixture: radius 0 = exact-duplicate regime, 3 = the
+          // pigeonhole-guaranteed radius, 6 = recall beyond the
+          // guarantee (pairs are still blocking-defined — the mirror
+          // replicates the blocking, so the relation is exact either
+          // way); cap 20 forces dropped buckets on the hot patterns
+          val mh = pick(Seq(0, 3, 6)); val mb = pick(Seq(20, 1000))
+          (graft.llm.TextDedup.hammingHashPairs(
+            graft.llm.Multimodal.imageHashes(
+              graft.llm.Multimodal.withSyntheticPatternImages(docs, "doc_id"),
+              "doc_id"),
+            "id", "dhash", chunkBits = 16, maxHamming = mh, maxBucket = mb),
+            imageHashPairsSql(mh, mb),
+            s"h${mh}_mb$mb")
+        case "editdist_decontam" =>
+          // drawn char-shingle banding × lev radius × combined bucket
+          // cap over the doc_id%10 train/eval split — the bipartite
+          // relation under cap pressure on BOTH sides plus the
+          // anti-join endgame
+          val n = pick(Seq(3, 5)); val bands = pick(Seq(4, 6))
+          val r = pick(Seq(1, 2, 4)); val md = pick(Seq(1, 5, 10))
+          val mb = pick(Seq(50, 1000))
+          (graft.llm.TextDedup.editDecontaminateMd5(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            maxDist = md, shingleN = n, bands = bands, rowsPerBand = r,
+            maxBucket = mb).select("doc_id"),
+            editDecontamSql(n, bands, r, md, mb),
+            s"n${n}_b${bands}x${r}_d${md}_mb$mb")
         case "editdist_pairs" =>
           // drawn char-shingle banding × lev threshold × bucket cap:
           // small caps drop degenerate buckets on BOTH sides; maxDist=1

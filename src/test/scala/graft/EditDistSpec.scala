@@ -72,6 +72,47 @@ class EditDistSpec extends AnyFunSuite with SparkTestSession {
         "(docs 6/7 are identical but below the 3-char shingle floor)")
   }
 
+  test("editDecontaminate: drops train docs in the eval edit ball, " +
+      "including intra-word edits token-Jaccard decontam provably misses") {
+    // eval doc 100 leaked into train as doc 1 with one character edit
+    // in EVERY word: the token sets are DISJOINT (unigram Jaccard = 0 —
+    // fuzzyDecontaminate cannot flag it at ANY threshold > 0), but
+    // lev = 3 and the char-shingle sets still overlap enough to band
+    val evalTxt = "alphabet betatron gammaray"
+    val trainTxt = "alphqbet betqtron gammqray"
+    assert(refLev(evalTxt, trainTxt) === 3, "fixture drift")
+    assert(evalTxt.split(' ').toSet.intersect(trainTxt.split(' ').toSet).isEmpty,
+      "fixture drift: token sets must be disjoint")
+    val train = Seq(
+      (1L, trainTxt),
+      (2L, "a completely unrelated training document about spark plans"),
+      (3L, evalTxt) // verbatim leak: dist 0
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalTxt)).toDF("doc_id", "text")
+    val survivors = llm.TextDedup.editDecontaminateMd5(train, eval,
+        "doc_id", "text", maxDist = 3, shingleN = 3, bands = 6,
+        rowsPerBand = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(2L),
+      s"expected docs 1 (3 intra-word edits) and 3 (verbatim) dropped, got $survivors")
+    // the same geometry through token-Jaccard (unigram shingles, any
+    // threshold > 0): doc 1 SURVIVES — the gap this operator closes
+    val fuzzy = llm.TextDedup.fuzzyDecontaminateMd5(train, eval, "doc_id",
+        "text", shingleN = 1, bands = 6, rowsPerBand = 1, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fuzzy.contains(1L),
+      "fixture drift: token-Jaccard unexpectedly caught the intra-word leak")
+    // xx/md5 family agreement on the cross relation
+    val md5Pairs = llm.TextDedup.crossEditDistancePairsMd5(train, eval,
+        "text", "doc_id", maxDist = 3, shingleN = 3, bands = 6,
+        rowsPerBand = 1).as[(Long, Long, Int)].collect().toSet
+    val xxPairs = llm.TextDedup.crossEditDistancePairs(train, eval,
+        "text", "doc_id", maxDist = 3, shingleN = 3, bands = 6,
+        rowsPerBand = 1).as[(Long, Long, Int)].collect().toSet
+    assert(md5Pairs === Set((1L, 100L, 3), (3L, 100L, 0)))
+    assert(xxPairs === md5Pairs, "xx family diverged from md5 family")
+  }
+
   test("editShardedEdges two-stage: stage-A edges equal batch pairs, " +
       "stage-B survivors equal batch dedup") {
     val df = docs.toDF("doc_id", "text")

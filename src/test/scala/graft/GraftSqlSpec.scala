@@ -315,6 +315,53 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
       "fixture should cut at least one source's tail")
   }
 
+  test("graft_token_mix_segmented TVF pins to the Scala API and the " +
+      "window-form TVF (identical admission set)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("docs_tokenmix_seg_tvf")
+    val viaSql = spark.sql(
+      """SELECT doc_id, source, n_tok, tok_before FROM graft_token_mix_segmented(
+        |  TABLE(docs_tokenmix_seg_tvf), 'doc_id', 'text', 'source', 300, 8)
+        |""".stripMargin).as[(Long, String, Int, Long)].collect().toSet
+    val viaApi = llm.CorpusOps.mixByTokenBudgetSegmented(docs, "doc_id",
+        "text", "source", defaultBudget = 300L, rangeWidth = 8L)
+      .as[(Long, String, Int, Long)].collect().toSet
+    assert(viaSql === viaApi, "TVF diverged from the Scala API")
+    val viaWindow = spark.sql(
+      """SELECT doc_id, source, n_tok, tok_before FROM graft_token_mix(
+        |  TABLE(docs_tokenmix_seg_tvf), 'doc_id', 'text', 'source', 300)
+        |""".stripMargin).as[(Long, String, Int, Long)].collect().toSet
+    assert(viaSql === viaWindow, "segmented TVF diverged from the window TVF")
+    intercept[IllegalArgumentException] {
+      spark.sql("""SELECT * FROM graft_token_mix_segmented(
+        |  TABLE(docs_tokenmix_seg_tvf), 'doc_id', 'text', 'source', 300)
+        |""".stripMargin)
+    }
+  }
+
+  test("graft_editdist_decontam TVF pins to the Scala API") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+      .createOrReplaceTempView("decontam_train_tvf")
+    docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .createOrReplaceTempView("decontam_eval_tvf")
+    val viaSql = spark.sql(
+      """SELECT doc_id FROM graft_editdist_decontam(
+        |  TABLE(decontam_train_tvf), TABLE(decontam_eval_tvf),
+        |  'text', 'doc_id', 5)
+        |""".stripMargin).as[Long].collect().toSet
+    val viaApi = llm.TextDedup.editDecontaminate(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0), "doc_id", "text", maxDist = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSql === viaApi, "TVF diverged from the Scala API")
+    intercept[IllegalArgumentException] {
+      spark.sql("""SELECT * FROM graft_editdist_decontam(
+        |  TABLE(decontam_train_tvf), TABLE(decontam_eval_tvf), 'text', 'doc_id')
+        |""".stripMargin)
+    }
+  }
+
   test("graft_editdist TVFs pin to the Scala API") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     docs.createOrReplaceTempView("docs_editdist_tvf")

@@ -182,6 +182,43 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestSession {
       s"token count must be computed below the exchange:\n$plan")
   }
 
+  test("mixByTokenBudgetSegmented plan: per-doc window keyed by (group, " +
+      "range); text scanned once (ReusedExchange); text never shuffles") {
+    // the hot-source fix: the per-doc cumsum window must partition on
+    // (group, __rng_lo) — a window partitioned on the group alone
+    // re-opens the single-task sort of a hot group's full corpus share
+    // UNCACHED read — the 100 TB shape is a parquet scan, and AQE's
+    // stage-reuse cache matches on the canonicalized exchange subtree
+    // (a cached relation inserts per-branch TableCacheQueryStage nodes
+    // that defeat the match). CacheManager substitutes the suite's
+    // cached `docs` into ANY matching sub-plan, so the cache must be
+    // cleared for this test (re-registered below for the later tests).
+    spark.catalog.clearCache()
+    val plan = try {
+      val freshDocs = Tables.documents(spark, sf)
+      val df = llm.CorpusOps.mixByTokenBudgetSegmented(freshDocs, "doc_id",
+        "text", "source", defaultBudget = 500L, rangeWidth = 64L)
+      df.collect() // AQE resolves exchange reuse at runtime — read the FINAL plan
+      df.queryExecution.executedPlan.toString
+    } finally { docs.cache(); docs.count() } // restore the suite's cache
+    // the per-doc window's spec names source, the range key, AND the
+    // doc order — the offsets window (source + range order, no doc_id)
+    // must not satisfy this
+    val specs = "windowspecdefinition\\([^)]*\\)".r
+      .findAllIn(plan).toList
+    assert(specs.exists(s => s.contains("source#") &&
+        s.contains("__rng_lo#") && s.contains("doc_id#")),
+      s"per-doc window not range-keyed (hot group would serialize):\n$plan")
+    // one text scan: the (group, range) exchange feeds both the local
+    // window and the subtotal branch via ReusedExchange
+    assert(plan.contains("ReusedExchange"),
+      s"subtotal branch re-scans the corpus (no ReusedExchange):\n$plan")
+    // the mixByTokenBudget payload-pruning property carries over
+    val exIdx = plan.indexOf("Exchange")
+    assert(exIdx >= 0 && !plan.substring(0, exIdx).contains("text#"),
+      s"text column crossed the exchange:\n$plan")
+  }
+
   test("nearDupClusters: min-label CC equals an in-memory union-find closure") {
     // chain 1-2-3 (transitive: 1~3 never paired), clique 10/11/12,
     // isolated pair 20-21, and a 4-hop path 30..34 (exercises >1 round)

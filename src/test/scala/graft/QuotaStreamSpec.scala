@@ -75,6 +75,44 @@ class QuotaStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(gotN === Set((1L, 2, 0L), (2L, 0, 2L), (3L, 2, 2L)))
   }
 
+  test("mixByTokenBudgetSegmented: sym-diff-0 vs the window form " +
+      "(fixture + sf0.001 corpus, ranges genuinely split groups)") {
+    // fixture incl. greedy-fill boundary, per-group override, null text
+    val df = Seq(
+      (1L, "s0", "a b c d"), (2L, "s0", "e f g h"),
+      (3L, "s0", "i j k l"), (4L, "s0", "m n o p"),
+      (5L, "s1", "q r"), (6L, "s1", null: String),
+      (7L, "s1", "s t")
+    ).toDF("doc_id", "source", "text")
+    def key(r: (Long, Int, Long)) = r
+    for (w <- Seq(1L, 2L, 100L)) { // 1 = one range per doc; 100 = one range total
+      val win = llm.CorpusOps.mixByTokenBudget(df, "doc_id", "text", "source",
+          defaultBudget = 10L, budgetByGroup = Map("s1" -> 1000L))
+        .select("doc_id", "n_tok", "tok_before")
+        .as[(Long, Int, Long)].collect().toSet
+      val seg = llm.CorpusOps.mixByTokenBudgetSegmented(df, "doc_id", "text",
+          "source", defaultBudget = 10L, budgetByGroup = Map("s1" -> 1000L),
+          rangeWidth = w)
+        .select("doc_id", "n_tok", "tok_before")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(seg === win, s"segmented (rangeWidth=$w) diverged from window form")
+    }
+    // corpus-scale: sf0.001 documents, rangeWidth small enough that every
+    // source occupies many ranges and the offset chain + prune both fire
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val win = llm.CorpusOps.mixByTokenBudget(docs, "doc_id", "text", "source",
+        defaultBudget = 500L, budgetByGroup = Map("src1" -> 700L))
+      .select("doc_id", "n_tok", "tok_before")
+      .as[(Long, Int, Long)].collect().toSet
+    val seg = llm.CorpusOps.mixByTokenBudgetSegmented(docs, "doc_id", "text",
+        "source", defaultBudget = 500L, budgetByGroup = Map("src1" -> 700L),
+        rangeWidth = 8L)
+      .select("doc_id", "n_tok", "tok_before")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(win.nonEmpty, "fixture drift: empty admission set")
+    assert(seg === win, "segmented diverged from window form on the corpus")
+  }
+
   test("tokenBudgetStream: ordered feed equals batch mixByTokenBudget; " +
       "chunking-invariant; restart-safe (token counters restore)") {
     val df = rows.toDF("doc_id", "source", "text") // texts "t$i": 2 toks each
