@@ -270,6 +270,113 @@ object GraftSql {
           litStr(es(2), "text column"),
           maxDist = litPosInt(es(4), "max_dist")))
       },
+      // `graft_image_hashes(t, id)` — perceptual dHash/aHash over the
+      // table's `media` binary column (real decode; null hashes for
+      // undecodable payloads)
+      "graft_image_hashes" -> { (es: Seq[Expression]) =>
+        require(es.length == 2,
+          s"graft_image_hashes expects 2 arguments (t, id), got ${es.length}")
+        plan(llm.Multimodal.imageHashes(tableArg(es.head),
+          litStr(es(1), "id column")))
+      },
+      // `graft_image_pairs(t, id, max_hamming)` — banded-hamming image
+      // near-dup pairs over the dhash
+      "graft_image_pairs" -> { (es: Seq[Expression]) =>
+        require(es.length == 3,
+          s"graft_image_pairs expects 3 arguments (t, id, max_hamming), " +
+            s"got ${es.length}")
+        val mh = litLong(es(2), "max_hamming")
+        require(mh >= 0L && mh <= 64L, s"max_hamming must be in [0, 64], got $mh")
+        plan(llm.TextDedup.hammingHashPairs(
+          llm.Multimodal.imageHashes(tableArg(es.head), litStr(es(1), "id column")),
+          "id", "dhash", maxHamming = mh.toInt))
+      },
+      // `graft_image_dedup(t, id, max_hamming)` — min-id CC image dedup
+      "graft_image_dedup" -> { (es: Seq[Expression]) =>
+        require(es.length == 3,
+          s"graft_image_dedup expects 3 arguments (t, id, max_hamming), " +
+            s"got ${es.length}")
+        val mh = litLong(es(2), "max_hamming")
+        require(mh >= 0L && mh <= 64L, s"max_hamming must be in [0, 64], got $mh")
+        val t = tableArg(es.head)
+        val idc = litStr(es(1), "id column")
+        plan(llm.TextDedup.dedupByPairs(t, idc,
+          llm.TextDedup.hammingHashPairs(
+            llm.Multimodal.imageHashes(t, idc), "id", "dhash",
+            maxHamming = mh.toInt).select("id_a", "id_b")))
+      },
+      // `graft_audio_hashes(t, id)` / `graft_audio_pairs(t, id,
+      // max_hamming)` / `graft_audio_dedup(t, id, max_hamming)` — the
+      // waveform-fingerprint twins of the image TVFs
+      "graft_audio_hashes" -> { (es: Seq[Expression]) =>
+        require(es.length == 2,
+          s"graft_audio_hashes expects 2 arguments (t, id), got ${es.length}")
+        plan(llm.Multimodal.audioHashes(tableArg(es.head),
+          litStr(es(1), "id column")))
+      },
+      "graft_audio_pairs" -> { (es: Seq[Expression]) =>
+        require(es.length == 3,
+          s"graft_audio_pairs expects 3 arguments (t, id, max_hamming), " +
+            s"got ${es.length}")
+        val mh = litLong(es(2), "max_hamming")
+        require(mh >= 0L && mh <= 63L, s"max_hamming must be in [0, 63], got $mh")
+        plan(llm.TextDedup.hammingHashPairs(
+          llm.Multimodal.audioHashes(tableArg(es.head), litStr(es(1), "id column")),
+          "id", "whash", maxHamming = mh.toInt))
+      },
+      "graft_audio_dedup" -> { (es: Seq[Expression]) =>
+        require(es.length == 3,
+          s"graft_audio_dedup expects 3 arguments (t, id, max_hamming), " +
+            s"got ${es.length}")
+        val mh = litLong(es(2), "max_hamming")
+        require(mh >= 0L && mh <= 63L, s"max_hamming must be in [0, 63], got $mh")
+        val t = tableArg(es.head)
+        val idc = litStr(es(1), "id column")
+        plan(llm.TextDedup.dedupByPairs(t, idc,
+          llm.TextDedup.hammingHashPairs(
+            llm.Multimodal.audioHashes(t, idc), "id", "whash",
+            maxHamming = mh.toInt).select("id_a", "id_b")))
+      },
+      // `graft_quality_clf(docs, pos, neg, id, text[, hex_chars])` —
+      // train the hashed-gram NB on the labeled split, score docs
+      "graft_quality_clf" -> { (es: Seq[Expression]) =>
+        require(es.length == 5 || es.length == 6,
+          s"graft_quality_clf expects 5 or 6 arguments " +
+            s"(docs, pos, neg, id, text[, hex_chars]), got ${es.length}")
+        val hex = if (es.length > 5) {
+          val h = litLong(es(5), "hex_chars")
+          require(h >= 1L && h <= 7L, s"hex_chars must be in [1, 7], got $h")
+          h.toInt
+        } else 4
+        val textCol = litStr(es(4), "text column")
+        val model = llm.CorpusOps.qualityClfTrain(tableArg(es(1)),
+          tableArg(es(2)), textCol, hexChars = hex)
+        plan(llm.CorpusOps.qualityClfScore(tableArg(es.head),
+          litStr(es(3), "id column"), textCol, model))
+      },
+      // `graft_bpe_encode(t, id, text, num_merges[, sample_docs,
+      // sample_chars])` — train BPE on the bounded sample, encode every
+      // row's text to its token-id array
+      "graft_bpe_encode" -> { (es: Seq[Expression]) =>
+        require(es.length == 4 || es.length == 6,
+          s"graft_bpe_encode expects 4 or 6 arguments " +
+            s"(t, id, text, num_merges[, sample_docs, sample_chars]), " +
+            s"got ${es.length}")
+        val t = tableArg(es.head)
+        val idc = litStr(es(1), "id column")
+        val txc = litStr(es(2), "text column")
+        val nm = litLong(es(3), "num_merges")
+        require(nm >= 0L && nm <= 65536L,
+          s"num_merges must be in [0, 65536], got $nm")
+        val model =
+          if (es.length == 4) llm.Bpe.train(t, idc, txc, nm.toInt)
+          else llm.Bpe.train(t, idc, txc, nm.toInt,
+            sampleDocs = litPosInt(es(4), "sample_docs"),
+            sampleChars = litPosInt(es(5), "sample_chars"))
+        plan(t.select(org.apache.spark.sql.functions.col(idc),
+          llm.Bpe.encode(org.apache.spark.sql.functions.col(txc), model)
+            .as("token_ids")))
+      },
       // `graft_editdist_dedup(t, text, id, max_dist)` — min-id CC dedup
       // over the pair relation (eager CC loop, like graft_neardup_dedup)
       "graft_editdist_dedup" -> { (es: Seq[Expression]) =>

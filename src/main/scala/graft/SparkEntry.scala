@@ -703,6 +703,18 @@ object SparkEntry {
         llm.Multimodal.withSyntheticPatternImages(Tables.documents(s, d), "doc_id"),
         "doc_id")
         .select(col("id").as("doc_id"), col("dhash"))),
+    // ... and the aHash twin: the fixture generated AT the 8×8 aHash
+    // grid (identity resize), so the mean-threshold hash is re-derived
+    // by the same integer arithmetic — both perceptual hashes carry an
+    // oracle row (the dHash of THIS fixture goes through a real 8×8→9×8
+    // bilinear upsample, so only ahash is selected here; mm_phash pins
+    // dhash on its own grid)
+    "mm_ahash" -> ((s, d) =>
+      llm.Multimodal.imageHashes(
+        llm.Multimodal.withSyntheticPatternImages(Tables.documents(s, d),
+          "doc_id", gridW = 8, gridH = 8),
+        "doc_id")
+        .select(col("id").as("doc_id"), col("ahash"))),
     // ... → banded-hamming candidate pairs over the dhash (4×16-bit
     // chunks, pigeonhole-exact at radius 3, capped buckets) with the
     // codegen'd bit_count verify
@@ -748,6 +760,35 @@ object SparkEntry {
         "doc_id", "text_t", "source", defaultBudget = 300L,
         budgetByGroup = Map("src1" -> 500L),
         tokenizer = Some(c => llm.Bpe.tokenCount(c, model)))
+    }),
+    // AUDIO near-dup tier: REAL javax.sound decode → 64 window sums →
+    // gradient-sign waveform hash over the id-derived 16-bit PCM WAV
+    // fixture (lossless round-trip — the oracle re-derives the window
+    // sums by integer arithmetic; see withSyntheticWavs' contract)
+    "mm_audio_hash" -> ((s, d) =>
+      llm.Multimodal.audioHashes(
+        llm.Multimodal.withSyntheticWavs(Tables.documents(s, d), "doc_id"),
+        "doc_id")
+        .select(col("id").as("doc_id"), col("whash"))),
+    // ... → banded-hamming pairs over the waveform hash (the SAME
+    // hammingHashPairs core as text simhash and image dHash — the hash
+    // column is the whole interface)
+    "mm_audio_neardup_pairs" -> ((s, d) =>
+      llm.TextDedup.hammingHashPairs(
+        llm.Multimodal.audioHashes(
+          llm.Multimodal.withSyntheticWavs(Tables.documents(s, d), "doc_id"),
+          "doc_id"),
+        "id", "whash", chunkBits = 16, maxHamming = 2, maxBucket = 1000)),
+    // ... → min-id CC audio dedup
+    "mm_audio_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.dedupByPairs(docs, "doc_id",
+        llm.TextDedup.hammingHashPairs(
+          llm.Multimodal.audioHashes(
+            llm.Multimodal.withSyntheticWavs(docs, "doc_id"), "doc_id"),
+          "id", "whash", chunkBits = 16, maxHamming = 2, maxBucket = 1000)
+          .select("id_a", "id_b"))
+        .select("doc_id")
     }),
     // STREAMING image dedup: the sharded two-stage bridge over the
     // dhash chunks (stage A per-chunk hamming edges — 8-byte payloads —
@@ -2294,6 +2335,10 @@ object SparkEntry {
       "doc_bpe_encode" -> docBpeEncodeOracle,
       "doc_token_mix_bpe" -> docTokenMixBpeOracle,
       "mm_phash" -> mmPhashOracle,
+      "mm_ahash" -> mmAhashOracle,
+      "mm_audio_hash" -> mmAudioHashOracle,
+      "mm_audio_neardup_pairs" -> mmAudioPairsOracle,
+      "mm_audio_dedup" -> mmAudioDedupOracle,
       "mm_image_neardup_pairs" -> mmImagePairsOracle,
       "mm_image_dedup" -> mmImageDedupOracle,
       "mm_image_dedup_stream_replay" -> mmImageDedupOracle,
@@ -3059,6 +3104,68 @@ cb AS (SELECT doc_id, source, n_tok,
 SELECT doc_id, source, n_tok, tok_before FROM cb
 WHERE tok_before < (CASE source WHEN 'src1' THEN 500 ELSE 300 END)"""
 
+  /** CTE chain mirroring Multimodal.audioHashes over the synthetic-WAV
+    * fixture (withSyntheticWavs: nSamples=2048, win=32, baseMod=32):
+    * per-(doc, window) integer sample sums from the formula + the
+    * variant bumps, adjacent-window comparisons → 63-bit hash (no sign
+    * bit, so a plain SUM of distinct powers is safe). Ends with
+    * ah(doc_id, whash).
+    */
+  private def mmAudioHashCtes: String =
+    """aw AS (
+      |  SELECT doc_id, k,
+      |    list_sum(list_transform(generate_series(k * 32, k * 32 + 31),
+      |      i -> ((((doc_id % 32) + 1) * (i * 7 + 3)) % 251) - 125))
+      |    + CASE WHEN ((doc_id // 32) % 3 >= 1 AND k = 5)
+      |             OR ((doc_id // 32) % 3 = 2 AND k = 11)
+      |           THEN 40 * 32 ELSE 0 END AS s
+      |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) t),
+      |ah AS (
+      |  SELECT a.doc_id,
+      |    CAST(sum(CASE WHEN b.s > a.s THEN (1::BIGINT << a.k) ELSE 0::BIGINT END) AS BIGINT) AS whash
+      |  FROM aw a JOIN aw b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+      |  WHERE a.k < 63 GROUP BY a.doc_id)""".stripMargin
+
+  private def mmAudioHashOracle: String =
+    s"""WITH $mmAudioHashCtes
+       |SELECT doc_id, whash FROM ah""".stripMargin
+
+  /** hammingHashPairs mirror over the waveform hash (chunkBits=16,
+    * maxHamming=2, maxBucket=1000) — identical construction to the
+    * image-pairs mirror, different hash CTE.
+    */
+  private def mmAudioPairsCtes: String =
+    s"""$mmAudioHashCtes,
+       |achp AS (SELECT doc_id, whash, c AS chunk, (whash >> (c * 16)) & 65535 AS cv
+       |  FROM ah CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t2),
+       |aokp AS (SELECT chunk, cv FROM achp GROUP BY chunk, cv
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |aibp AS (SELECT achp.* FROM achp JOIN aokp USING (chunk, cv)),
+       |apairs AS (SELECT id_a, id_b, min(hamming) AS hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.whash, b.whash)) AS INTEGER) AS hamming
+       |  FROM aibp a JOIN aibp b ON a.chunk = b.chunk AND a.cv = b.cv
+       |    AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 2 GROUP BY id_a, id_b)""".stripMargin
+
+  private def mmAudioPairsOracle: String =
+    s"""WITH $mmAudioPairsCtes
+       |SELECT id_a, id_b, hamming FROM apairs""".stripMargin
+
+  private def mmAudioDedupOracle: String =
+    s"""WITH RECURSIVE $mmAudioPairsCtes,
+       |anodes AS (SELECT DISTINCT id FROM (
+       |  SELECT id_a AS id FROM apairs UNION ALL SELECT id_b AS id FROM apairs)),
+       |aeg AS (SELECT id_a AS a, id_b AS b FROM apairs
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM apairs),
+       |areach AS (
+       |  SELECT id, id AS r FROM anodes
+       |  UNION
+       |  SELECT aeg.a AS id, areach.r FROM aeg JOIN areach ON areach.id = aeg.b),
+       |acc AS (SELECT id, min(r) AS cluster_id FROM areach GROUP BY id)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM acc WHERE id <> cluster_id)""".stripMargin
+
   /** The synthetic-pattern luma L(x,y) as a DuckDB integer expression —
     * the exact formula of Multimodal.withSyntheticPatternImages (gray
     * BMP at 9×8 = the dHash grid, so Spark's REAL decode→scale→hash
@@ -3089,6 +3196,22 @@ WHERE tok_before < (CASE source WHEN 'src1' THEN 500 ELSE 300 END)"""
 
   private def mmPhashOracle: String =
     s"""SELECT doc_id, $mmDhashExpr AS dhash FROM documents"""
+
+  /** aHash of the 8×8 pattern fixture: integer mean (sum of the 64
+    * lumas, floor-divided by 64), bit (y*8+x) set iff L(x,y) > mean.
+    */
+  private def mmAhashOracle: String = {
+    val lumSum = (for (y <- 0 until 8; x <- 0 until 8)
+      yield mmPatternLuma(x, y)).mkString(" +\n  ")
+    val bits = (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val bit = y * 8 + x
+      val mask = if (bit == 63) "(-9223372036854775807 - 1)"
+                 else s"(1::BIGINT << $bit)"
+      s"(CASE WHEN ${mmPatternLuma(x, y)} > lmean THEN $mask ELSE 0::BIGINT END)"
+    }).mkString(" |\n  ")
+    s"""WITH m AS (SELECT doc_id, ($lumSum) // 64 AS lmean FROM documents)
+SELECT doc_id, $bits AS ahash FROM m"""
+  }
 
   /** CTE chain mirroring TextDedup.hammingHashPairs over the pattern
     * dhash (chunkBits=16, maxHamming=3, maxBucket=1000), ending in

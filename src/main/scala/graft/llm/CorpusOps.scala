@@ -747,7 +747,11 @@ object CorpusOps {
   /** Train on a labeled split: `pos` = the reference/high-quality class,
     * `neg` = the rejection class. Same bounded-model contract as
     * [[dsirTrain]] (the bucket relation materializes once, ≤
-    * 16^hexChars rows; both corpus scans are map-side-combined).
+    * 16^hexChars rows; both corpus scans are map-side-combined). The
+    * class-prior doc counts are two additional `count()` jobs — each a
+    * metadata/one-column scan after pruning (the text column is not
+    * read), and training is the offline stage; at 100 TB the cost that
+    * matters is the two gram scans, not these.
     */
   def qualityClfTrain(pos: DataFrame, neg: DataFrame, textCol: String,
                       gramNs: Seq[Int] = Seq(1, 2), hexChars: Int = 2,

@@ -343,15 +343,16 @@ object Multimodal {
     }
   }
 
-  /** Oracle-mirrorable image fixture: a 9×8 GRAY pattern BMP per row,
-    * every pixel derived from the id by pure integer arithmetic — the
-    * cross-engine contract for the image near-dup tier (a DuckDB oracle
-    * re-derives [[imageHashes]]' dhash without decoding pixels, because
-    * the fixture is generated AT the dHash grid size, so the decode →
-    * scale path is pixel-exact):
+  /** Oracle-mirrorable image fixture: a (gridW × gridH — default the
+    * 9×8 dHash grid; pass 8×8 to make aHash the identity-resize one)
+    * GRAY pattern BMP per row, every pixel derived from the id by pure
+    * integer arithmetic — the cross-engine contract for the image
+    * near-dup tier (a DuckDB oracle re-derives [[imageHashes]]' hash
+    * without decoding pixels, because the fixture is generated AT the
+    * hash grid size, so the decode → scale path is pixel-exact):
     *
-    *   base   = id % 32 + 1
-    *   v      = (id / 32) % 3                      (variant)
+    *   base   = id % baseMod + 1   (default 32 — the oracle contract)
+    *   v      = (id / baseMod) % 3                 (variant)
     *   raw(x,y) = (base * (x*7 + y*13 + 3)) % 251  (gray level)
     *   flipped at (2,3) when v ≥ 1, and also (5,1) when v = 2,
     *   where flipping sets L = 250 − raw
@@ -362,7 +363,11 @@ object Multimodal {
     * is lossless, so the gray levels survive the encode → ImageIO
     * decode round-trip exactly.
     */
-  def withSyntheticPatternImages(df: DataFrame, idCol: String): DataFrame = {
+  def withSyntheticPatternImages(df: DataFrame, idCol: String,
+                                 gridW: Int = 9, gridH: Int = 8,
+                                 baseMod: Long = 32L): DataFrame = {
+    require(gridW > 0 && gridH > 0, s"grid dims must be positive, got ${gridW}x$gridH")
+    require(baseMod > 0, s"baseMod must be positive, got $baseMod")
     val pruned = df.select(col(idCol).cast("long").as(idCol))
     val outSchema = new StructType()
       .add(idCol, LongType).add("media", BinaryType)
@@ -370,14 +375,14 @@ object Multimodal {
     pruned.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val base = (id % 32) + 1
-        val v = (id / 32) % 3
-        val img = new java.awt.image.BufferedImage(9, 8,
+        val base = (id % baseMod) + 1
+        val v = (id / baseMod) % 3
+        val img = new java.awt.image.BufferedImage(gridW, gridH,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
-        while (y < 8) {
+        while (y < gridH) {
           var x = 0
-          while (x < 9) {
+          while (x < gridW) {
             val raw = ((base * (x * 7 + y * 13 + 3)) % 251).toInt
             val flip = (v >= 1 && x == 2 && y == 3) || (v == 2 && x == 5 && y == 1)
             val l = if (flip) 250 - raw else raw
@@ -388,6 +393,129 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "bmp", bos)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(id, bos.toByteArray), outSchema): Row
+      }
+    }
+  }
+
+  /** WAVEFORM FINGERPRINT — the audio rung of the perceptual-dedup
+    * ladder (the dHash idea applied to PCM): decode the `media` payload
+    * via `javax.sound.sampled` (16-bit signed PCM), split the sample
+    * stream into 64 equal windows (remainder truncated), take each
+    * window's INTEGER sample sum, and set bit k (k = 0..62) iff
+    * sum(k+1) > sum(k) — the envelope's gradient signs, robust to
+    * uniform gain changes exactly as dHash is to brightness. 63
+    * meaningful bits (no sign-bit arithmetic anywhere), integer-exact
+    * on any engine. Output (id, whash); null for undecodable /
+    * non-PCM-16 / sub-64-sample payloads. Pairs/dedup reuse
+    * [[graft.llm.TextDedup.hammingHashPairs]] / `dedupByPairs`
+    * unchanged — the hash column is the whole interface.
+    */
+  def audioHashes(df: DataFrame, idCol: String): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("whash", LongType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("media")
+        val samples: Array[Int] =
+          if (payload == null || !looksLikeWav(payload)) null
+          else {
+            val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              catch { case _: javax.sound.sampled.UnsupportedAudioFileException |
+                           _: java.io.IOException => null }
+            if (in == null) null
+            else try {
+              val fmt = in.getFormat
+              if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16) null
+              else {
+                val bytes = in.readAllBytes()
+                val big = fmt.isBigEndian
+                val n = bytes.length / 2
+                val out = new Array[Int](n)
+                var i = 0
+                while (i < n) {
+                  val b0 = bytes(2 * i) & 0xFF; val b1 = bytes(2 * i + 1) & 0xFF
+                  out(i) = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+                  i += 1
+                }
+                out
+              }
+            } finally in.close()
+          }
+        if (samples == null || samples.length < 64) Row(r.getLong(0), null)
+        else {
+          val win = samples.length / 64
+          val sums = new Array[Long](64)
+          var k = 0
+          while (k < 64) {
+            var j = 0; var s = 0L
+            while (j < win) { s += samples(k * win + j); j += 1 }
+            sums(k) = s
+            k += 1
+          }
+          var h = 0L
+          k = 0
+          while (k < 63) {
+            if (sums(k + 1) > sums(k)) h |= (1L << k)
+            k += 1
+          }
+          Row(r.getLong(0), h)
+        }
+      }
+    }
+  }
+
+  /** Oracle-mirrorable AUDIO fixture: a 16-bit signed PCM mono WAV per
+    * row, every sample derived from the id by pure integer arithmetic —
+    * the audio twin of [[withSyntheticPatternImages]] (16-bit PCM WAV
+    * is lossless, so the encode → javax.sound decode round-trip returns
+    * the exact formula values and a DuckDB oracle re-derives
+    * [[audioHashes]]' window sums without decoding):
+    *
+    *   base    = id % baseMod + 1   (default 32 — the oracle contract)
+    *   v       = (id / baseMod) % 3
+    *   s(i)    = ((base * (i*7 + 3)) % 251) - 125          (i = 0..n-1)
+    *   v ≥ 1 adds +40 to every sample of window 5 (i in [5w, 6w),
+    *   w = n/64), and v = 2 also to window 11
+    *
+    * ids sharing base are exact or near duplicates (a shifted window
+    * perturbs ≤ 2 gradient-sign bits); different bases are unrelated.
+    */
+  def withSyntheticWavs(df: DataFrame, idCol: String, nSamples: Int = 2048,
+                        baseMod: Long = 32L): DataFrame = {
+    require(nSamples >= 64, s"nSamples must be >= 64, got $nSamples")
+    require(baseMod > 0, s"baseMod must be positive, got $baseMod")
+    val pruned = df.select(col(idCol).cast("long").as(idCol))
+    val outSchema = new StructType()
+      .add(idCol, LongType).add("media", BinaryType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = (id % baseMod) + 1
+        val v = (id / baseMod) % 3
+        val win = nSamples / 64
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          var s = ((base * (i.toLong * 7 + 3)) % 251).toInt - 125
+          val w = i / win
+          if (w < 64 && ((v >= 1 && w == 5) || (v == 2 && w == 11))) s += 40
+          pcm(2 * i) = (s & 0xFF).toByte          // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
           Array(id, bos.toByteArray), outSchema): Row
       }

@@ -226,7 +226,7 @@ object ScaleBench {
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
       "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak", "bm25_ingest_scale",
       "editdist_scale", "editdist_sharded", "editdist_sharded_mixed",
-      "token_mix_hotgroup")
+      "token_mix_hotgroup", "image_hash_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -508,6 +508,36 @@ object ScaleBench {
       spark.sparkContext.removeSparkListener(recListener)
       parts += (s""""source_cap_hotgroup_bound":{"input_partitions":$nPart,""" +
         s""""cap":10,"hot_group_shuffled_rows_bound":${nPart * 10}}""")
+    }
+    // IMAGE near-dup at N×: the full decode → dHash → banded-hamming
+    // pairs → CC dedup chain over N× id-derived pattern BMPs with a
+    // WIDE pattern space (baseMod 4096 — the oracle's 32-pattern space
+    // is deliberately tiny for mirroring and degenerates to all-over-cap
+    // buckets at scale; a real image corpus looks like the wide one).
+    // The decode projection is the dominant cost and scales linearly
+    // with docs; the pair stage ships (id, hash) only.
+    if (wanted("image_hash_scale")) {
+      val ids = docsSf1.select(col("doc_id"))
+      val t0 = System.nanoTime()
+      val hashes = graft.llm.Multimodal.imageHashes(
+        graft.llm.Multimodal.withSyntheticPatternImages(ids, "doc_id",
+          baseMod = 4096L), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nH = hashes.count()
+      val hashSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pairs = graft.llm.TextDedup.hammingHashPairs(hashes, "id", "dhash",
+        chunkBits = 16, maxHamming = 3, maxBucket = 1000)
+      val nP = pairs.count()
+      val pairSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nS = graft.llm.TextDedup.dedupByPairs(ids, "doc_id",
+        pairs.select("id_a", "id_b")).count()
+      val dedupSec = (System.nanoTime() - t2) / 1e9
+      hashes.unpersist()
+      parts += (f""""image_hash_scale":{"docs":$nH,"hash_sec":$hashSec%.2f,""" +
+        f""""hash_docs_per_sec":${nH / hashSec}%.0f,"pairs":$nP,""" +
+        f""""pair_sec":$pairSec%.2f,"survivors":$nS,"dedup_sec":$dedupSec%.2f}""")
     }
     // TOKEN-MIX hot-source A/B (round-15 VERDICT's one `weak`): ONE
     // source holding 50% of the N× corpus, window form (running sum —

@@ -406,12 +406,13 @@ object SweepVerify {
     * pure-integer arithmetic bit-for-bit), with DRAWN hamming radius
     * and bucket cap.
     */
-  private def imageHashPairsSql(maxHamming: Int, maxBucket: Int): String = {
+  private def imageHashPairsSql(maxHamming: Int, maxBucket: Int,
+                                baseMod: Long = 32L): String = {
     def lum(x: Int, y: Int): String = {
       val k = x * 7 + y * 13 + 3
-      val raw = s"(((doc_id % 32) + 1) * $k) % 251"
-      if (x == 2 && y == 3) s"(CASE WHEN (doc_id // 32) % 3 >= 1 THEN 250 - ($raw) ELSE $raw END)"
-      else if (x == 5 && y == 1) s"(CASE WHEN (doc_id // 32) % 3 = 2 THEN 250 - ($raw) ELSE $raw END)"
+      val raw = s"(((doc_id % $baseMod) + 1) * $k) % 251"
+      if (x == 2 && y == 3) s"(CASE WHEN (doc_id // $baseMod) % 3 >= 1 THEN 250 - ($raw) ELSE $raw END)"
+      else if (x == 5 && y == 1) s"(CASE WHEN (doc_id // $baseMod) % 3 = 2 THEN 250 - ($raw) ELSE $raw END)"
       else s"($raw)"
     }
     val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield {
@@ -434,6 +435,39 @@ object SweepVerify {
        |  WHERE hamming <= $maxHamming GROUP BY id_a, id_b)
        |SELECT id_a, id_b, hamming FROM pairs""".stripMargin
   }
+
+  /** DuckDB mirror of the AUDIO waveform-hash pair relation over the
+    * synthetic-WAV fixture (Multimodal.withSyntheticWavs, 2048 samples,
+    * 32/window), with drawn hamming radius, bucket cap, and pattern-
+    * space width.
+    */
+  private def audioHashPairsSql(maxHamming: Int, maxBucket: Int,
+                                baseMod: Long): String =
+    s"""WITH aw AS (
+       |  SELECT doc_id, k,
+       |    list_sum(list_transform(generate_series(k * 32, k * 32 + 31),
+       |      i -> ((((doc_id % $baseMod) + 1) * (i * 7 + 3)) % 251) - 125))
+       |    + CASE WHEN ((doc_id // $baseMod) % 3 >= 1 AND k = 5)
+       |             OR ((doc_id // $baseMod) % 3 = 2 AND k = 11)
+       |           THEN 40 * 32 ELSE 0 END AS s
+       |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) t),
+       |ah AS (
+       |  SELECT a.doc_id,
+       |    CAST(sum(CASE WHEN b.s > a.s THEN (1::BIGINT << a.k) ELSE 0::BIGINT END) AS BIGINT) AS whash
+       |  FROM aw a JOIN aw b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+       |  WHERE a.k < 63 GROUP BY a.doc_id),
+       |achp AS (SELECT doc_id, whash, c AS chunk, (whash >> (c * 16)) & 65535 AS cv
+       |  FROM ah CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) t2),
+       |aokp AS (SELECT chunk, cv FROM achp GROUP BY chunk, cv
+       |  HAVING count(*) <= $maxBucket AND count(*) > 1),
+       |aibp AS (SELECT achp.* FROM achp JOIN aokp USING (chunk, cv)),
+       |apairs AS (SELECT id_a, id_b, min(hamming) AS hamming FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.whash, b.whash)) AS INTEGER) AS hamming
+       |  FROM aibp a JOIN aibp b ON a.chunk = b.chunk AND a.cv = b.cv
+       |    AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= $maxHamming GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, hamming FROM apairs""".stripMargin
 
   /** Parameterized mirror of `TextDedup.editDecontaminateMd5` over the
     * doc_id % 10 train/eval split: the editPairsSql hash construction
@@ -1346,7 +1380,7 @@ object SweepVerify {
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
       "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream",
       "editdist_pairs", "token_mix", "editdist_decontam", "image_hash",
-      "bpe_encode")
+      "bpe_encode", "audio_hash")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -2021,13 +2055,29 @@ object SweepVerify {
           // replicates the blocking, so the relation is exact either
           // way); cap 20 forces dropped buckets on the hot patterns
           val mh = pick(Seq(0, 3, 6)); val mb = pick(Seq(20, 1000))
+          val bm = pick(Seq(8L, 32L, 128L)) // drawn pattern-space width
           (graft.llm.TextDedup.hammingHashPairs(
             graft.llm.Multimodal.imageHashes(
-              graft.llm.Multimodal.withSyntheticPatternImages(docs, "doc_id"),
+              graft.llm.Multimodal.withSyntheticPatternImages(docs, "doc_id",
+                baseMod = bm),
               "doc_id"),
             "id", "dhash", chunkBits = 16, maxHamming = mh, maxBucket = mb),
-            imageHashPairsSql(mh, mb),
-            s"h${mh}_mb$mb")
+            imageHashPairsSql(mh, mb, bm),
+            s"h${mh}_mb${mb}_b$bm")
+        case "audio_hash" =>
+          // drawn hamming radius × cap × pattern-space width over the
+          // synthetic-WAV fixture — the REAL javax.sound decode path
+          // under randomized pair-stage parameters
+          val mh = pick(Seq(0, 2, 5)); val mb = pick(Seq(20, 1000))
+          val bm = pick(Seq(8L, 32L, 128L))
+          (graft.llm.TextDedup.hammingHashPairs(
+            graft.llm.Multimodal.audioHashes(
+              graft.llm.Multimodal.withSyntheticWavs(docs, "doc_id",
+                baseMod = bm),
+              "doc_id"),
+            "id", "whash", chunkBits = 16, maxHamming = mh, maxBucket = mb),
+            audioHashPairsSql(mh, mb, bm),
+            s"h${mh}_mb${mb}_b$bm")
         case "editdist_decontam" =>
           // drawn char-shingle banding × lev radius × combined bucket
           // cap over the doc_id%10 train/eval split — the bipartite

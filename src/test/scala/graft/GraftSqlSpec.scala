@@ -362,6 +362,87 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("graft_image TVFs pin to the Scala API (hashes, pairs, dedup)") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    llm.Multimodal.withSyntheticPatternImages(ids, "doc_id")
+      .createOrReplaceTempView("img_tvf")
+    val hSql = spark.sql(
+      "SELECT id, dhash, ahash FROM graft_image_hashes(TABLE(img_tvf), 'doc_id')")
+      .as[(Long, Long, Long)].collect().toSet
+    val hApi = llm.Multimodal.imageHashes(
+        llm.Multimodal.withSyntheticPatternImages(ids, "doc_id"), "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hSql === hApi, "hashes TVF diverged from the Scala API")
+    val pSql = spark.sql(
+      "SELECT id_a, id_b, hamming FROM graft_image_pairs(TABLE(img_tvf), 'doc_id', 3)")
+      .as[(Long, Long, Int)].collect().toSet
+    val pApi = llm.TextDedup.hammingHashPairs(
+        llm.Multimodal.imageHashes(
+          llm.Multimodal.withSyntheticPatternImages(ids, "doc_id"), "doc_id"),
+        "id", "dhash", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pSql === pApi && pSql.nonEmpty, "pairs TVF diverged from the Scala API")
+    val dSql = spark.sql(
+      "SELECT doc_id FROM graft_image_dedup(TABLE(img_tvf), 'doc_id', 3)")
+      .as[Long].collect().toSet
+    assert(dSql.nonEmpty && dSql.size < 60, "dedup TVF should drop near-dups")
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_image_pairs(TABLE(img_tvf), 'doc_id', 65)")
+    }
+  }
+
+  test("graft_audio TVFs pin to the Scala API") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    llm.Multimodal.withSyntheticWavs(ids, "doc_id")
+      .createOrReplaceTempView("wav_tvf")
+    val hSql = spark.sql(
+      "SELECT id, whash FROM graft_audio_hashes(TABLE(wav_tvf), 'doc_id')")
+      .as[(Long, Long)].collect().toSet
+    val hApi = llm.Multimodal.audioHashes(
+        llm.Multimodal.withSyntheticWavs(ids, "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hSql === hApi, "audio hashes TVF diverged from the Scala API")
+    val dSql = spark.sql(
+      "SELECT doc_id FROM graft_audio_dedup(TABLE(wav_tvf), 'doc_id', 2)")
+      .as[Long].collect().toSet
+    assert(dSql.nonEmpty && dSql.size < 60, "audio dedup TVF should drop near-dups")
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_audio_pairs(TABLE(wav_tvf), 'doc_id', 64)")
+    }
+  }
+
+  test("graft_quality_clf and graft_bpe_encode TVFs pin to the Scala API") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.createOrReplaceTempView("clf_docs_tvf")
+    docs.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .createOrReplaceTempView("clf_pos_tvf")
+    docs.filter(org.apache.spark.sql.functions.col("lang") =!= "en")
+      .createOrReplaceTempView("clf_neg_tvf")
+    val viaSql = spark.sql(
+      """SELECT doc_id, n_grams, hit_pos, hit_neg FROM graft_quality_clf(
+        |  TABLE(clf_docs_tvf), TABLE(clf_pos_tvf), TABLE(clf_neg_tvf),
+        |  'doc_id', 'text', 2)
+        |""".stripMargin).as[(Long, Long, Long, Long)].collect().toSet
+    val model = llm.CorpusOps.qualityClfTrain(
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"),
+      docs.filter(org.apache.spark.sql.functions.col("lang") =!= "en"),
+      "text", hexChars = 2)
+    val viaApi = llm.CorpusOps.qualityClfScore(docs, "doc_id", "text", model)
+      .select("doc_id", "n_grams", "hit_pos", "hit_neg")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaSql === viaApi, "quality clf TVF diverged from the Scala API")
+    val bpeSql = spark.sql(
+      """SELECT doc_id, token_ids FROM graft_bpe_encode(
+        |  TABLE(clf_docs_tvf), 'doc_id', 'text', 16)
+        |""".stripMargin).as[(Long, Seq[Int])].collect().toMap
+    val bpeModel = llm.Bpe.train(docs, "doc_id", "text", numMerges = 16)
+    val bpeApi = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        llm.Bpe.encode(org.apache.spark.sql.functions.col("text"), bpeModel)
+          .as("token_ids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(bpeSql === bpeApi, "bpe TVF diverged from the Scala API")
+  }
+
   test("graft_editdist TVFs pin to the Scala API") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     docs.createOrReplaceTempView("docs_editdist_tvf")
