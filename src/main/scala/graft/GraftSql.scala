@@ -286,7 +286,10 @@ object GraftSql {
           s"graft_image_pairs expects 3 arguments (t, id, max_hamming), " +
             s"got ${es.length}")
         val mh = litLong(es(2), "max_hamming")
-        require(mh >= 0L && mh <= 64L, s"max_hamming must be in [0, 64], got $mh")
+        require(mh >= 0L && mh <= 3L,
+          s"max_hamming must be in [0, 3] (the 4x16-bit chunk blocking is " +
+            s"pigeonhole-exact only at radius <= 3; larger radii would silently " +
+            s"miss pairs), got $mh")
         plan(llm.TextDedup.hammingHashPairs(
           llm.Multimodal.imageHashes(tableArg(es.head), litStr(es(1), "id column")),
           "id", "dhash", maxHamming = mh.toInt))
@@ -297,7 +300,10 @@ object GraftSql {
           s"graft_image_dedup expects 3 arguments (t, id, max_hamming), " +
             s"got ${es.length}")
         val mh = litLong(es(2), "max_hamming")
-        require(mh >= 0L && mh <= 64L, s"max_hamming must be in [0, 64], got $mh")
+        require(mh >= 0L && mh <= 3L,
+          s"max_hamming must be in [0, 3] (the 4x16-bit chunk blocking is " +
+            s"pigeonhole-exact only at radius <= 3; larger radii would silently " +
+            s"miss pairs), got $mh")
         val t = tableArg(es.head)
         val idc = litStr(es(1), "id column")
         plan(llm.TextDedup.dedupByPairs(t, idc,
@@ -319,7 +325,10 @@ object GraftSql {
           s"graft_audio_pairs expects 3 arguments (t, id, max_hamming), " +
             s"got ${es.length}")
         val mh = litLong(es(2), "max_hamming")
-        require(mh >= 0L && mh <= 63L, s"max_hamming must be in [0, 63], got $mh")
+        require(mh >= 0L && mh <= 3L,
+          s"max_hamming must be in [0, 3] (the 4x16-bit chunk blocking is " +
+            s"pigeonhole-exact only at radius <= 3; larger radii would silently " +
+            s"miss pairs), got $mh")
         plan(llm.TextDedup.hammingHashPairs(
           llm.Multimodal.audioHashes(tableArg(es.head), litStr(es(1), "id column")),
           "id", "whash", maxHamming = mh.toInt))
@@ -329,13 +338,75 @@ object GraftSql {
           s"graft_audio_dedup expects 3 arguments (t, id, max_hamming), " +
             s"got ${es.length}")
         val mh = litLong(es(2), "max_hamming")
-        require(mh >= 0L && mh <= 63L, s"max_hamming must be in [0, 63], got $mh")
+        require(mh >= 0L && mh <= 3L,
+          s"max_hamming must be in [0, 3] (the 4x16-bit chunk blocking is " +
+            s"pigeonhole-exact only at radius <= 3; larger radii would silently " +
+            s"miss pairs), got $mh")
         val t = tableArg(es.head)
         val idc = litStr(es(1), "id column")
         plan(llm.TextDedup.dedupByPairs(t, idc,
           llm.TextDedup.hammingHashPairs(
             llm.Multimodal.audioHashes(t, idc), "id", "whash",
             maxHamming = mh.toInt).select("id_a", "id_b")))
+      },
+      // `graft_video_hashes(t, id)` / `graft_video_pairs(t, id, k,
+      // threshold)` / `graft_video_dedup(t, id, k, threshold)` — the
+      // video rung: per-frame dHash over the packed-frame `media`
+      // container, then shingled frame-hash sequence matching
+      "graft_video_hashes" -> { (es: Seq[Expression]) =>
+        require(es.length == 2,
+          s"graft_video_hashes expects 2 arguments (t, id), got ${es.length}")
+        plan(llm.Multimodal.videoFrameHashes(tableArg(es.head),
+          litStr(es(1), "id column")))
+      },
+      "graft_video_pairs" -> { (es: Seq[Expression]) =>
+        require(es.length == 4,
+          s"graft_video_pairs expects 4 arguments (t, id, shingle_k, " +
+            s"threshold), got ${es.length}")
+        val k = litLong(es(2), "shingle_k")
+        require(k >= 1L && k <= 16L, s"shingle_k must be in [1, 16], got $k")
+        val thr = litDouble(es(3), "threshold")
+        require(thr >= 0.0 && thr <= 1.0, s"threshold must be in [0, 1], got $thr")
+        plan(llm.TextDedup.frameSequencePairs(
+          llm.Multimodal.videoFrameHashes(tableArg(es.head),
+            litStr(es(1), "id column")),
+          "id", "frame_idx", "fhash", shingleK = k.toInt, threshold = thr))
+      },
+      "graft_video_dedup" -> { (es: Seq[Expression]) =>
+        require(es.length == 4,
+          s"graft_video_dedup expects 4 arguments (t, id, shingle_k, " +
+            s"threshold), got ${es.length}")
+        val k = litLong(es(2), "shingle_k")
+        require(k >= 1L && k <= 16L, s"shingle_k must be in [1, 16], got $k")
+        val thr = litDouble(es(3), "threshold")
+        require(thr >= 0.0 && thr <= 1.0, s"threshold must be in [0, 1], got $thr")
+        val t = tableArg(es.head)
+        val idc = litStr(es(1), "id column")
+        plan(llm.TextDedup.dedupByPairs(t, idc,
+          llm.TextDedup.frameSequencePairs(
+            llm.Multimodal.videoFrameHashes(t, idc),
+            "id", "frame_idx", "fhash", shingleK = k.toInt, threshold = thr)
+            .select("id_a", "id_b")))
+      },
+      // `graft_audio_seg_hashes(t, id)` / `graft_audio_seg_pairs(t, id,
+      // min_shared)` — the SHIFT-TOLERANT audio tier (per-segment
+      // fingerprints; pairs match on segment-hash values)
+      "graft_audio_seg_hashes" -> { (es: Seq[Expression]) =>
+        require(es.length == 2,
+          s"graft_audio_seg_hashes expects 2 arguments (t, id), got ${es.length}")
+        plan(llm.Multimodal.audioSegmentHashes(tableArg(es.head),
+          litStr(es(1), "id column")))
+      },
+      "graft_audio_seg_pairs" -> { (es: Seq[Expression]) =>
+        require(es.length == 3,
+          s"graft_audio_seg_pairs expects 3 arguments (t, id, min_shared), " +
+            s"got ${es.length}")
+        val ms = litLong(es(2), "min_shared")
+        require(ms >= 1L, s"min_shared must be positive, got $ms")
+        plan(llm.TextDedup.sharedKeyPairs(
+          llm.Multimodal.audioSegmentHashes(tableArg(es.head),
+            litStr(es(1), "id column")),
+          "id", "shash", minShared = ms.toInt))
       },
       // `graft_quality_clf(docs, pos, neg, id, text[, hex_chars])` —
       // train the hashed-gram NB on the labeled split, score docs

@@ -748,6 +748,20 @@ object SparkEntry {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
           col("col").cast("long").as("token_id"))
     }),
+    // ... and the DISTRIBUTED trainer (per-doc pair counting summed
+    // across a 64-doc sample RELATION — 16× the collected trainer's
+    // input, with nothing but the per-round 1-row argmax and the
+    // base alphabet ever reaching the driver); the oracle re-derives
+    // the whole per-doc training state machine + encoding in SQL
+    "doc_bpe_encode_dist" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = llm.Bpe.trainDistributed(docs, "doc_id", "text",
+        numMerges = 16, sampleDocs = 64, sampleChars = 240)
+      docs.select(col("doc_id"),
+          posexplode(llm.Bpe.encode(substring(col("text"), 1, 120), model)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").cast("long").as("token_id"))
+    }),
     // ... and the quota tier denominated in REAL tokens: mixByTokenBudget
     // with the deployed BPE tokenizer (budgets in BPE tokens, not regex
     // matches) — truncated text keeps the SQL mirror's recursion bounded
@@ -802,11 +816,145 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         val edges = streaming.Replay.replay(s, docs.select("doc_id"),
           "doc_id", 100, "append")(sdf =>
-            streaming.NearDupStream.imageShardedEdges(
+            streaming.NearDupStream.hashShardedEdges(
               llm.Multimodal.imageHashes(
                 llm.Multimodal.withSyntheticPatternImages(sdf, "doc_id"),
                 "doc_id"),
               "id", "dhash", maxHamming = 3))
+        val feed = docs.select(col("doc_id").as("a"), col("doc_id").as("b"),
+            (col("doc_id") * 2).as("ord"))
+          .unionByName(edges.select(col("a"), col("b"),
+            (greatest(col("a"), col("b")) * 2 + 1).as("ord")))
+        val log = streaming.Replay.replay(s, feed, "ord", 5000, "update")(sdf =>
+          streaming.NearDupStream.unionFindStage(sdf))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // IMAGE-SemDeDup — the semantic rung beside the perceptual hashes:
+    // real decode → 64-dim luma-grid features (imageLumaFeatures) →
+    // the SAME semDedup chain as the embedding tier (anchor+Lloyd
+    // cells confine the quadratic, ε-cosine pairs, keep-farthest
+    // policy). eps=0.94 splits the fixture's regimes (within-family
+    // cosine ≥ 0.957, cross-family ≤ 0.921); the mirror re-derives the
+    // luma vectors and the whole centroid/closure/keep-rank chain
+    "mm_image_semdedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.Similarity.semDedup(
+        llm.Multimodal.imageLumaFeatures(
+          llm.Multimodal.withSyntheticPatternImages(docs, "doc_id",
+            gridW = 8, gridH = 8),
+          "doc_id").filter(col("features").isNotNull),
+        "id", "features", dim = 64, eps = 0.94, nCells = 8, lloydIters = 1)
+        .select(col("id").as("doc_id"))
+    }),
+    // VIDEO NEAR-DUP tier — the last rung of the modality ladder: REAL
+    // per-frame ImageIO decode → dHash over the packed-frame container
+    // fixture (withSyntheticVideoClips: 9×8 gray-pattern BMP frames,
+    // pixel-exact under decode like the image tier), then SEQUENCE-level
+    // matching via shingled frame-hash n-grams — alignment-free, so the
+    // planted TRIMMED clips (v=2: the original minus its first frame)
+    // still pair, which position-aligned frame comparison cannot do
+    "mm_video_hash" -> ((s, d) =>
+      llm.Multimodal.videoFrameHashes(
+        llm.Multimodal.withSyntheticVideoClips(Tables.documents(s, d), "doc_id"),
+        "doc_id")
+        .select(col("id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"), col("fhash"))),
+    // ... → distinct 2-frame shingles, bucket-capped shared-key join,
+    // distinct-shingle Jaccard ≥ 0.5 verify
+    "mm_video_neardup_pairs" -> ((s, d) =>
+      llm.TextDedup.frameSequencePairs(
+        llm.Multimodal.videoFrameHashes(
+          llm.Multimodal.withSyntheticVideoClips(Tables.documents(s, d), "doc_id"),
+          "doc_id"),
+        "id", "frame_idx", "fhash", shingleK = 2, threshold = 0.5)),
+    // ... → min-id CC video dedup
+    "mm_video_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      llm.TextDedup.dedupByPairs(docs, "doc_id",
+        llm.TextDedup.frameSequencePairs(
+          llm.Multimodal.videoFrameHashes(
+            llm.Multimodal.withSyntheticVideoClips(docs, "doc_id"), "doc_id"),
+          "id", "frame_idx", "fhash", shingleK = 2, threshold = 0.5)
+          .select("id_a", "id_b"))
+        .select("doc_id")
+    }),
+    // SHIFT-TOLERANT AUDIO: per-segment waveform fingerprints
+    // (fixed-width overlapping segments, hop = seg/2) over the
+    // offset-WAV fixture — v=2 plants a 256-sample-delayed duplicate
+    // that the whole-file hash provably misses (AudioOffsetSpec pins
+    // hamming 20 ≫ radius) and the segment tier catches (6/7 segments
+    // re-align at the hop-multiple offset)
+    "mm_audio_seg_hash" -> ((s, d) =>
+      llm.Multimodal.audioSegmentHashes(
+        llm.Multimodal.withSyntheticOffsetWavs(Tables.documents(s, d), "doc_id"),
+        "doc_id")
+        .select(col("id").as("doc_id"),
+          col("seg_idx").cast("long").as("seg_idx"), col("shash"))),
+    // ... → shared-key pairs on segment-hash VALUES (not positions —
+    // that is what buys the shift tolerance), ≥ 3 shared segments
+    "mm_audio_offset_pairs" -> ((s, d) =>
+      llm.TextDedup.sharedKeyPairs(
+        llm.Multimodal.audioSegmentHashes(
+          llm.Multimodal.withSyntheticOffsetWavs(Tables.documents(s, d), "doc_id"),
+          "doc_id"),
+        "id", "shash", minShared = 3)),
+    // STREAMING audio dedup — the sharded twin the image tier already
+    // has (hashShardedEdges is payload-generic over a 64-bit hash, so
+    // the audio wiring is the same two-stage bridge: per-chunk hamming
+    // edges + the shared ids-only union-find); survivors hash-match the
+    // batch mm_audio_dedup CC mirror
+    "mm_audio_dedup_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val edges = streaming.Replay.replay(s, docs.select("doc_id"),
+          "doc_id", 100, "append")(sdf =>
+            streaming.NearDupStream.hashShardedEdges(
+              llm.Multimodal.audioHashes(
+                llm.Multimodal.withSyntheticWavs(sdf, "doc_id"), "doc_id"),
+              "id", "whash", maxHamming = 2))
+        val feed = docs.select(col("doc_id").as("a"), col("doc_id").as("b"),
+            (col("doc_id") * 2).as("ord"))
+          .unionByName(edges.select(col("a"), col("b"),
+            (greatest(col("a"), col("b")) * 2 + 1).as("ord")))
+        val log = streaming.Replay.replay(s, feed, "ord", 5000, "update")(sdf =>
+          streaming.NearDupStream.unionFindStage(sdf))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // ... and the kill/restart row: the EDGE stage is killed at the
+    // halfway chunk boundary and restarted from its checkpoint (offset
+    // recovery + RocksDB restore of the chunk-bucket member maps); the
+    // accumulated edges must still reduce to the same batch survivors
+    "mm_audio_dedup_restart_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val edges = streaming.Replay.replayWithRestart(s, docs.select("doc_id"),
+          "doc_id", 100)(sdf =>
+            streaming.NearDupStream.hashShardedEdges(
+              llm.Multimodal.audioHashes(
+                llm.Multimodal.withSyntheticWavs(sdf, "doc_id"), "doc_id"),
+              "id", "whash", maxHamming = 2))
         val feed = docs.select(col("doc_id").as("a"), col("doc_id").as("b"),
             (col("doc_id") * 2).as("ord"))
           .unionByName(edges.select(col("a"), col("b"),
@@ -2333,6 +2481,7 @@ object SparkEntry {
       "emb_ann_ivfpq_residual_restart_stream_replay" -> embIvfPqResidualStreamOracle,
       "mm_features" -> mmFeaturesOracle,
       "doc_bpe_encode" -> docBpeEncodeOracle,
+      "doc_bpe_encode_dist" -> docBpeEncodeDistOracle,
       "doc_token_mix_bpe" -> docTokenMixBpeOracle,
       "mm_phash" -> mmPhashOracle,
       "mm_ahash" -> mmAhashOracle,
@@ -2342,6 +2491,14 @@ object SparkEntry {
       "mm_image_neardup_pairs" -> mmImagePairsOracle,
       "mm_image_dedup" -> mmImageDedupOracle,
       "mm_image_dedup_stream_replay" -> mmImageDedupOracle,
+      "mm_image_semdedup" -> mmImageSemDedupOracle,
+      "mm_video_hash" -> mmVideoHashOracle,
+      "mm_video_neardup_pairs" -> mmVideoPairsOracle,
+      "mm_video_dedup" -> mmVideoDedupOracle,
+      "mm_audio_seg_hash" -> mmAudioSegHashOracle,
+      "mm_audio_offset_pairs" -> mmAudioOffsetPairsOracle,
+      "mm_audio_dedup_stream_replay" -> mmAudioDedupOracle,
+      "mm_audio_dedup_restart_stream_replay" -> mmAudioDedupOracle,
       // solid-color resize round-trip: target dims, one color, the color
       "mm_resize" ->
         """SELECT doc_id, 16::BIGINT AS out_w, 16::BIGINT AS out_h,
@@ -3003,9 +3160,9 @@ object SparkEntry {
     * done(doc_id, toks), tok2id(tok, id).
     */
   private[graft] def docBpeCtes(sampleDocs: Int, sampleChars: Int, numMerges: Int,
-                         encChars: Int): String =
+                         encChars: Int, docsRel: String = "documents"): String =
     s"""smp AS (SELECT string_agg(substr(text, 1, $sampleChars), chr(10) ORDER BY doc_id) AS s
-FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT $sampleDocs)),
+FROM (SELECT doc_id, text FROM $docsRel WHERE text IS NOT NULL ORDER BY doc_id LIMIT $sampleDocs)),
 ini AS (SELECT list_transform(generate_series(1, length(s)), i -> s[i]) AS toks FROM smp),
 tr AS (
   SELECT toks, 0 AS round, 0 AS step, CAST(NULL AS VARCHAR) AS cl,
@@ -3061,7 +3218,7 @@ dini AS (SELECT doc_id,
     list_transform(generate_series(1, length(substr(text, 1, $encChars))),
       i -> substr(text, 1, $encChars)[i]) AS toks,
     (SELECT ml FROM fin) AS ml, (SELECT mr FROM fin) AS mr
-  FROM documents),
+  FROM $docsRel),
 enc AS (
   SELECT doc_id, toks, ml, mr, 0 AS step FROM dini
   UNION ALL
@@ -3081,10 +3238,124 @@ done AS (
     SELECT doc_id, toks, row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) AS rn
     FROM enc) WHERE rn = 1)"""
 
-  private[graft] def docBpeEncodeOracleFor(sampleDocs: Int, sampleChars: Int,
-                                           numMerges: Int, encChars: Int): String =
+  /** DuckDB mirror of Bpe.trainDistributed + encode: the recursive
+    * choose/apply state machine of docBpeCtes lifted to PER-DOC rows —
+    * the choose step takes the GLOBAL argmax over within-doc adjacent
+    * pairs (count desc, then code-point lex), the apply step merges one
+    * leftmost occurrence in EVERY doc that still has one and stays in
+    * apply mode while any doc does (the bool_or over the post-apply
+    * rows). No '\n' joining — the document is the pre-tokenization
+    * boundary, exactly the trainer's contract. Ends with
+    * ddone(doc_id, toks), dtok2id(tok, id). Plain concatenation (the
+    * lambdas are full of `||`).
+    */
+  private[graft] def docBpeDistCtes(sampleDocs: Int, sampleChars: Int,
+                                    numMerges: Int, encChars: Int,
+                                    docsRel: String = "documents"): String =
+    s"""sdocs AS (SELECT doc_id, substr(text, 1, $sampleChars) AS s
+  FROM $docsRel WHERE text IS NOT NULL ORDER BY doc_id LIMIT $sampleDocs),
+dinit AS (SELECT doc_id, list_transform(generate_series(1, length(s)), i -> s[i]) AS toks
+  FROM sdocs),
+dtr AS (
+  SELECT doc_id, toks, 0 AS round, 0 AS step,
+         CAST(NULL AS VARCHAR) AS cl, CAST(NULL AS VARCHAR) AS cr,
+         CAST([] AS VARCHAR[]) AS ml, CAST([] AS VARCHAR[]) AS mr
+  FROM dinit
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (SELECT * FROM dtr),
+    best AS (
+      SELECT u.l, u.r FROM (
+        SELECT toks[i] AS l, toks[i + 1] AS r, count(*) AS n
+        FROM cur c, LATERAL (SELECT unnest(generate_series(1, len(c.toks) - 1)) AS i) t
+        WHERE c.cl IS NULL AND c.round < $numMerges
+        GROUP BY 1, 2) u
+      WHERE u.n >= 2
+      ORDER BY u.n DESC, u.l, u.r LIMIT 1),
+    choose AS (
+      SELECT c.doc_id, c.toks, c.round + 1, c.step + 1, b.l, b.r,
+             list_append(c.ml, b.l), list_append(c.mr, b.r)
+      FROM cur c JOIN best b ON true
+      WHERE c.cl IS NULL AND c.round < $numMerges),
+    app AS (
+      SELECT c.doc_id,
+        CASE WHEN p.pos IS NULL THEN c.toks
+             ELSE c.toks[1:p.pos - 1] || [c.cl || c.cr] || c.toks[p.pos + 2:len(c.toks)]
+        END AS toks,
+        c.round, c.step + 1 AS step, c.cl, c.cr, c.ml, c.mr
+      FROM cur c, LATERAL (
+        SELECT list_filter(generate_series(1, len(c.toks) - 1),
+                 i -> c.toks[i] = c.cl AND c.toks[i + 1] = c.cr)[1] AS pos) p
+      WHERE c.cl IS NOT NULL),
+    appmore AS (
+      SELECT coalesce(bool_or(len(list_filter(generate_series(1, len(a.toks) - 1),
+          i -> a.toks[i] = a.cl AND a.toks[i + 1] = a.cr)) > 0), false) AS more
+      FROM app a),
+    apply2 AS (
+      SELECT a.doc_id, a.toks, a.round, a.step,
+        CASE WHEN m.more THEN a.cl ELSE NULL END,
+        CASE WHEN m.more THEN a.cr ELSE NULL END,
+        a.ml, a.mr
+      FROM app a CROSS JOIN appmore m)
+    SELECT * FROM choose UNION ALL SELECT * FROM apply2)
+),
+dfin AS (SELECT ml, mr FROM dtr ORDER BY step DESC LIMIT 1),
+dbasev AS (SELECT list_sort(list_distinct(flatten(list(toks)))) AS bv FROM dinit),
+dbase_ids AS (SELECT unnest(bv) AS tok, unnest(generate_series(1, len(bv))) AS id FROM dbasev),
+dmerge_toks AS (
+  SELECT tok, min(ord) AS ord FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ml)), k -> ml[k] || mr[k])) AS tok,
+           unnest(generate_series(1, len(ml))) AS ord
+    FROM dfin)
+  WHERE tok NOT IN (SELECT tok FROM dbase_ids)
+  GROUP BY tok),
+dtok2id AS (
+  SELECT tok, id FROM dbase_ids
+  UNION ALL
+  SELECT tok, (SELECT len(bv) FROM dbasev) + row_number() OVER (ORDER BY ord) AS id
+  FROM dmerge_toks),
+ddini AS (SELECT doc_id,
+    list_transform(generate_series(1, length(substr(text, 1, $encChars))),
+      i -> substr(text, 1, $encChars)[i]) AS toks,
+    (SELECT ml FROM dfin) AS ml, (SELECT mr FROM dfin) AS mr
+  FROM $docsRel),
+denc AS (
+  SELECT doc_id, toks, ml, mr, 0 AS step FROM ddini
+  UNION ALL
+  SELECT e.doc_id,
+         e.toks[1:b.pos - 1] || [e.ml[b.rk] || e.mr[b.rk]] || e.toks[b.pos + 2:len(e.toks)],
+         e.ml, e.mr, e.step + 1
+  FROM denc e, LATERAL (
+    SELECT rks.rk, list_position(rks.rkl, rks.rk) AS pos FROM (
+      SELECT rkl, list_min(list_filter(rkl, x -> x IS NOT NULL)) AS rk FROM (
+        SELECT list_transform(generate_series(1, len(e.toks) - 1),
+          i -> list_filter(generate_series(1, len(e.ml)),
+                 k -> e.ml[k] = e.toks[i] AND e.mr[k] = e.toks[i + 1])[1]) AS rkl) ) rks
+    WHERE rks.rk IS NOT NULL) b
+),
+ddone AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks, row_number() OVER (PARTITION BY doc_id ORDER BY step DESC) AS rn
+    FROM denc) WHERE rn = 1)"""
+
+  private[graft] def docBpeEncodeDistOracleFor(sampleDocs: Int, sampleChars: Int,
+                                               numMerges: Int, encChars: Int,
+                                               docsRel: String = "documents"): String =
     "WITH RECURSIVE\n" +
-      docBpeCtes(sampleDocs, sampleChars, numMerges, encChars) + """
+      docBpeDistCtes(sampleDocs, sampleChars, numMerges, encChars, docsRel) + """
+SELECT u.doc_id, u.pos, CAST(coalesce(t.id, 0) AS BIGINT) AS token_id
+FROM (SELECT doc_id, unnest(toks) AS tok,
+        CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos FROM ddone) u
+LEFT JOIN dtok2id t ON u.tok = t.tok"""
+
+  private def docBpeEncodeDistOracle: String =
+    docBpeEncodeDistOracleFor(64, 240, 16, 120)
+
+  private[graft] def docBpeEncodeOracleFor(sampleDocs: Int, sampleChars: Int,
+                                           numMerges: Int, encChars: Int,
+                                           docsRel: String = "documents"): String =
+    "WITH RECURSIVE\n" +
+      docBpeCtes(sampleDocs, sampleChars, numMerges, encChars, docsRel) + """
 SELECT u.doc_id, u.pos, CAST(coalesce(t.id, 0) AS BIGINT) AS token_id
 FROM (SELECT doc_id, unnest(toks) AS tok,
         CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS pos FROM done) u
@@ -3165,6 +3436,202 @@ WHERE tok_before < (CASE source WHEN 'src1' THEN 500 ELSE 300 END)"""
        |acc AS (SELECT id, min(r) AS cluster_id FROM areach GROUP BY id)
        |SELECT doc_id FROM documents
        |WHERE doc_id NOT IN (SELECT id FROM acc WHERE id <> cluster_id)""".stripMargin
+
+  /** DuckDB mirror of the IMAGE-SemDeDup composition (imageLumaFeatures
+    * over the 8×8 pattern fixture → Similarity.semDedup at dim=64,
+    * eps=0.94, nCells=8, lloydIters=1): the 64 per-pixel luma integers
+    * as a DOUBLE vector (row-major, identical to the decode path on the
+    * identity-resize fixture), then the embSemDedupOracle chain
+    * verbatim — anchor init from the first 8 docs, one quantized-mean
+    * Lloyd pass, within-cell ε-pairs, min-label closure, keep rank
+    * (csim ASC, id ASC).
+    */
+  private def mmImageSemDedupOracle: String = {
+    val vec = (for (y <- 0 until 8; x <- 0 until 8)
+      yield s"CAST(${mmPatternLuma(x, y)} AS DOUBLE)").mkString(",\n    ")
+    s"""WITH RECURSIVE imgc AS (SELECT doc_id AS corpus_id, [
+    $vec] AS cv FROM documents),
+cent0 AS (SELECT corpus_id::BIGINT AS cell, cv AS centroid
+    FROM imgc ORDER BY corpus_id LIMIT 8),
+asg0 AS (SELECT corpus_id, cv, cell FROM (
+  SELECT corpus_id, cv, cell,
+    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+        FROM imgc CROSS JOIN cent0)) WHERE rn = 1),
+el AS (SELECT cell, generate_subscripts(cv, 1) AS pos, unnest(cv) AS x FROM asg0),
+cm AS (SELECT cell, pos,
+    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+      / (count(*) * 1048576.0) AS m
+  FROM el GROUP BY cell, pos),
+cent AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm GROUP BY cell),
+asg AS (SELECT corpus_id, cv, cell, csim FROM (
+  SELECT corpus_id, cv, cell, csim,
+    row_number() OVER (PARTITION BY corpus_id ORDER BY csim DESC, cell) AS rn
+  FROM (SELECT corpus_id, cv, cell, ${duckCosine("cv", "centroid")} AS csim
+        FROM imgc CROSS JOIN cent)) WHERE rn = 1),
+ep AS (SELECT a.corpus_id AS id_a, b.corpus_id AS id_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.corpus_id < b.corpus_id
+  WHERE ${duckCosine("a.cv", "b.cv")} >= 0.94),
+nodes AS (SELECT DISTINCT id FROM (
+  SELECT id_a AS id FROM ep UNION ALL SELECT id_b AS id FROM ep)),
+eg AS (SELECT id_a AS a, id_b AS b FROM ep
+  UNION ALL SELECT id_b AS a, id_a AS b FROM ep),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT eg.a AS id, reach.r FROM eg JOIN reach ON reach.id = eg.b),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+rk AS (SELECT cc.cluster_id, cc.id,
+    row_number() OVER (PARTITION BY cc.cluster_id ORDER BY asg.csim ASC, cc.id) AS rn
+  FROM cc JOIN asg ON cc.id = asg.corpus_id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)"""
+  }
+
+  /** The synthetic-VIDEO-pattern luma L(x,y) of container frame `f` as
+    * a DuckDB integer expression — the exact formula of
+    * Multimodal.withSyntheticVideoClips (x, y compile-time constants;
+    * `f` = container frame index and `fe` = f + trim-skip are columns):
+    * raw = (base * (x*7 + y*13 + 3 + 29*fe)) % 251, flipped to 250-raw
+    * at pixel (2,3) of frame 0 for the v=1 variant.
+    */
+  private def mmVideoLuma(x: Int, y: Int): String = {
+    val k = x * 7 + y * 13 + 3
+    val raw = s"(((doc_id % 32) + 1) * ($k + 29 * fe)) % 251"
+    if (x == 2 && y == 3)
+      s"(CASE WHEN (doc_id // 32) % 3 = 1 AND f = 0 THEN 250 - ($raw) ELSE ($raw) END)"
+    else s"($raw)"
+  }
+
+  /** Per-frame 64-bit dHash of the video fixture (same construction as
+    * mmDhashExpr, frame-parametrized; OR-folded with the INT64_MIN
+    * literal for bit 63 — see mmDhashExpr's overflow note).
+    */
+  private def mmVideoDhashExpr: String =
+    (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val bit = y * 8 + x
+      val mask = if (bit == 63) "(-9223372036854775807 - 1)"
+                 else s"(1::BIGINT << $bit)"
+      s"(CASE WHEN ${mmVideoLuma(x + 1, y)} > ${mmVideoLuma(x, y)} " +
+        s"THEN $mask ELSE 0::BIGINT END)"
+    }).mkString(" |\n  ")
+
+  /** CTE chain mirroring Multimodal.videoFrameHashes over the packed-
+    * frame fixture (withSyntheticVideoClips, baseMod=32): per-doc frame
+    * count nf = base%4+5 minus 1 for the trimmed v=2 variant, container
+    * frame f = 0..nf-1 rendering source frame fe = f + skip. Ends with
+    * vh(doc_id, frame_idx, fhash). Built by plain concatenation (the
+    * OR-folded hash would trip stripMargin).
+    */
+  private def mmVideoHashCtes: String =
+    s"""vdocs AS (SELECT doc_id,
+  ((doc_id % 32) + 1) % 4 + 5
+    - CASE WHEN (doc_id // 32) % 3 = 2 THEN 1 ELSE 0 END AS nf,
+  CASE WHEN (doc_id // 32) % 3 = 2 THEN 1 ELSE 0 END AS skip
+  FROM documents),
+vfr AS (SELECT doc_id, f, f + skip AS fe
+  FROM vdocs, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) t),
+vh AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, $mmVideoDhashExpr AS fhash FROM vfr)"""
+
+  private def mmVideoHashOracle: String =
+    s"""WITH $mmVideoHashCtes
+SELECT doc_id, frame_idx, fhash FROM vh"""
+
+  /** frameSequencePairs mirror over the per-frame hashes (shingleK=2,
+    * threshold=0.5, minShared=1, maxBucket=1000): distinct 2-frame
+    * shingles as VARCHAR keys (BIGINT→VARCHAR matches Long.toString
+    * including negatives), bucket count in (1, maxBucket], distinct-
+    * shingle Jaccard verify. Ends with vpairs(id_a, id_b, shared, n_a,
+    * n_b).
+    */
+  private def mmVideoPairsCtes: String =
+    s"""$mmVideoHashCtes,
+vsh AS (SELECT DISTINCT a.doc_id,
+  CAST(a.fhash AS VARCHAR) || ':' || CAST(b.fhash AS VARCHAR) AS sh
+  FROM vh a JOIN vh b ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + 1),
+vnk AS (SELECT doc_id, count(*) AS nk FROM vsh GROUP BY doc_id),
+vok AS (SELECT sh FROM vsh GROUP BY sh HAVING count(*) <= 1000 AND count(*) > 1),
+vib AS (SELECT vsh.* FROM vsh JOIN vok USING (sh)),
+vcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(count(DISTINCT a.sh) AS BIGINT) AS shared
+  FROM vib a JOIN vib b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+vpairs AS (SELECT id_a, id_b, shared, na.nk AS n_a, nb.nk AS n_b
+  FROM vcand JOIN vnk na ON na.doc_id = vcand.id_a
+             JOIN vnk nb ON nb.doc_id = vcand.id_b
+  WHERE shared >= 1
+    AND CAST(shared AS DOUBLE) / (na.nk + nb.nk - shared) >= 0.5)"""
+
+  private def mmVideoPairsOracle: String =
+    s"""WITH $mmVideoPairsCtes
+SELECT id_a, id_b, shared, n_a, n_b FROM vpairs"""
+
+  private def mmVideoDedupOracle: String =
+    s"""WITH RECURSIVE $mmVideoPairsCtes,
+vnodes AS (SELECT DISTINCT id FROM (
+  SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
+veg AS (SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL SELECT id_b AS a, id_a AS b FROM vpairs),
+vreach AS (
+  SELECT id, id AS r FROM vnodes
+  UNION
+  SELECT veg.a AS id, vreach.r FROM veg JOIN vreach ON vreach.id = veg.b),
+vcc AS (SELECT id, min(r) AS cluster_id FROM vreach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM vcc WHERE id <> cluster_id)"""
+
+  /** CTE chain mirroring Multimodal.audioSegmentHashes over the
+    * OFFSET-WAV fixture (withSyntheticOffsetWavs: nSamples=2048,
+    * offsetSamples=256, baseMod=32; hash params winSamples=32,
+    * segWindows=16, hopWindows=8 → 64 windows, 7 segments, 15-bit
+    * hashes): per-(doc, window) integer sums of the variant-adjusted
+    * sample formula, per-segment adjacent-window gradient bits. Ends
+    * with aseg(doc_id, seg_idx, shash).
+    */
+  private def mmAudioSegCtes: String =
+    """asg AS (
+      |  SELECT doc_id, k,
+      |    list_sum(list_transform(generate_series(k * 32, k * 32 + 31), i ->
+      |      CASE WHEN (doc_id // 32) % 3 = 2 THEN
+      |        CASE WHEN i < 256 THEN 0
+      |             ELSE ((((doc_id % 32) + 1) * ((i - 256) * 7 + 3)) % 251) - 125 END
+      |      WHEN (doc_id // 32) % 3 = 1 THEN
+      |        ((((doc_id % 32) + 1) * (i * 7 + 3)) % 251) - 125 + 7
+      |      ELSE ((((doc_id % 32) + 1) * (i * 7 + 3)) % 251) - 125 END)) AS s
+      |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) t),
+      |aseg AS (
+      |  SELECT a.doc_id, CAST(g.seg AS BIGINT) AS seg_idx,
+      |    CAST(coalesce(sum(CASE WHEN b.s > a.s THEN (1::BIGINT << g.bit) ELSE 0::BIGINT END),
+      |      0) AS BIGINT) AS shash
+      |  FROM (SELECT s.seg, b.bit FROM (SELECT unnest(generate_series(0, 6)) AS seg) s
+      |        CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS bit) b) g
+      |  JOIN asg a ON a.k = g.seg * 8 + g.bit
+      |  JOIN asg b ON b.doc_id = a.doc_id AND b.k = g.seg * 8 + g.bit + 1
+      |  GROUP BY a.doc_id, g.seg)""".stripMargin
+
+  private def mmAudioSegHashOracle: String =
+    s"""WITH $mmAudioSegCtes
+       |SELECT doc_id, seg_idx, shash FROM aseg""".stripMargin
+
+  /** sharedKeyPairs mirror over the segment hashes (minShared=3,
+    * threshold=0, maxBucket=1000): distinct (doc, hash-value) keys,
+    * bucket cap, ≥ 3 shared distinct values.
+    */
+  private def mmAudioOffsetPairsOracle: String =
+    s"""WITH $mmAudioSegCtes,
+       |akeys AS (SELECT DISTINCT doc_id, shash FROM aseg),
+       |ank AS (SELECT doc_id, count(*) AS nk FROM akeys GROUP BY doc_id),
+       |aok AS (SELECT shash FROM akeys GROUP BY shash
+       |  HAVING count(*) <= 1000 AND count(*) > 1),
+       |aib AS (SELECT akeys.* FROM akeys JOIN aok USING (shash)),
+       |acand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(DISTINCT a.shash) AS BIGINT) AS shared
+       |  FROM aib a JOIN aib b ON a.shash = b.shash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |apr AS (SELECT id_a, id_b, shared, na.nk AS n_a, nb.nk AS n_b
+       |  FROM acand JOIN ank na ON na.doc_id = acand.id_a
+       |             JOIN ank nb ON nb.doc_id = acand.id_b
+       |  WHERE shared >= 3)
+       |SELECT id_a, id_b, shared, n_a, n_b FROM apr""".stripMargin
 
   /** The synthetic-pattern luma L(x,y) as a DuckDB integer expression —
     * the exact formula of Multimodal.withSyntheticPatternImages (gray

@@ -275,6 +275,51 @@ object Multimodal {
     l
   }
 
+  /** 64-bit dHash of one decoded image: bilinear-downscale to 9×8,
+    * integer luma, bit (y*8+x) set iff L(x+1,y) > L(x,y). Shared by
+    * [[imageHashes]] (per-image) and [[videoFrameHashes]] (per-frame).
+    */
+  private[llm] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val dg = lumaGrid(bilinearScale(img, 9, 8))
+    var dhash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (dg(y)(x + 1) > dg(y)(x)) dhash |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    dhash
+  }
+
+  /** 64-bit aHash of one decoded image: downscale to 8×8, bit set iff
+    * L(x,y) > floor(mean) (integer mean over the 64 cells).
+    */
+  private[llm] def ahash64(img: java.awt.image.BufferedImage): Long = {
+    val ag = lumaGrid(bilinearScale(img, 8, 8))
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) { sum += ag(y)(x); x += 1 }
+      y += 1
+    }
+    val mean = sum / 64
+    var ahash = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (ag(y)(x) > mean) ahash |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    ahash
+  }
+
   /** PERCEPTUAL IMAGE HASHES — the image-dedup ladder's fingerprint
     * stage (dHash/aHash, the standard CLIP-era pre-filter before
     * embedding-level semantic dedup): decode the `media` payload, then
@@ -306,39 +351,7 @@ object Multimodal {
           else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
                catch { case _: java.io.IOException => null }
         if (img == null) Row(r.getLong(0), null, null)
-        else {
-          val dg = lumaGrid(bilinearScale(img, 9, 8))
-          var dhash = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              if (dg(y)(x + 1) > dg(y)(x)) dhash |= (1L << (y * 8 + x))
-              x += 1
-            }
-            y += 1
-          }
-          val ag = lumaGrid(bilinearScale(img, 8, 8))
-          var sum = 0L
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) { sum += ag(yy)(xx); xx += 1 }
-            yy += 1
-          }
-          val mean = sum / 64
-          var ahash = 0L
-          yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              if (ag(yy)(xx) > mean) ahash |= (1L << (yy * 8 + xx))
-              xx += 1
-            }
-            yy += 1
-          }
-          Row(r.getLong(0), dhash, ahash)
-        }
+        else Row(r.getLong(0), dhash64(img), ahash64(img))
       }
     }
   }
@@ -399,18 +412,64 @@ object Multimodal {
     }
   }
 
+  /** Decode a WAV payload to its signed 16-bit MONO sample stream, or
+    * null when the payload is undecodable, not PCM_SIGNED 16-bit, or
+    * MULTICHANNEL — a stereo file's interleaved L/R stream would make
+    * window sums mix channels and quietly break the documented mono-
+    * envelope semantics, so multichannel payloads take the same null
+    * contract as undecodables (downmix upstream if needed). Shared by
+    * [[audioHashes]] and [[audioSegmentHashes]].
+    */
+  private[llm] def decodePcm16Mono(payload: Array[Byte]): Array[Int] = {
+    if (payload == null || !looksLikeWav(payload)) return null
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException |
+                   _: java.io.IOException => null }
+    if (in == null) null
+    else try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
+      else {
+        val bytes = in.readAllBytes()
+        val big = fmt.isBigEndian
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val b0 = bytes(2 * i) & 0xFF; val b1 = bytes(2 * i + 1) & 0xFF
+          out(i) = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+          i += 1
+        }
+        out
+      }
+    } finally in.close()
+  }
+
   /** WAVEFORM FINGERPRINT — the audio rung of the perceptual-dedup
     * ladder (the dHash idea applied to PCM): decode the `media` payload
-    * via `javax.sound.sampled` (16-bit signed PCM), split the sample
-    * stream into 64 equal windows (remainder truncated), take each
-    * window's INTEGER sample sum, and set bit k (k = 0..62) iff
-    * sum(k+1) > sum(k) — the envelope's gradient signs, robust to
-    * uniform gain changes exactly as dHash is to brightness. 63
-    * meaningful bits (no sign-bit arithmetic anywhere), integer-exact
+    * via `javax.sound.sampled` (16-bit signed PCM, mono — multichannel
+    * payloads hash to null like undecodables, see [[decodePcm16Mono]]),
+    * split the sample stream into 64 equal windows (remainder
+    * truncated), take each window's INTEGER sample sum, and set bit k
+    * (k = 0..62) iff sum(k+1) > sum(k) — the envelope's gradient signs,
+    * robust to uniform gain changes exactly as dHash is to brightness.
+    * 63 meaningful bits (no sign-bit arithmetic anywhere), integer-exact
     * on any engine. Output (id, whash); null for undecodable /
-    * non-PCM-16 / sub-64-sample payloads. Pairs/dedup reuse
-    * [[graft.llm.TextDedup.hammingHashPairs]] / `dedupByPairs`
+    * non-PCM-16 / multichannel / sub-64-sample payloads. Pairs/dedup
+    * reuse [[graft.llm.TextDedup.hammingHashPairs]] / `dedupByPairs`
     * unchanged — the hash column is the whole interface.
+    *
+    * ALIGNMENT CONTRACT: the 64 windows are cut by dividing the WHOLE
+    * file, so this hash is a rigid, alignment-sensitive fingerprint —
+    * a duplicate offset by even one window width (leading silence, a
+    * trimmed intro) shifts every window boundary and will NOT pair at
+    * any useful radius (`AudioOffsetSpec` pins the miss on a planted
+    * offset duplicate). It is the right tool for byte-near re-encodes
+    * and gain changes only; for time-shifted duplicates use
+    * [[audioSegmentHashes]], whose fixed-width overlapping segments
+    * re-align at any offset that is a multiple of the segment hop.
     */
   def audioHashes(df: DataFrame, idCol: String): DataFrame = {
     val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
@@ -419,34 +478,7 @@ object Multimodal {
     implicit val enc = Encoders.row(outSchema)
     pruned.mapPartitions { it =>
       it.map { r =>
-        val payload = r.getAs[Array[Byte]]("media")
-        val samples: Array[Int] =
-          if (payload == null || !looksLikeWav(payload)) null
-          else {
-            val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(payload))
-              catch { case _: javax.sound.sampled.UnsupportedAudioFileException |
-                           _: java.io.IOException => null }
-            if (in == null) null
-            else try {
-              val fmt = in.getFormat
-              if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-                  fmt.getSampleSizeInBits != 16) null
-              else {
-                val bytes = in.readAllBytes()
-                val big = fmt.isBigEndian
-                val n = bytes.length / 2
-                val out = new Array[Int](n)
-                var i = 0
-                while (i < n) {
-                  val b0 = bytes(2 * i) & 0xFF; val b1 = bytes(2 * i + 1) & 0xFF
-                  out(i) = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
-                  i += 1
-                }
-                out
-              }
-            } finally in.close()
-          }
+        val samples = decodePcm16Mono(r.getAs[Array[Byte]]("media"))
         if (samples == null || samples.length < 64) Row(r.getLong(0), null)
         else {
           val win = samples.length / 64
@@ -518,6 +550,295 @@ object Multimodal {
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
           Array(id, bos.toByteArray), outSchema): Row
+      }
+    }
+  }
+
+  /** Oracle-mirrorable OFFSET-AUDIO fixture — the time-shift regime the
+    * alignment contract on [[audioHashes]] documents: same 16-bit PCM
+    * mono WAV per row as [[withSyntheticWavs]], but the variant axis
+    * plants TIME-SHIFTED duplicates instead of gain bumps:
+    *
+    *   base   = id % baseMod + 1,  v = (id / baseMod) % 3
+    *   s0(i)  = ((base * (i*7 + 3)) % 251) - 125      (the base clip)
+    *   v = 0: s = s0
+    *   v = 1: s(i) = s0(i) + 7                        (uniform gain — a
+    *          control that both hash tiers must still catch)
+    *   v = 2: s(i) = 0 for i < off, s0(i - off) after (leading silence
+    *          of `offsetSamples`, tail truncated — the planted offset
+    *          duplicate the whole-file hash MISSES and the segment tier
+    *          catches when off is a multiple of the segment hop)
+    */
+  def withSyntheticOffsetWavs(df: DataFrame, idCol: String, nSamples: Int = 2048,
+                              offsetSamples: Int = 256, baseMod: Long = 32L): DataFrame = {
+    require(nSamples >= 64, s"nSamples must be >= 64, got $nSamples")
+    require(offsetSamples >= 0 && offsetSamples < nSamples,
+      s"offsetSamples must be in [0, nSamples), got $offsetSamples")
+    require(baseMod > 0, s"baseMod must be positive, got $baseMod")
+    val pruned = df.select(col(idCol).cast("long").as(idCol))
+    val outSchema = new StructType()
+      .add(idCol, LongType).add("media", BinaryType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = (id % baseMod) + 1
+        val v = (id / baseMod) % 3
+        def s0(i: Int): Int = ((base * (i.toLong * 7 + 3)) % 251).toInt - 125
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s =
+            if (v == 2) { if (i < offsetSamples) 0 else s0(i - offsetSamples) }
+            else if (v == 1) s0(i) + 7
+            else s0(i)
+          pcm(2 * i) = (s & 0xFF).toByte          // little-endian
+          pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(id, bos.toByteArray), outSchema): Row
+      }
+    }
+  }
+
+  /** SHIFT-TOLERANT AUDIO FINGERPRINTS — per-SEGMENT waveform hashes
+    * (the Shazam-era fix for [[audioHashes]]' alignment fragility):
+    * decode to mono PCM-16 ([[decodePcm16Mono]] contract), cut the
+    * stream into FIXED-width windows of `winSamples` (absolute units,
+    * NOT length-relative — shift tolerance requires that the grid not
+    * depend on file length), sum each window, then hash every segment
+    * of `segWindows` consecutive windows starting at multiples of
+    * `hopWindows`: bit k (k = 0..segWindows-2) set iff
+    * sum(start+k+1) > sum(start+k) — the same gain-robust gradient-sign
+    * scheme, localized. Output (id, seg_idx, shash), one row per
+    * segment; undecodable / multichannel / shorter-than-one-segment
+    * payloads yield a single (id, null, null) row (never a silent
+    * drop).
+    *
+    * MATCHING CONTRACT: a duplicate delayed by any multiple of
+    * `hopWindows * winSamples` samples reproduces the original's
+    * segment hashes verbatim (at shifted seg_idx — which is why
+    * [[graft.llm.TextDedup.sharedKeyPairs]] matches on hash VALUES,
+    * not positions); sub-hop offsets still shift every window and miss,
+    * exactly like the whole-file hash. Smaller hops buy finer shift
+    * tolerance at linearly more rows.
+    */
+  def audioSegmentHashes(df: DataFrame, idCol: String, winSamples: Int = 32,
+                         segWindows: Int = 16, hopWindows: Int = 8): DataFrame = {
+    require(winSamples >= 1, s"winSamples must be positive, got $winSamples")
+    require(segWindows >= 2 && segWindows <= 64,
+      s"segWindows must be in [2, 64], got $segWindows")
+    require(hopWindows >= 1, s"hopWindows must be positive, got $hopWindows")
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("seg_idx", IntegerType).add("shash", LongType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.flatMap { r =>
+        val samples = decodePcm16Mono(r.getAs[Array[Byte]]("media"))
+        val nWin = if (samples == null) 0 else samples.length / winSamples
+        if (nWin < segWindows) Iterator.single(Row(r.getLong(0), null, null))
+        else {
+          val sums = new Array[Long](nWin)
+          var k = 0
+          while (k < nWin) {
+            var j = 0; var s = 0L
+            while (j < winSamples) { s += samples(k * winSamples + j); j += 1 }
+            sums(k) = s
+            k += 1
+          }
+          val id = r.getLong(0)
+          Iterator.range(0, (nWin - segWindows) / hopWindows + 1).map { seg =>
+            val start = seg * hopWindows
+            var h = 0L
+            var b = 0
+            while (b < segWindows - 1) {
+              if (sums(start + b + 1) > sums(start + b)) h |= (1L << b)
+              b += 1
+            }
+            Row(id, seg, h)
+          }
+        }
+      }
+    }
+  }
+
+  /** IMAGE → EMBEDDING bridge for the semantic-dedup tier: real decode,
+    * bilinear-downscale to (gridW × gridH), and the row-major integer
+    * luma grid as an `array<double>` feature vector — the composition
+    * point that feeds images into [[graft.llm.Similarity.semDedup]] /
+    * the ANN tier, giving the image ladder a SEMANTIC rung beside the
+    * perceptual hashes (dHash keeps gradient SIGNS only; this keeps the
+    * magnitudes, so ε-cosine sees structure the hash flattens).
+    * Output (id, features dim gridW*gridH); null payload / undecodable
+    * → null features (filter before the dedup — the null contract of
+    * the hash tier). Deterministic and engine-mirrorable on fixtures
+    * generated AT the grid size, where the resize is the identity.
+    */
+  def imageLumaFeatures(df: DataFrame, idCol: String,
+                        gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    require(gridW > 0 && gridH > 0, s"grid dims must be positive, got ${gridW}x$gridH")
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("features", ArrayType(DoubleType))
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("media")
+        val img =
+          if (payload == null || !looksLikeImage(payload)) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+               catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.getLong(0), null)
+        else {
+          val g = lumaGrid(bilinearScale(img, gridW, gridH))
+          val out = new Array[Double](gridW * gridH)
+          var y = 0
+          while (y < gridH) {
+            var x = 0
+            while (x < gridW) { out(y * gridW + x) = g(y)(x).toDouble; x += 1 }
+            y += 1
+          }
+          Row(r.getLong(0), out.toSeq)
+        }
+      }
+    }
+  }
+
+  /** Trivial length-prefixed FRAME CONTAINER for the video tier: each
+    * frame is [4-byte big-endian length][frame bytes]. The JDK has no
+    * video codec, so clips travel as packed per-frame images (an
+    * MJPEG-style container reduced to its essence); the per-frame bytes
+    * are real ImageIO-decodable images, which keeps the decode path
+    * real end-to-end.
+    */
+  private[graft] def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    bos.toByteArray
+  }
+
+  /** Parse the [[packFrames]] container; null on any malformation
+    * (negative length, truncated frame, trailing garbage).
+    */
+  private[graft] def unpackFrames(payload: Array[Byte]): Array[Array[Byte]] = {
+    if (payload == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 0
+    while (off < payload.length) {
+      if (off + 4 > payload.length) return null
+      val len = ((payload(off) & 0xFF) << 24) | ((payload(off + 1) & 0xFF) << 16) |
+        ((payload(off + 2) & 0xFF) << 8) | (payload(off + 3) & 0xFF)
+      if (len < 0 || off + 4 + len > payload.length) return null
+      out += java.util.Arrays.copyOfRange(payload, off + 4, off + 4 + len)
+      off += 4 + len
+    }
+    out.toArray
+  }
+
+  /** Oracle-mirrorable VIDEO fixture: a packed-frame clip per row
+    * ([[packFrames]] of 9×8 gray-pattern BMPs — each frame pixel-exact
+    * under the real decode → dHash path, like
+    * [[withSyntheticPatternImages]]), with the three regimes a video
+    * near-dup fixture needs derived from the id by pure integer
+    * arithmetic:
+    *
+    *   base     = id % baseMod + 1           (clip family)
+    *   v        = (id / baseMod) % 3         (variant)
+    *   nf0      = base % 4 + 5               (5..8 frames)
+    *   luma(x,y,f) = (base * (x*7 + y*13 + 29*f + 3)) % 251
+    *   v = 0: frames 0..nf0-1 as above       (the original clip)
+    *   v = 1: same frames, but frame 0's pixel (2,3) flipped to
+    *          250 - luma                     (one re-encoded frame)
+    *   v = 2: frames 1..nf0-1 (nf0 - 1 frames — the original minus its
+    *          first frame: a TRIMMED clip, every remaining frame
+    *          identical to the original's)
+    *
+    * ids sharing base are sequence near-duplicates (v1 perturbs one
+    * frame hash; v2 shifts the sequence); different bases are
+    * unrelated. The trimmed variant is exactly the case that defeats
+    * position-aligned frame comparison and that shingled frame-hash
+    * matching ([[graft.llm.TextDedup.frameSequencePairs]]) survives.
+    */
+  def withSyntheticVideoClips(df: DataFrame, idCol: String,
+                              baseMod: Long = 32L): DataFrame = {
+    require(baseMod > 0, s"baseMod must be positive, got $baseMod")
+    val pruned = df.select(col(idCol).cast("long").as(idCol))
+    val outSchema = new StructType()
+      .add(idCol, LongType).add("media", BinaryType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = (id % baseMod) + 1
+        val v = (id / baseMod) % 3
+        val nf0 = (base % 4 + 5).toInt
+        val fStart = if (v == 2) 1 else 0
+        val frames = (fStart until nf0).map { f =>
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val raw = ((base * (x * 7 + y * 13 + 29L * f + 3)) % 251).toInt
+              val flip = v == 1 && f == 0 && x == 2 && y == 3
+              val l = if (flip) 250 - raw else raw
+              img.setRGB(x, y, (l << 16) | (l << 8) | l)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          bos.toByteArray
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(id, packFrames(frames)), outSchema): Row
+      }
+    }
+  }
+
+  /** PER-FRAME VIDEO HASHES — the video rung of the perceptual-dedup
+    * ladder: parse the `media` payload as a [[packFrames]] container,
+    * REAL-decode each frame via ImageIO, and emit its [[dhash64]].
+    * Output (id, frame_idx, fhash), one row per frame in container
+    * order; an undecodable frame yields (id, frame_idx, null) and an
+    * unparseable / null container a single (id, null, null) row —
+    * never a silent drop, never a zero hash that would cluster broken
+    * clips together.
+    *
+    * Projection-shaped like [[imageHashes]]: pruned scan, per-partition
+    * decode, payload bytes never cross a shuffle — downstream sequence
+    * matching ships only (id, frame_idx, 8-byte hash) rows, so at
+    * 100 TB the only full-corpus pass over video bytes is this decode
+    * projection.
+    */
+  def videoFrameHashes(df: DataFrame, idCol: String): DataFrame = {
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("frame_idx", IntegerType).add("fhash", LongType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val frames = unpackFrames(r.getAs[Array[Byte]]("media"))
+        if (frames == null) Iterator.single(Row(id, null, null))
+        else Iterator.range(0, frames.length).map { f =>
+          val img =
+            if (!looksLikeImage(frames(f))) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(f)))
+                 catch { case _: java.io.IOException => null }
+          if (img == null) Row(id, f, null) else Row(id, f, dhash64(img))
+        }
       }
     }
   }

@@ -804,6 +804,90 @@ object TextDedup {
     PairsWithStats(pairs, dropped, cached = Seq(withSim))
   }
 
+  /** SHARED-KEY PAIR CORE — the generic "two items match when their key
+    * SETS overlap enough" relation behind the video-sequence and
+    * audio-segment tiers (and composable with any (id, key) relation):
+    * candidates share at least one key (bucket join on the key,
+    * over-`maxBucket` buckets dropped exactly like [[hammingHashPairs]]'
+    * chunk buckets), verified by distinct-key overlap — `shared >=
+    * minShared` and Jaccard `shared / (n_a + n_b - shared) >=
+    * threshold`. Input: any DataFrame with an id column and a key
+    * column (nulls never pair); duplicate (id, key) rows collapse —
+    * the semantics are over distinct key SETS. Output (id_a, id_b,
+    * shared, n_a, n_b) with id_a < id_b.
+    *
+    * Scale shape: one distinct + one count per id + a bucket-capped
+    * self-join shipping (id, key) rows only — payload bytes never
+    * enter; the cap bounds every bucket's quadratic exactly as in the
+    * hamming core.
+    */
+  def sharedKeyPairs(df: DataFrame, idCol: String, keyCol: String,
+                     minShared: Int = 1, threshold: Double = 0.0,
+                     maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1], got $threshold")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val keys = df.select(col(idCol).cast("long").as("id"),
+        col(keyCol).cast("string").as("key"))
+      .filter(col("id").isNotNull && col("key").isNotNull)
+      .distinct()
+      // 3 consumers (nk + both join branches) — same scoped-persist
+      // pattern as the simhash/ngram cores
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nk = keys.groupBy("id").agg(count(lit(1)).as("nk"))
+    val okBuckets = keys.groupBy("key").count()
+      .filter(col("count") <= maxBucket && col("count") > 1).select("key")
+    val inB = keys.join(okBuckets, Seq("key"))
+    val a = inB.select(col("key"), col("id").as("id_a"))
+    val b = inB.select(col("key"), col("id").as("id_b"))
+    val thr = threshold
+    a.join(b, Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(nk.select(col("id").as("id_a"), col("nk").as("n_a")), Seq("id_a"))
+      .join(nk.select(col("id").as("id_b"), col("nk").as("n_b")), Seq("id_b"))
+      .filter(col("shared") >= minShared &&
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")) >= thr)
+      .select("id_a", "id_b", "shared", "n_a", "n_b")
+  }
+
+  /** FRAME-SEQUENCE NEAR-DUP PAIRS — sequence-level similarity over a
+    * per-frame hash relation ([[graft.llm.Multimodal.videoFrameHashes]]'
+    * (id, frame_idx, fhash)): shingle every `shingleK` CONSECUTIVE
+    * frame hashes (consecutive by `orderCol`; windows containing a null
+    * hash are skipped), then match clips whose distinct shingle sets
+    * overlap — [[sharedKeyPairs]] with the shingle as the key. Shingles
+    * make the match alignment-free: a clip trimmed at either end or
+    * with one re-encoded frame still shares all untouched shingles,
+    * while position-aligned frame comparison would miss every trimmed
+    * duplicate.
+    *
+    * `threshold` is distinct-shingle Jaccard; clips with fewer than
+    * `shingleK` decodable frames produce no shingles and never pair.
+    */
+  def frameSequencePairs(frames: DataFrame, idCol: String, orderCol: String,
+                         hashCol: String, shingleK: Int = 2,
+                         threshold: Double = 0.5, minShared: Int = 1,
+                         maxBucket: Int = 1000): DataFrame = {
+    require(shingleK >= 1, s"shingleK must be positive, got $shingleK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(orderCol))
+    val parts = (0 until shingleK).map { j =>
+      if (j == 0) col(hashCol).cast("string")
+      else lead(col(hashCol), j).over(w).cast("string")
+    }
+    // concat() is null iff ANY member is null — exactly the "window must
+    // be fully decodable" rule (concat_ws would silently skip nulls and
+    // alias distinct windows)
+    val shingle = concat(parts.flatMap(p => Seq(p, lit(":"))).dropRight(1): _*)
+    val shingled = frames
+      .filter(col(orderCol).isNotNull)
+      .select(col(idCol), shingle.as("shingle"))
+      .filter(col("shingle").isNotNull)
+    sharedKeyPairs(shingled, idCol, "shingle", minShared, threshold, maxBucket)
+  }
+
   /** n-gram Jaccard near-dup with single-min-hash blocking: candidates
     * share the minimum shingle hash (cheap 1-band LSH), then exact Jaccard
     * verifies. Higher recall needs minhashPairs; this is the lightweight

@@ -576,9 +576,11 @@ object NearDupStream {
       simOk = (a, b) => levWithin(a, b, kd))
   }
 
-  /** Band-SHARDED stage A for the PERCEPTUAL-IMAGE family — incremental
+  /** Band-SHARDED stage A for the PERCEPTUAL-HASH families — incremental
     * hamming near-dup edges over a PRECOMPUTED 64-bit hash column
-    * ([[graft.llm.Multimodal.imageHashes]]' dhash/ahash): codes are the
+    * ([[graft.llm.Multimodal.imageHashes]]' dhash/ahash, or
+    * [[graft.llm.Multimodal.audioHashes]]' whash — the hash column is
+    * the whole interface, so image and audio share this stage): codes are the
     * four `chunkBits`-bit chunk values (the
     * [[graft.llm.TextDedup.hammingHashPairs]] blocking — pigeonhole-
     * exact at radius ≤ 3), the stored payload is the hash itself
@@ -590,7 +592,7 @@ object NearDupStream {
     * batch drops the bucket, the shard keeps verifying against the
     * stored prefix). Null hashes (undecodable payloads) never enter.
     */
-  def imageShardedEdges(sdf: DataFrame, idCol: String, hashCol: String,
+  def hashShardedEdges(sdf: DataFrame, idCol: String, hashCol: String,
                         maxHamming: Int, chunkBits: Int = 16,
                         maxBucket: Int = 1000): DataFrame = {
     require(chunkBits >= 1 && chunkBits <= 16,

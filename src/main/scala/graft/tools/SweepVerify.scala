@@ -469,6 +469,99 @@ object SweepVerify {
        |  WHERE hamming <= $maxHamming GROUP BY id_a, id_b)
        |SELECT id_a, id_b, hamming FROM apairs""".stripMargin
 
+  /** DuckDB mirror of the VIDEO sequence near-dup pair relation
+    * (Multimodal.withSyntheticVideoClips → videoFrameHashes →
+    * TextDedup.frameSequencePairs) with DRAWN clip-family width,
+    * shingle length, Jaccard threshold, and bucket cap: per-frame
+    * dHash from the pattern formula, k-frame VARCHAR shingles,
+    * distinct-shingle overlap verify.
+    */
+  private def videoSeqPairsSql(baseMod: Long, shingleK: Int,
+                               threshold: Double, maxBucket: Int): String = {
+    def lum(x: Int, y: Int): String = {
+      val k = x * 7 + y * 13 + 3
+      val raw = s"(((doc_id % $baseMod) + 1) * ($k + 29 * fe)) % 251"
+      if (x == 2 && y == 3)
+        s"(CASE WHEN (doc_id // $baseMod) % 3 = 1 AND f = 0 THEN 250 - ($raw) ELSE ($raw) END)"
+      else s"($raw)"
+    }
+    val dhash = (for (y <- 0 until 8; x <- 0 until 8) yield {
+      val bit = y * 8 + x
+      val mask = if (bit == 63) "(-9223372036854775807 - 1)"
+                 else s"(1::BIGINT << $bit)"
+      s"(CASE WHEN ${lum(x + 1, y)} > ${lum(x, y)} THEN $mask ELSE 0::BIGINT END)"
+    }).mkString(" |\n  ")
+    val shJoins = (1 until shingleK).map(j =>
+      s"JOIN vh f$j ON f$j.doc_id = f0.doc_id AND f$j.frame_idx = f0.frame_idx + $j")
+      .mkString("\n  ")
+    val shExpr = (0 until shingleK).map(j => s"CAST(f$j.fhash AS VARCHAR)")
+      .mkString(" || ':' || ")
+    s"""WITH vdocs AS (SELECT doc_id,
+  ((doc_id % $baseMod) + 1) % 4 + 5
+    - CASE WHEN (doc_id // $baseMod) % 3 = 2 THEN 1 ELSE 0 END AS nf,
+  CASE WHEN (doc_id // $baseMod) % 3 = 2 THEN 1 ELSE 0 END AS skip
+  FROM documents),
+vfr AS (SELECT doc_id, f, f + skip AS fe
+  FROM vdocs, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) t),
+vh AS (SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, $dhash AS fhash FROM vfr),
+vsh AS (SELECT DISTINCT f0.doc_id, $shExpr AS sh
+  FROM vh f0
+  $shJoins),
+vnk AS (SELECT doc_id, count(*) AS nk FROM vsh GROUP BY doc_id),
+vok AS (SELECT sh FROM vsh GROUP BY sh HAVING count(*) <= $maxBucket AND count(*) > 1),
+vib AS (SELECT vsh.* FROM vsh JOIN vok USING (sh)),
+vcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(count(DISTINCT a.sh) AS BIGINT) AS shared
+  FROM vib a JOIN vib b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+vpairs AS (SELECT id_a, id_b, shared, na.nk AS n_a, nb.nk AS n_b
+  FROM vcand JOIN vnk na ON na.doc_id = vcand.id_a
+             JOIN vnk nb ON nb.doc_id = vcand.id_b
+  WHERE shared >= 1
+    AND CAST(shared AS DOUBLE) / (na.nk + nb.nk - shared) >= $threshold)
+SELECT id_a, id_b, shared, n_a, n_b FROM vpairs"""
+  }
+
+  /** DuckDB mirror of the SHIFT-TOLERANT audio segment pair relation
+    * (withSyntheticOffsetWavs → audioSegmentHashes → sharedKeyPairs;
+    * fixed hash geometry 2048 samples / 32-window / 16-seg / hop 8)
+    * with DRAWN family width, planted offset, and match floor.
+    */
+  private def audioSegPairsSql(baseMod: Long, offsetSamples: Int,
+                               minShared: Int, maxBucket: Int): String =
+    s"""WITH asg AS (
+       |  SELECT doc_id, k,
+       |    list_sum(list_transform(generate_series(k * 32, k * 32 + 31), i ->
+       |      CASE WHEN (doc_id // $baseMod) % 3 = 2 THEN
+       |        CASE WHEN i < $offsetSamples THEN 0
+       |             ELSE ((((doc_id % $baseMod) + 1) * ((i - $offsetSamples) * 7 + 3)) % 251) - 125 END
+       |      WHEN (doc_id // $baseMod) % 3 = 1 THEN
+       |        ((((doc_id % $baseMod) + 1) * (i * 7 + 3)) % 251) - 125 + 7
+       |      ELSE ((((doc_id % $baseMod) + 1) * (i * 7 + 3)) % 251) - 125 END)) AS s
+       |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) t),
+       |aseg AS (
+       |  SELECT a.doc_id, CAST(g.seg AS BIGINT) AS seg_idx,
+       |    CAST(coalesce(sum(CASE WHEN b.s > a.s THEN (1::BIGINT << g.bit) ELSE 0::BIGINT END),
+       |      0) AS BIGINT) AS shash
+       |  FROM (SELECT s.seg, b.bit FROM (SELECT unnest(generate_series(0, 6)) AS seg) s
+       |        CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS bit) b) g
+       |  JOIN asg a ON a.k = g.seg * 8 + g.bit
+       |  JOIN asg b ON b.doc_id = a.doc_id AND b.k = g.seg * 8 + g.bit + 1
+       |  GROUP BY a.doc_id, g.seg),
+       |akeys AS (SELECT DISTINCT doc_id, shash FROM aseg),
+       |ank AS (SELECT doc_id, count(*) AS nk FROM akeys GROUP BY doc_id),
+       |aok AS (SELECT shash FROM akeys GROUP BY shash
+       |  HAVING count(*) <= $maxBucket AND count(*) > 1),
+       |aib AS (SELECT akeys.* FROM akeys JOIN aok USING (shash)),
+       |acand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(DISTINCT a.shash) AS BIGINT) AS shared
+       |  FROM aib a JOIN aib b ON a.shash = b.shash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |apr AS (SELECT id_a, id_b, shared, na.nk AS n_a, nb.nk AS n_b
+       |  FROM acand JOIN ank na ON na.doc_id = acand.id_a
+       |             JOIN ank nb ON nb.doc_id = acand.id_b
+       |  WHERE shared >= $minShared)
+       |SELECT id_a, id_b, shared, n_a, n_b FROM apr""".stripMargin
+
   /** Parameterized mirror of `TextDedup.editDecontaminateMd5` over the
     * doc_id % 10 train/eval split: the editPairsSql hash construction
     * with BIPARTITE candidates (train × eval sharing a band bucket,
@@ -1142,7 +1235,11 @@ object SweepVerify {
     * and the keep rank (csim ASC, id ASC per component; rn > 1 dropped).
     */
   private def embSemDedupSql(nCells: Int, lloydIters: Int, eps: Double,
-                             maxCell: Int = Int.MaxValue): String = {
+                             maxCell: Int = Int.MaxValue,
+                             srcSql: String =
+                               "SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings",
+                             finalRel: String = "embeddings",
+                             finalIdCol: String = "vec_id"): String = {
     val chain = (0 until lloydIters).map { i =>
       s"""asg$i AS (SELECT corpus_id, cv, cell FROM (
          |  SELECT corpus_id, cv, cell,
@@ -1156,9 +1253,9 @@ object SweepVerify {
          |  FROM el$i GROUP BY cell, pos),
          |cent${i + 1} AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cm$i GROUP BY cell),""".stripMargin
     }.mkString("\n")
-    s"""WITH RECURSIVE cent0 AS (SELECT vec_id::BIGINT AS cell, embedding AS centroid
-       |    FROM embeddings ORDER BY vec_id LIMIT $nCells),
-       |c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings),
+    s"""WITH RECURSIVE c AS ($srcSql),
+       |cent0 AS (SELECT corpus_id::BIGINT AS cell, cv AS centroid
+       |    FROM c ORDER BY corpus_id LIMIT $nCells),
        |$chain
        |asg AS (SELECT corpus_id, cv, cell, csim FROM (
        |  SELECT corpus_id, cv, cell, csim,
@@ -1182,8 +1279,8 @@ object SweepVerify {
        |rk AS (SELECT cc.cluster_id, cc.id,
        |    row_number() OVER (PARTITION BY cc.cluster_id ORDER BY asg.csim ASC, cc.id) AS rn
        |  FROM cc JOIN asg ON cc.id = asg.corpus_id)
-       |SELECT vec_id FROM embeddings
-       |WHERE vec_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
+       |SELECT $finalIdCol FROM $finalRel
+       |WHERE $finalIdCol NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin
   }
 
   /** Parametrized mirror of Similarity.ivfPqTopK (batch: the 20 lowest-id
@@ -1380,7 +1477,8 @@ object SweepVerify {
       "curation_pipeline", "ann_sharded_stream", "semdedup", "lm_ppl", "dsir",
       "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream",
       "editdist_pairs", "token_mix", "editdist_decontam", "image_hash",
-      "bpe_encode", "audio_hash")
+      "bpe_encode", "audio_hash", "video_seq", "audio_seg", "bpe_dist",
+      "image_semdedup")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -2002,6 +2100,40 @@ object SweepVerify {
             maxCell = mc),
             embSemDedupSql(nc, ll, epsQ, mc),
             s"c${nc}_l${ll}_e${epsQ}_mc$mc")
+        case "image_semdedup" =>
+          // the semdedup family re-drawn with IMAGE-feature vectors:
+          // real decode → 64-dim luma grid → the identical cell/ε/keep
+          // chain, drawn pattern-space width × cells × Lloyd × ε × cap.
+          // ε values are binary-exact and straddle the fixture's
+          // regimes (within-family cosine ≥ .957, cross ≤ .921 at
+          // baseMod 32): 29/32 admits cross-family pairs, 15/16 splits
+          // the regimes, 31/32 breaks some within-family pairs
+          val bm = pick(Seq(8L, 32L)); val nc = pick(Seq(4, 8, 16))
+          val ll = pick(Seq(0, 1)); val epsQ = pick(Seq(0.90625, 0.9375, 0.96875))
+          val mc = pick(Seq(20, 1 << 20))
+          def lum(x: Int, y: Int): String = {
+            val k = x * 7 + y * 13 + 3
+            val raw = s"(((doc_id % $bm) + 1) * $k) % 251"
+            if (x == 2 && y == 3)
+              s"(CASE WHEN (doc_id // $bm) % 3 >= 1 THEN 250 - ($raw) ELSE $raw END)"
+            else if (x == 5 && y == 1)
+              s"(CASE WHEN (doc_id // $bm) % 3 = 2 THEN 250 - ($raw) ELSE $raw END)"
+            else s"($raw)"
+          }
+          val vecSql = (for (y <- 0 until 8; x <- 0 until 8)
+            yield s"CAST(${lum(x, y)} AS DOUBLE)").mkString(", ")
+          (graft.llm.Similarity.semDedup(
+            graft.llm.Multimodal.imageLumaFeatures(
+              graft.llm.Multimodal.withSyntheticPatternImages(docs, "doc_id",
+                gridW = 8, gridH = 8, baseMod = bm),
+              "doc_id").filter(col("features").isNotNull),
+            "id", "features", dim = 64, eps = epsQ, nCells = nc,
+            lloydIters = ll, maxCell = mc)
+            .select(col("id").as("doc_id")),
+            embSemDedupSql(nc, ll, epsQ, mc,
+              srcSql = s"SELECT doc_id AS corpus_id, [$vecSql] AS cv FROM documents",
+              finalRel = "documents", finalIdCol = "doc_id"),
+            s"b${bm}_c${nc}_l${ll}_e${epsQ}_mc$mc")
         case "token_mix" =>
           // drawn default budget × one per-group override × FORM
           // (window vs segmented prefix sum with drawn rangeWidth —
@@ -2035,18 +2167,79 @@ object SweepVerify {
           // training AND encoding re-derived per draw on BOTH engines
           // (the SQL mirror re-trains from the raw table, so every draw
           // exercises the full trainer state machine, early-stop and
-          // tie-break rules included)
+          // tie-break rules included). A third of draws encode FULL
+          // texts (corpus restricted to short docs so the mirror's
+          // per-merge recursion stays bounded) — the VERDICT r16
+          // hardening past the fixed row's 120-char prefix: for those
+          // docs the truncation is a no-op by construction, so the
+          // hash pins the encoder over every code point of the text
           val sd = pick(Seq(2, 4, 8)); val sc = pick(Seq(120, 240))
-          val nm = pick(Seq(0, 8, 24)); val ec = pick(Seq(60, 120))
-          val model = graft.llm.Bpe.train(docs, "doc_id", "text",
+          val nm = pick(Seq(0, 8, 24))
+          val full = pick(Seq(false, false, true))
+          val (corpus, rel, ec) =
+            if (full) (docs.filter(org.apache.spark.sql.functions.length(
+                col("text")) <= 160),
+              "(SELECT * FROM documents WHERE length(text) <= 160)", 160)
+            else (docs, "documents", pick(Seq(60, 120)))
+          val model = graft.llm.Bpe.train(corpus, "doc_id", "text",
             numMerges = nm, sampleDocs = sd, sampleChars = sc)
+          (corpus.select(col("doc_id"),
+              org.apache.spark.sql.functions.posexplode(graft.llm.Bpe.encode(
+                org.apache.spark.sql.functions.substring(col("text"), 1, ec), model)))
+            .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+              col("col").cast("long").as("token_id")),
+            graft.SparkEntry.docBpeEncodeOracleFor(sd, sc, nm, ec, rel),
+            s"s${sd}x${sc}_m${nm}_e$ec${if (full) "_full" else ""}")
+        case "bpe_dist" =>
+          // the DISTRIBUTED trainer under drawn sample size × merge
+          // count × encode truncation — the per-doc choose/apply state
+          // machine re-derived per draw (document-boundary semantics,
+          // global argmax, bool_or apply-mode latch all exercised)
+          val sd = pick(Seq(8, 32, 64)); val nm = pick(Seq(0, 8, 16))
+          val ec = pick(Seq(60, 120))
+          val model = graft.llm.Bpe.trainDistributed(docs, "doc_id", "text",
+            numMerges = nm, sampleDocs = sd, sampleChars = 240)
           (docs.select(col("doc_id"),
               org.apache.spark.sql.functions.posexplode(graft.llm.Bpe.encode(
                 org.apache.spark.sql.functions.substring(col("text"), 1, ec), model)))
             .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
               col("col").cast("long").as("token_id")),
-            graft.SparkEntry.docBpeEncodeOracleFor(sd, sc, nm, ec),
-            s"s${sd}x${sc}_m${nm}_e$ec")
+            graft.SparkEntry.docBpeEncodeDistOracleFor(sd, 240, nm, ec),
+            s"s${sd}_m${nm}_e$ec")
+        case "video_seq" =>
+          // drawn clip-family width × shingle length × Jaccard
+          // threshold × bucket cap over the packed-frame fixture — the
+          // REAL per-frame decode path under randomized sequence-match
+          // parameters (k=3 demands longer untouched runs, 0.75 drops
+          // the one-perturbed-frame regime, cap 8 forces drops on the
+          // narrow pattern space)
+          val bm = pick(Seq(8L, 32L, 128L)); val k = pick(Seq(2, 3))
+          val thr = pick(Seq(0.34, 0.5, 0.75)); val mb = pick(Seq(8, 1000))
+          (graft.llm.TextDedup.frameSequencePairs(
+            graft.llm.Multimodal.videoFrameHashes(
+              graft.llm.Multimodal.withSyntheticVideoClips(docs, "doc_id",
+                baseMod = bm),
+              "doc_id"),
+            "id", "frame_idx", "fhash", shingleK = k, threshold = thr,
+            maxBucket = mb),
+            videoSeqPairsSql(bm, k, thr, mb),
+            s"b${bm}_k${k}_t${thr}_mb$mb")
+        case "audio_seg" =>
+          // drawn family width × planted offset × match floor over the
+          // offset-WAV fixture — offset 256 = one segment hop (the
+          // re-alignment regime), 64 = sub-hop (the documented miss),
+          // 0 = exact-duplicate control; minShared 7 demands ALL
+          // segments match
+          val bm = pick(Seq(8L, 32L)); val off = pick(Seq(0, 64, 256, 512))
+          val ms = pick(Seq(1, 3, 7))
+          (graft.llm.TextDedup.sharedKeyPairs(
+            graft.llm.Multimodal.audioSegmentHashes(
+              graft.llm.Multimodal.withSyntheticOffsetWavs(docs, "doc_id",
+                offsetSamples = off, baseMod = bm),
+              "doc_id"),
+            "id", "shash", minShared = ms),
+            audioSegPairsSql(bm, off, ms, 1000),
+            s"b${bm}_o${off}_ms$ms")
         case "image_hash" =>
           // drawn hamming radius × bucket cap over the pattern-image
           // fixture: radius 0 = exact-duplicate regime, 3 = the

@@ -110,4 +110,103 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(m1.merges.nonEmpty && m1.merges.size <= 16)
     assert(m1.vocabSize >= m1.merges.size)
   }
+
+  test("null-text docs are excluded from the sample, not coalesced to " +
+      "''(which would inject a phantom separator)") {
+    val clean = Seq((1L, "abab"), (3L, "abab")).toDF("doc_id", "text")
+    val withNull = Seq((1L, "abab"), (2L, null.asInstanceOf[String]),
+      (3L, "abab")).toDF("doc_id", "text")
+    val mClean = Bpe.train(clean, "doc_id", "text", 4, sampleDocs = 2)
+    val mNull = Bpe.train(withNull, "doc_id", "text", 4, sampleDocs = 2)
+    assert(mClean === mNull,
+      "a null-text doc among the first sampleDocs must not shift the sample")
+  }
+
+  /** Plain-Scala per-doc reference trainer: pairs counted within docs
+    * and summed, ties (count desc, code-point lex), merge applied to
+    * every doc — the independent semantics trainDistributed must match.
+    */
+  private def refTrainOnDocs(docs: Seq[String], numMerges: Int): IndexedSeq[(String, String)] = {
+    var toks = docs.map(_.toList.map(_.toString)).toBuffer
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Int]
+      toks.foreach { tk =>
+        tk.sliding(2).foreach {
+          case List(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0) + 1
+          case _ =>
+        }
+      }
+      val cand = counts.filter(_._2 >= 2)
+      if (cand.isEmpty) continue = false
+      else {
+        val (l, r) = cand.keys.minBy { case (a, b) => (-cand((a, b)), a, b) }
+        merges += ((l, r))
+        toks = toks.map { tk =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          tk.foreach { t =>
+            if (out.nonEmpty && out.last == l && t == r)
+              out(out.length - 1) = l + r
+            else out += t
+          }
+          out.toList
+        }
+      }
+    }
+    merges.toIndexedSeq
+  }
+
+  test("trainDistributed: matches the plain-Scala per-doc reference and " +
+      "is partition-invariant; document boundary = pre-tokenization boundary") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the bat sat"), (3L, "a cat"),
+      (4L, "sats the"), (5L, "tata"), (6L, "th th"))
+      .toDF("doc_id", "text")
+    val m = Bpe.trainDistributed(docs, "doc_id", "text", numMerges = 8,
+      sampleDocs = 6, sampleChars = 240)
+    val ref = refTrainOnDocs(Seq("the cat sat", "the bat sat", "a cat",
+      "sats the", "tata", "th th"), 8)
+    assert(m.merges === ref, s"got ${m.merges}, want $ref")
+    val m2 = Bpe.trainDistributed(docs.repartition(5), "doc_id", "text",
+      numMerges = 8, sampleDocs = 6, sampleChars = 240)
+    assert(m === m2, "distributed training must not depend on partitioning")
+    // boundary semantics: "ab" + "ba" as two docs never merges across the
+    // boundary — (b, a) occurs zero times within any doc
+    val two = Seq((1L, "ab"), (2L, "ba"), (3L, "ab"), (4L, "ba"))
+      .toDF("doc_id", "text")
+    val mb = Bpe.trainDistributed(two, "doc_id", "text", 4, sampleDocs = 4)
+    assert(mb.merges === IndexedSeq(("a", "b"), ("b", "a")).take(mb.merges.size))
+    assert(mb.merges.contains(("a", "b")),
+      "within-doc pair must merge; the (b,a) pair exists only within 'ba' docs")
+  }
+
+  test("trainDistributed equals trainOnSample when each doc is one " +
+      "boundary-free segment and no merge spans '\\n' in the joined form") {
+    // single doc: both trainers see the identical token sequence
+    val one = Seq((1L, "abababcd")).toDF("doc_id", "text")
+    val md = Bpe.trainDistributed(one, "doc_id", "text", 4, sampleDocs = 1)
+    val ms = Bpe.trainOnSample("abababcd", 4)
+    assert(md === ms)
+  }
+
+  test("parseMergesLines + fromMerges: GPT-2-format loader round-trip; " +
+      "encode under a loaded model matches the trained twin") {
+    val lines = Seq(
+      "#version: 0.2 — fixture artifact",
+      "",
+      "a b",
+      "ab ab")
+    val merges = Bpe.parseMergesLines(lines)
+    assert(merges === IndexedSeq(("a", "b"), ("ab", "ab")))
+    val loaded = Bpe.fromMerges(merges, Seq("a", "b", "c", "d"))
+    val trained = Bpe.trainOnSample("abababcd", 4)
+    assert(loaded === trained,
+      "a model loaded from the artifact must equal its trained twin")
+    assert(Bpe.encodeString("ababcdq", loaded).toSeq ===
+      Bpe.encodeString("ababcdq", trained).toSeq)
+    // malformed lines fail loudly
+    intercept[IllegalArgumentException] { Bpe.parseMergesLines(Seq("a b c")) }
+    intercept[IllegalArgumentException] { Bpe.parseMergesLines(Seq("ab")) }
+    intercept[IllegalArgumentException] { Bpe.fromMerges(merges, Seq.empty) }
+  }
 }

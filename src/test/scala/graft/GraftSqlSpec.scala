@@ -387,7 +387,7 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
       .as[Long].collect().toSet
     assert(dSql.nonEmpty && dSql.size < 60, "dedup TVF should drop near-dups")
     intercept[IllegalArgumentException] {
-      spark.sql("SELECT * FROM graft_image_pairs(TABLE(img_tvf), 'doc_id', 65)")
+      spark.sql("SELECT * FROM graft_image_pairs(TABLE(img_tvf), 'doc_id', 4)")
     }
   }
 
@@ -407,7 +407,60 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
       .as[Long].collect().toSet
     assert(dSql.nonEmpty && dSql.size < 60, "audio dedup TVF should drop near-dups")
     intercept[IllegalArgumentException] {
-      spark.sql("SELECT * FROM graft_audio_pairs(TABLE(wav_tvf), 'doc_id', 64)")
+      spark.sql("SELECT * FROM graft_audio_pairs(TABLE(wav_tvf), 'doc_id', 4)")
+    }
+  }
+
+  test("graft_video and graft_audio_seg TVFs pin to the Scala API") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    llm.Multimodal.withSyntheticVideoClips(ids, "doc_id")
+      .createOrReplaceTempView("vid_tvf")
+    val hSql = spark.sql(
+      "SELECT id, frame_idx, fhash FROM graft_video_hashes(TABLE(vid_tvf), 'doc_id')")
+      .as[(Long, Int, Long)].collect().toSet
+    val hApi = llm.Multimodal.videoFrameHashes(
+        llm.Multimodal.withSyntheticVideoClips(ids, "doc_id"), "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(hSql === hApi, "video hashes TVF diverged from the Scala API")
+    val pSql = spark.sql(
+      "SELECT id_a, id_b FROM graft_video_pairs(TABLE(vid_tvf), 'doc_id', 2, 0.5)")
+      .as[(Long, Long)].collect().toSet
+    val pApi = llm.TextDedup.frameSequencePairs(
+        llm.Multimodal.videoFrameHashes(
+          llm.Multimodal.withSyntheticVideoClips(ids, "doc_id"), "doc_id"),
+        "id", "frame_idx", "fhash", shingleK = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pSql === pApi && pSql.nonEmpty, "video pairs TVF diverged")
+    val dSql = spark.sql(
+      "SELECT doc_id FROM graft_video_dedup(TABLE(vid_tvf), 'doc_id', 2, 0.5)")
+      .as[Long].collect().toSet
+    assert(dSql.nonEmpty && dSql.size < 60, "video dedup TVF should drop near-dups")
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_video_pairs(TABLE(vid_tvf), 'doc_id', 0, 0.5)")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_video_dedup(TABLE(vid_tvf), 'doc_id', 2, 1.5)")
+    }
+    llm.Multimodal.withSyntheticOffsetWavs(ids, "doc_id")
+      .createOrReplaceTempView("seg_tvf")
+    val sSql = spark.sql(
+      "SELECT id, seg_idx, shash FROM graft_audio_seg_hashes(TABLE(seg_tvf), 'doc_id')")
+      .as[(Long, Int, Long)].collect().toSet
+    val sApi = llm.Multimodal.audioSegmentHashes(
+        llm.Multimodal.withSyntheticOffsetWavs(ids, "doc_id"), "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(sSql === sApi, "audio segment hashes TVF diverged")
+    val spSql = spark.sql(
+      "SELECT id_a, id_b FROM graft_audio_seg_pairs(TABLE(seg_tvf), 'doc_id', 3)")
+      .as[(Long, Long)].collect().toSet
+    val spApi = llm.TextDedup.sharedKeyPairs(
+        llm.Multimodal.audioSegmentHashes(
+          llm.Multimodal.withSyntheticOffsetWavs(ids, "doc_id"), "doc_id"),
+        "id", "shash", minShared = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(spSql === spApi && spSql.nonEmpty, "audio segment pairs TVF diverged")
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_audio_seg_pairs(TABLE(seg_tvf), 'doc_id', 0)")
     }
   }
 

@@ -96,7 +96,7 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
       "image dedup survivors diverged from union-find")
   }
 
-  test("imageShardedEdges two-stage: stage-A edges equal batch pairs, " +
+  test("hashShardedEdges two-stage: stage-A edges equal batch pairs, " +
       "stage-B survivors equal batch dedup; chunking-invariant") {
     val ids = (0L until 120L).toDF("doc_id")
     def hashes(df: org.apache.spark.sql.DataFrame) =
@@ -112,14 +112,14 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
     try {
       for (chunk <- Seq(7, 200)) {
         val edges = streaming.Replay.replay(spark, ids, "doc_id", chunk,
-          "append")(sdf => streaming.NearDupStream.imageShardedEdges(
+          "append")(sdf => streaming.NearDupStream.hashShardedEdges(
             hashes(sdf), "id", "dhash", maxHamming = 3))
         val es = edges.select("a", "b").as[(Long, Long)].collect().toSet
         assert(es === bp, s"sharded edges diverged at chunk $chunk")
       }
       // stage B over the stage-A edge set
       val edges = streaming.Replay.replay(spark, ids, "doc_id", 40,
-        "append")(sdf => streaming.NearDupStream.imageShardedEdges(
+        "append")(sdf => streaming.NearDupStream.hashShardedEdges(
           hashes(sdf), "id", "dhash", maxHamming = 3))
         .select("a", "b").as[(Long, Long)].collect()
       val feed = (0L until 120L).map(i => (i, i, i * 2)) ++
@@ -153,5 +153,50 @@ class ImageDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(exIdx >= 0, s"no exchange in plan:\n$plan")
     assert(!plan.substring(0, exIdx).contains("media#"),
       s"media payload crossed an exchange:\n$plan")
+  }
+
+  test("imageLumaFeatures: real decode matches the pattern formula; " +
+      "semDedup composition separates the fixture's regimes; null contract") {
+    val ids = (0L until 96L).toDF("doc_id")
+    val feats = llm.Multimodal.imageLumaFeatures(
+        llm.Multimodal.withSyntheticPatternImages(ids, "doc_id",
+          gridW = 8, gridH = 8),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def refLuma(id: Long, x: Int, y: Int): Double = {
+      val base = id % 32 + 1
+      val v = (id / 32) % 3
+      val raw = ((base * (x * 7 + y * 13 + 3)) % 251).toInt
+      val l = if (x == 2 && y == 3 && v >= 1) 250 - raw
+              else if (x == 5 && y == 1 && v == 2) 250 - raw
+              else raw
+      l.toDouble
+    }
+    (0L until 96L).foreach { id =>
+      val want = for (y <- 0 until 8; x <- 0 until 8) yield refLuma(id, x, y)
+      assert(feats(id) == want, s"doc $id features diverged from the formula")
+    }
+    // the semantic composition: base families (v0/v1/v2 of one base)
+    // collapse toward one survivor each at the regime-splitting eps.
+    // Lower bound 32 is exact (cross-family cosine < eps, so families
+    // never merge); the upper bound allows SemDeDup's documented
+    // cell-confinement approximation — a family whose members land in
+    // different Lloyd cells keeps one survivor PER CELL (the ε-scan is
+    // within-cell by design; the oracle mirrors the same rule)
+    val kept = llm.Similarity.semDedup(
+        llm.Multimodal.imageLumaFeatures(
+          llm.Multimodal.withSyntheticPatternImages(ids, "doc_id",
+            gridW = 8, gridH = 8),
+          "doc_id").filter(col("features").isNotNull),
+        "id", "features", dim = 64, eps = 0.94, nCells = 8, lloydIters = 1)
+      .as[Long].collect().toSet
+    assert(kept.size >= 32 && kept.size <= 40,
+      s"expected ~one survivor per family (32 families, cell splits " +
+        s"allowed), got ${kept.size}")
+    // null contract
+    val broken = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "media")
+    val nf = llm.Multimodal.imageLumaFeatures(broken, "doc_id").collect()
+    assert(nf.forall(_.isNullAt(1)), "undecodable payloads must yield null features")
   }
 }
