@@ -408,6 +408,26 @@ object GraftSql {
             litStr(es(1), "id column")),
           "id", "shash", minShared = ms.toInt))
       },
+      // `graft_image_tile_hashes(t, id)` / `graft_image_crop_pairs(t,
+      // id, min_shared)` — the CROP-TOLERANT image tier (fixed-grid
+      // overlapping tile aHashes; pairs match on tile-hash values)
+      "graft_image_tile_hashes" -> { (es: Seq[Expression]) =>
+        require(es.length == 2,
+          s"graft_image_tile_hashes expects 2 arguments (t, id), got ${es.length}")
+        plan(llm.Multimodal.imageTileHashes(tableArg(es.head),
+          litStr(es(1), "id column")))
+      },
+      "graft_image_crop_pairs" -> { (es: Seq[Expression]) =>
+        require(es.length == 3,
+          s"graft_image_crop_pairs expects 3 arguments (t, id, min_shared), " +
+            s"got ${es.length}")
+        val ms = litLong(es(2), "min_shared")
+        require(ms >= 1L, s"min_shared must be positive, got $ms")
+        plan(llm.TextDedup.sharedKeyPairs(
+          llm.Multimodal.imageTileHashes(tableArg(es.head),
+            litStr(es(1), "id column")),
+          "id", "thash", minShared = ms.toInt))
+      },
       // `graft_quality_clf(docs, pos, neg, id, text[, hex_chars])` —
       // train the hashed-gram NB on the labeled split, score docs
       "graft_quality_clf" -> { (es: Seq[Expression]) =>

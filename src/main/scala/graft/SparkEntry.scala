@@ -854,6 +854,31 @@ object SparkEntry {
         "id", "features", dim = 64, eps = 0.94, nCells = 8, lloydIters = 1)
         .select(col("id").as("doc_id"))
     }),
+    // CROP-TOLERANT IMAGE TILES — the audio-segment contract applied
+    // spatially (whole-image hashes are brightness-robust but
+    // alignment-rigid; a crop/scroll misses at any radius): decode
+    // WITHOUT resize, 8×8 tiles on a fixed absolute grid at hop 4,
+    // integer-mean aHash per tile, matching on tile-hash VALUES. The
+    // 32×32 crop fixture plants the regimes (uniform +4 brightness =
+    // control, +8px scroll = the crop the tile tier catches at
+    // hop-multiple offsets); pure integer mirror — the oracle
+    // re-derives every tile's mean and bits from the formula
+    "mm_image_tile_hash" -> ((s, d) =>
+      llm.Multimodal.imageTileHashes(
+        llm.Multimodal.withSyntheticCropImages(Tables.documents(s, d), "doc_id"),
+        "doc_id")
+        .select(col("id").as("doc_id"),
+          col("tile_x").cast("long").as("tile_x"),
+          col("tile_y").cast("long").as("tile_y"), col("thash"))),
+    // ... → shared-key pairs on tile-hash values, ≥ 10 shared tiles
+    // (the crop variant shares 22 of its 26 distinct tiles; unrelated
+    // families share 0)
+    "mm_image_crop_pairs" -> ((s, d) =>
+      llm.TextDedup.sharedKeyPairs(
+        llm.Multimodal.imageTileHashes(
+          llm.Multimodal.withSyntheticCropImages(Tables.documents(s, d), "doc_id"),
+          "doc_id"),
+        "id", "thash", minShared = 10)),
     // VIDEO NEAR-DUP tier — the last rung of the modality ladder: REAL
     // per-frame ImageIO decode → dHash over the packed-frame container
     // fixture (withSyntheticVideoClips: 9×8 gray-pattern BMP frames,
@@ -955,6 +980,39 @@ object SparkEntry {
               llm.Multimodal.audioHashes(
                 llm.Multimodal.withSyntheticWavs(sdf, "doc_id"), "doc_id"),
               "id", "whash", maxHamming = 2))
+        val feed = docs.select(col("doc_id").as("a"), col("doc_id").as("b"),
+            (col("doc_id") * 2).as("ord"))
+          .unionByName(edges.select(col("a"), col("b"),
+            (greatest(col("a"), col("b")) * 2 + 1).as("ord")))
+        val log = streaming.Replay.replay(s, feed, "ord", 5000, "update")(sdf =>
+          streaming.NearDupStream.unionFindStage(sdf))
+        val kept = log.groupBy(col("doc_id"))
+          .agg(max_by(col("change"), col("upd_seq")).as("change"))
+          .filter(col("change") === "keep")
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+    // STREAMING video dedup — the sharded two-stage bridge for the
+    // sequence tier: stage A decodes each arriving clip ONCE
+    // (videoShingles, stateless projection), stores its shingle set
+    // per shingle-code shard, and emits Jaccard-verified edges; the
+    // shared ids-only union-find stage B reduces to the batch CC
+    // survivors (same mirror as mm_video_dedup)
+    "mm_video_dedup_stream_replay" -> ((s, d) => {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      streaming.UniqueStreams.useRocksDBStateStore(s)
+      try {
+        val docs = Tables.documents(s, d)
+        val edges = streaming.Replay.replay(s, docs.select("doc_id"),
+          "doc_id", 100, "append")(sdf =>
+            streaming.NearDupStream.videoShardedEdges(
+              llm.Multimodal.withSyntheticVideoClips(sdf, "doc_id"),
+              "doc_id", shingleK = 2, threshold = 0.5))
         val feed = docs.select(col("doc_id").as("a"), col("doc_id").as("b"),
             (col("doc_id") * 2).as("ord"))
           .unionByName(edges.select(col("a"), col("b"),
@@ -2492,7 +2550,10 @@ object SparkEntry {
       "mm_image_dedup" -> mmImageDedupOracle,
       "mm_image_dedup_stream_replay" -> mmImageDedupOracle,
       "mm_image_semdedup" -> mmImageSemDedupOracle,
+      "mm_image_tile_hash" -> mmImageTileHashOracle,
+      "mm_image_crop_pairs" -> mmImageCropPairsOracle,
       "mm_video_hash" -> mmVideoHashOracle,
+      "mm_video_dedup_stream_replay" -> mmVideoDedupOracle,
       "mm_video_neardup_pairs" -> mmVideoPairsOracle,
       "mm_video_dedup" -> mmVideoDedupOracle,
       "mm_audio_seg_hash" -> mmAudioSegHashOracle,
@@ -3487,6 +3548,63 @@ rk AS (SELECT cc.cluster_id, cc.id,
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)"""
   }
+
+  /** The crop-fixture luma of tile-local pixel (px, py) as a DuckDB
+    * expression over tile-index columns (tx, ty) — the exact formula of
+    * Multimodal.withSyntheticCropImages composed with
+    * imageTileHashes' absolute grid (tilePx=8, hopPx=4): global
+    * x = tx*4+px, global y = ty*4+py (+8 source-scroll for v=2), raw
+    * luma + the v=1 uniform +4.
+    */
+  private def mmTileLuma(px: Int, py: Int): String = {
+    val k = px * 7 + py * 13 + 3
+    val raw = s"((((doc_id % 32) + 1) * (tx*28 + ty*52 + $k + " +
+      s"CASE WHEN (doc_id // 32) % 3 = 2 THEN 104 ELSE 0 END)) % 251)"
+    s"($raw + CASE WHEN (doc_id // 32) % 3 = 1 THEN 4 ELSE 0 END)"
+  }
+
+  /** CTE chain mirroring imageTileHashes over the crop fixture: 7×7
+    * tile grid per doc, integer tile mean (floor of the 64-luma sum),
+    * aHash bits OR-folded (INT64_MIN literal for bit 63). Ends with
+    * th(doc_id, tile_x, tile_y, thash).
+    */
+  private def mmImageTileCtes: String = {
+    val lsum = (for (py <- 0 until 8; px <- 0 until 8)
+      yield mmTileLuma(px, py)).mkString(" + ")
+    val bits = (for (py <- 0 until 8; px <- 0 until 8) yield {
+      val bit = py * 8 + px
+      val mask = if (bit == 63) "(-9223372036854775807 - 1)"
+                 else s"(1::BIGINT << $bit)"
+      s"(CASE WHEN ${mmTileLuma(px, py)} > lmean THEN $mask ELSE 0::BIGINT END)"
+    }).mkString(" |\n  ")
+    s"""tg AS (SELECT doc_id, tx, ty FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS tx) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS ty) b),
+tm AS (SELECT doc_id, tx, ty, ($lsum) // 64 AS lmean FROM tg),
+th AS (SELECT doc_id, CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+  $bits AS thash FROM tm)"""
+  }
+
+  private def mmImageTileHashOracle: String =
+    s"""WITH $mmImageTileCtes
+SELECT doc_id, tile_x, tile_y, thash FROM th"""
+
+  private def mmImageCropPairsOracle: String =
+    s"""WITH $mmImageTileCtes,
+tkeys AS (SELECT DISTINCT doc_id, thash FROM th),
+tnk AS (SELECT doc_id, count(*) AS nk FROM tkeys GROUP BY doc_id),
+tok AS (SELECT thash FROM tkeys GROUP BY thash
+  HAVING count(*) <= 1000 AND count(*) > 1),
+tib AS (SELECT tkeys.* FROM tkeys JOIN tok USING (thash)),
+tcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(count(DISTINCT a.thash) AS BIGINT) AS shared
+  FROM tib a JOIN tib b ON a.thash = b.thash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tpr AS (SELECT id_a, id_b, shared, na.nk AS n_a, nb.nk AS n_b
+  FROM tcand JOIN tnk na ON na.doc_id = tcand.id_a
+             JOIN tnk nb ON nb.doc_id = tcand.id_b
+  WHERE shared >= 10)
+SELECT id_a, id_b, shared, n_a, n_b FROM tpr"""
 
   /** The synthetic-VIDEO-pattern luma L(x,y) of container frame `f` as
     * a DuckDB integer expression — the exact formula of

@@ -843,6 +843,182 @@ object Multimodal {
     }
   }
 
+  /** PER-DOC VIDEO SHINGLE SETS — the streaming-friendly projection of
+    * the video sequence tier: parse + decode like [[videoFrameHashes]],
+    * but emit each clip's DISTINCT `shingleK`-consecutive-frame-hash
+    * shingle strings as one array row (id, shingles array<string>) —
+    * exactly the per-doc key set [[graft.llm.TextDedup
+    * .frameSequencePairs]] builds relationally, computed in the decode
+    * pass so a STREAMING consumer ([[graft.streaming.NearDupStream
+    * .videoShardedEdges]]) gets the band-code array without a window
+    * shuffle. Frames that fail decode break every shingle they touch
+    * (same rule as the batch path); unparseable containers yield an
+    * empty array.
+    */
+  def videoShingles(df: DataFrame, idCol: String, shingleK: Int = 2): DataFrame = {
+    require(shingleK >= 1, s"shingleK must be positive, got $shingleK")
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("shingles", ArrayType(StringType))
+    implicit val enc = Encoders.row(outSchema)
+    val k = shingleK
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val frames = unpackFrames(r.getAs[Array[Byte]]("media"))
+        if (frames == null) Row(r.getLong(0), Seq.empty[String])
+        else {
+          val hs: Array[java.lang.Long] = frames.map { f =>
+            val img =
+              if (!looksLikeImage(f)) null
+              else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+                   catch { case _: java.io.IOException => null }
+            if (img == null) null else java.lang.Long.valueOf(dhash64(img))
+          }
+          val sh = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i + k <= hs.length) {
+            var ok = true
+            var j = 0
+            while (j < k) { if (hs(i + j) == null) ok = false; j += 1 }
+            if (ok) sh += (0 until k).map(j => hs(i + j).toString).mkString(":")
+            i += 1
+          }
+          Row(r.getLong(0), sh.toSeq)
+        }
+      }
+    }
+  }
+
+  /** CROP-TOLERANT IMAGE TILE HASHES — the audio-segment idea applied
+    * to images (the whole-image dHash/aHash are brightness-robust but
+    * ALIGNMENT-rigid: a crop/scroll shifts every downscale cell and
+    * misses at any radius): decode WITHOUT resizing, cut 8×8-pixel
+    * tiles on a fixed ABSOLUTE grid with hop `hopPx` (default 4 —
+    * overlapping, like the audio hop), and hash each tile with the
+    * integer-mean aHash rule (bit py*8+px set iff L > floor(mean) —
+    * uniform brightness shifts move L and mean equally, so tiles stay
+    * brightness-robust). Output (id, tile_x, tile_y, thash), one row
+    * per fully-inside tile; undecodable / smaller-than-one-tile
+    * payloads yield a single (id, null, null, null) row.
+    *
+    * MATCHING CONTRACT (the [[audioSegmentHashes]] contract, spatial):
+    * a duplicate cropped/scrolled by any multiple of `hopPx` in either
+    * axis reproduces the surviving tiles' hashes verbatim at shifted
+    * indices — [[graft.llm.TextDedup.sharedKeyPairs]] matches on hash
+    * VALUES, so the pair survives. Sub-hop offsets lose the GUARANTEE
+    * (every tile origin shifts off-grid) — though unlike the
+    * whole-image hash they can still match ACCIDENTALLY on smooth
+    * content, where a sub-tile shift approximates a uniform luma shift
+    * that the mean-threshold rule absorbs (ImageCropSpec measures 13
+    * accidental vs 22 guaranteed shared tiles on the linear fixture).
+    * Smaller hops buy finer guaranteed tolerance at quadratically more
+    * rows.
+    */
+  def imageTileHashes(df: DataFrame, idCol: String, tilePx: Int = 8,
+                      hopPx: Int = 4): DataFrame = {
+    require(tilePx >= 2, s"tilePx must be >= 2, got $tilePx")
+    require(hopPx >= 1, s"hopPx must be positive, got $hopPx")
+    val pruned = df.select(col(idCol).cast("long").as("id"), col("media"))
+    val outSchema = new StructType()
+      .add("id", LongType).add("tile_x", IntegerType)
+      .add("tile_y", IntegerType).add("thash", LongType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("media")
+        val img =
+          if (payload == null || !looksLikeImage(payload)) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+               catch { case _: java.io.IOException => null }
+        if (img == null || img.getWidth < tilePx || img.getHeight < tilePx)
+          Iterator.single(Row(r.getLong(0), null, null, null))
+        else {
+          val g = lumaGrid(img)
+          val id = r.getLong(0)
+          val nx = (img.getWidth - tilePx) / hopPx + 1
+          val ny = (img.getHeight - tilePx) / hopPx + 1
+          for {
+            ty <- Iterator.range(0, ny)
+            tx <- Iterator.range(0, nx)
+          } yield {
+            var sum = 0L
+            var py = 0
+            while (py < tilePx) {
+              var px = 0
+              while (px < tilePx) {
+                sum += g(ty * hopPx + py)(tx * hopPx + px)
+                px += 1
+              }
+              py += 1
+            }
+            val mean = sum / (tilePx * tilePx)
+            var h = 0L
+            py = 0
+            while (py < tilePx) {
+              var px = 0
+              while (px < tilePx) {
+                if (g(ty * hopPx + py)(tx * hopPx + px) > mean)
+                  h |= (1L << (py * tilePx + px))
+                px += 1
+              }
+              py += 1
+            }
+            Row(id, tx, ty, h)
+          }
+        }
+      }
+    }
+  }
+
+  /** Oracle-mirrorable CROP fixture: a 32×32 gray BMP per row viewing
+    * an infinite id-derived pattern, with the variant axis planting
+    * the regimes the tile tier exists for:
+    *
+    *   base     = id % baseMod + 1,  v = (id / baseMod) % 3
+    *   L0(x,y)  = (base * (x*7 + y*13 + 3)) % 251
+    *   v = 0: L = L0(x, y)                  (the original view)
+    *   v = 1: L = L0(x, y) + 4              (uniform brightness — the
+    *          control both hash tiers must catch; +4 keeps every level
+    *          ≤ 254, no clamping, and integer tile means shift exactly
+    *          +4 so tile bits are provably unchanged)
+    *   v = 2: L = L0(x, y + 8)              (the view scrolled one tile
+    *          down — a CROP: the whole-image hash misses it, tiles at
+    *          hop-multiple offsets re-align and catch it)
+    */
+  def withSyntheticCropImages(df: DataFrame, idCol: String,
+                              baseMod: Long = 32L): DataFrame = {
+    require(baseMod > 0, s"baseMod must be positive, got $baseMod")
+    val pruned = df.select(col(idCol).cast("long").as(idCol))
+    val outSchema = new StructType()
+      .add(idCol, LongType).add("media", BinaryType)
+    implicit val enc = Encoders.row(outSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = (id % baseMod) + 1
+        val v = (id / baseMod) % 3
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val ySrc = if (v == 2) y + 8 else y
+            val raw = ((base * (x * 7 + ySrc * 13 + 3)) % 251).toInt
+            val l = if (v == 1) raw + 4 else raw
+            img.setRGB(x, y, (l << 16) | (l << 8) | l)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "bmp", bos)
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(id, bos.toByteArray), outSchema): Row
+      }
+    }
+  }
+
   /** Bilinear resize of one decodable image payload, re-encoded as PNG
     * (lossless, always ImageIO-writable). None when the bytes don't
     * decode.

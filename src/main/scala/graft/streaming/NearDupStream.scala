@@ -614,6 +614,47 @@ object NearDupStream {
       payloadEnc = Encoders.scalaLong)
   }
 
+  /** Band-SHARDED stage A for the VIDEO-SEQUENCE family — incremental
+    * shingled-frame-hash near-dup edges over packed-frame clips: each
+    * arrival decodes ONCE in the stateless projection
+    * ([[graft.llm.Multimodal.videoShingles]] — per-clip distinct
+    * k-frame shingle strings), then every shingle is a band code and
+    * the stored payload is the clip's shingle array; the verify is the
+    * distinct-shingle Jaccard of [[graft.llm.TextDedup
+    * .frameSequencePairs]] (`shared/(n_a+n_b-shared) >= threshold`,
+    * `shared >= minShared`). Paired with the shared ids-only
+    * [[unionFindStage]] it emits the batch pair relation exactly —
+    * PROVIDED every shingle bucket stays below `maxBucket` (above it
+    * the same documented divergence as [[editShardedEdges]]: batch
+    * drops the bucket from its shared-count, the shard stops storing
+    * but keeps verifying overflow arrivals against the stored prefix,
+    * and the shard's verify counts the FULL intersection while batch
+    * counts ok-bucket keys only).
+    */
+  def videoShardedEdges(sdf: DataFrame, idCol: String, shingleK: Int = 2,
+                        threshold: Double = 0.5, minShared: Int = 1,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1], got $threshold")
+    val prepared = graft.llm.Multimodal.videoShingles(sdf, idCol, shingleK)
+      .where(col("id").isNotNull && size(col("shingles")) > 0)
+      .select(explode(col("shingles")).as("code"), col("id"),
+        col("shingles").as("payload"), col("shingles").as("codes"))
+    val thr = threshold
+    val ms = minShared
+    shardedEdgesCore[Array[String], Set[String]](
+      prepared.select(col("code"), col("id"),
+        col("payload").cast("array<string>").as("payload"), col("codes")),
+      maxBucket,
+      extract = _.getSeq[String](2).toArray,
+      decode = _.toSet,
+      simOk = (mySet, mSet) => {
+        val inter = mySet.count(mSet)
+        inter >= ms && (inter.toDouble / (mySet.size + mSet.size - inter)) >= thr
+      })
+  }
+
   /** The shared band-sharded stage-A core: per band-code shard, hold the
     * bucket's members (small code arrays split from the larger payloads,
     * so the per-arrival election scan never decodes payloads of

@@ -226,7 +226,8 @@ object ScaleBench {
       "emb_ann_sharded_stream_soak", "semdedup_scale", "dsir_bm25_scale",
       "semdedup_hotcell", "dsir_scale", "bm25_scale", "emb_ann_lsh_sharded_soak", "bm25_ingest_scale",
       "editdist_scale", "editdist_sharded", "editdist_sharded_mixed",
-      "token_mix_hotgroup", "image_hash_scale")
+      "token_mix_hotgroup", "image_hash_scale", "video_seq_scale",
+      "audio_seg_scale")
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names => // a misspelled name must fail loudly, not skip silently
@@ -538,6 +539,60 @@ object ScaleBench {
       parts += (f""""image_hash_scale":{"docs":$nH,"hash_sec":$hashSec%.2f,""" +
         f""""hash_docs_per_sec":${nH / hashSec}%.0f,"pairs":$nP,""" +
         f""""pair_sec":$pairSec%.2f,"survivors":$nS,"dedup_sec":$dedupSec%.2f}""")
+    }
+    // VIDEO sequence near-dup at N×: the full container-decode →
+    // per-frame dHash → shingled sequence-match → CC dedup chain over
+    // N× id-derived packed-frame clips with a WIDE pattern space
+    // (baseMod 4096 — same honesty argument as image_hash_scale: the
+    // oracle's 32-family space degenerates to over-cap buckets at
+    // scale). The fixture PLANTS the two regimes that matter
+    // (re-encoded frame at v=1, trimmed head at v=2), so the measured
+    // pair relation is exactly the trimmed/re-encoded recall path. The
+    // per-frame decode projection dominates and scales with total
+    // frames; the sequence stage ships (id, shingle-string) rows only.
+    if (wanted("video_seq_scale")) {
+      val ids = docsSf1.select(col("doc_id"))
+      val t0 = System.nanoTime()
+      val frames = graft.llm.Multimodal.videoFrameHashes(
+        graft.llm.Multimodal.withSyntheticVideoClips(ids, "doc_id",
+          baseMod = 4096L), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nF = frames.count()
+      val hashSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pairs = graft.llm.TextDedup.frameSequencePairs(frames, "id",
+        "frame_idx", "fhash", shingleK = 2, threshold = 0.5)
+      val nP = pairs.count()
+      val pairSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nS = graft.llm.TextDedup.dedupByPairs(ids, "doc_id",
+        pairs.select("id_a", "id_b")).count()
+      val dedupSec = (System.nanoTime() - t2) / 1e9
+      frames.unpersist()
+      parts += (f""""video_seq_scale":{"frames":$nF,"decode_sec":$hashSec%.2f,""" +
+        f""""decode_frames_per_sec":${nF / hashSec}%.0f,"pairs":$nP,""" +
+        f""""pair_sec":$pairSec%.2f,"survivors":$nS,"dedup_sec":$dedupSec%.2f}""")
+    }
+    // AUDIO segment tier at N×: decode → per-segment hashes → shared-key
+    // pairs over the offset fixture at a wide family space — the planted
+    // v=2 offset duplicates are the recall path being priced.
+    if (wanted("audio_seg_scale")) {
+      val ids = docsSf1.select(col("doc_id"))
+      val t0 = System.nanoTime()
+      val segs = graft.llm.Multimodal.audioSegmentHashes(
+        graft.llm.Multimodal.withSyntheticOffsetWavs(ids, "doc_id",
+          baseMod = 4096L), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSeg = segs.count()
+      val hashSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nP = graft.llm.TextDedup.sharedKeyPairs(segs, "id", "shash",
+        minShared = 3).count()
+      val pairSec = (System.nanoTime() - t1) / 1e9
+      segs.unpersist()
+      parts += (f""""audio_seg_scale":{"segments":$nSeg,"decode_sec":$hashSec%.2f,""" +
+        f""""decode_segs_per_sec":${nSeg / hashSec}%.0f,"pairs":$nP,""" +
+        f""""pair_sec":$pairSec%.2f}""")
     }
     // TOKEN-MIX hot-source A/B (round-15 VERDICT's one `weak`): ONE
     // source holding 50% of the N× corpus, window form (running sum —

@@ -1478,7 +1478,7 @@ SELECT id_a, id_b, shared, n_a, n_b FROM vpairs"""
       "bm25", "bm25_ingest", "ann_lsh_stream", "semdedup_stream",
       "editdist_pairs", "token_mix", "editdist_decontam", "image_hash",
       "bpe_encode", "audio_hash", "video_seq", "audio_seg", "bpe_dist",
-      "image_semdedup")
+      "image_semdedup", "image_tiles")
     lazy val docs = graft.Tables.documents(spark, sfDir)
     lazy val docsLined = graft.llm.CorpusOps.withSyntheticLines(docs, "doc_id", "text")
     lazy val emb = graft.Tables.embeddings(spark, sfDir)
@@ -2134,6 +2134,53 @@ SELECT id_a, id_b, shared, n_a, n_b FROM vpairs"""
               srcSql = s"SELECT doc_id AS corpus_id, [$vecSql] AS cv FROM documents",
               finalRel = "documents", finalIdCol = "doc_id"),
             s"b${bm}_c${nc}_l${ll}_e${epsQ}_mc$mc")
+        case "image_tiles" =>
+          // the crop-tolerant tile tier under drawn family width ×
+          // match floor: the crop regime (v=2) shares 22 of 26 distinct
+          // tiles, so floors up to 22 keep it and 23+ drop it — both
+          // sides of the boundary land in the sweep
+          val bm = pick(Seq(8L, 32L, 128L)); val ms = pick(Seq(5, 10, 23))
+          def tlum(px: Int, py: Int): String = {
+            val k = px * 7 + py * 13 + 3
+            val raw = s"((((doc_id % $bm) + 1) * (tx*28 + ty*52 + $k + " +
+              s"CASE WHEN (doc_id // $bm) % 3 = 2 THEN 104 ELSE 0 END)) % 251)"
+            s"($raw + CASE WHEN (doc_id // $bm) % 3 = 1 THEN 4 ELSE 0 END)"
+          }
+          val tsum = (for (py <- 0 until 8; px <- 0 until 8)
+            yield tlum(px, py)).mkString(" + ")
+          val tbits = (for (py <- 0 until 8; px <- 0 until 8) yield {
+            val bit = py * 8 + px
+            val mask = if (bit == 63) "(-9223372036854775807 - 1)"
+                       else s"(1::BIGINT << $bit)"
+            s"(CASE WHEN ${tlum(px, py)} > lmean THEN $mask ELSE 0::BIGINT END)"
+          }).mkString(" |\n  ")
+          (graft.llm.TextDedup.sharedKeyPairs(
+            graft.llm.Multimodal.imageTileHashes(
+              graft.llm.Multimodal.withSyntheticCropImages(docs, "doc_id",
+                baseMod = bm),
+              "doc_id"),
+            "id", "thash", minShared = ms),
+            s"""WITH tg AS (SELECT doc_id, tx, ty FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS tx) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS ty) b),
+tm AS (SELECT doc_id, tx, ty, ($tsum) // 64 AS lmean FROM tg),
+th AS (SELECT doc_id, CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+  $tbits AS thash FROM tm),
+tkeys AS (SELECT DISTINCT doc_id, thash FROM th),
+tnk AS (SELECT doc_id, count(*) AS nk FROM tkeys GROUP BY doc_id),
+tok AS (SELECT thash FROM tkeys GROUP BY thash
+  HAVING count(*) <= 1000 AND count(*) > 1),
+tib AS (SELECT tkeys.* FROM tkeys JOIN tok USING (thash)),
+tcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(count(DISTINCT a.thash) AS BIGINT) AS shared
+  FROM tib a JOIN tib b ON a.thash = b.thash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tpr AS (SELECT id_a, id_b, shared, na.nk AS n_a, nb.nk AS n_b
+  FROM tcand JOIN tnk na ON na.doc_id = tcand.id_a
+             JOIN tnk nb ON nb.doc_id = tcand.id_b
+  WHERE shared >= $ms)
+SELECT id_a, id_b, shared, n_a, n_b FROM tpr""",
+            s"b${bm}_ms$ms")
         case "token_mix" =>
           // drawn default budget × one per-group override × FORM
           // (window vs segmented prefix sum with drawn rangeWidth —

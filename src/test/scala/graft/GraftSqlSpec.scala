@@ -464,6 +464,31 @@ class GraftSqlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("graft_image_tile TVFs pin to the Scala API") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    llm.Multimodal.withSyntheticCropImages(ids, "doc_id")
+      .createOrReplaceTempView("tile_tvf")
+    val hSql = spark.sql(
+      "SELECT id, tile_x, tile_y, thash FROM graft_image_tile_hashes(TABLE(tile_tvf), 'doc_id')")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val hApi = llm.Multimodal.imageTileHashes(
+        llm.Multimodal.withSyntheticCropImages(ids, "doc_id"), "doc_id")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(hSql === hApi, "tile hashes TVF diverged from the Scala API")
+    val pSql = spark.sql(
+      "SELECT id_a, id_b FROM graft_image_crop_pairs(TABLE(tile_tvf), 'doc_id', 10)")
+      .as[(Long, Long)].collect().toSet
+    val pApi = llm.TextDedup.sharedKeyPairs(
+        llm.Multimodal.imageTileHashes(
+          llm.Multimodal.withSyntheticCropImages(ids, "doc_id"), "doc_id"),
+        "id", "thash", minShared = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pSql === pApi && pSql.nonEmpty, "crop pairs TVF diverged")
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM graft_image_crop_pairs(TABLE(tile_tvf), 'doc_id', 0)")
+    }
+  }
+
   test("graft_quality_clf and graft_bpe_encode TVFs pin to the Scala API") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     docs.createOrReplaceTempView("clf_docs_tvf")

@@ -123,6 +123,67 @@ class VideoDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(p3 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("videoShingles equals frameSequencePairs' relational shingles; " +
+      "videoShardedEdges two-stage equals batch pairs/dedup; " +
+      "chunking-invariant") {
+    val ids = (0L until 120L).toDF("doc_id")
+    def clips(df: org.apache.spark.sql.DataFrame) =
+      llm.Multimodal.withSyntheticVideoClips(df, "doc_id")
+    // the decode-pass shingle sets must equal the window-relational ones
+    val direct = llm.Multimodal.videoShingles(clips(ids), "doc_id")
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.toSet }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame_idx"))
+    val relational = llm.Multimodal.videoFrameHashes(clips(ids), "doc_id")
+      .select(col("id"), concat(col("fhash").cast("string"), lit(":"),
+        lead(col("fhash"), 1).over(w).cast("string")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((0L until 120L).forall(id => direct(id) == relational(id)),
+      "decode-pass shingles diverged from the relational construction")
+    val bp = llm.TextDedup.frameSequencePairs(
+        llm.Multimodal.videoFrameHashes(clips(ids), "doc_id"),
+        "id", "frame_idx", "fhash", shingleK = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bp.nonEmpty, "fixture drift: no batch pairs")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    streaming.UniqueStreams.useRocksDBStateStore(spark)
+    try {
+      for (chunk <- Seq(7, 200)) {
+        val edges = streaming.Replay.replay(spark, ids, "doc_id", chunk,
+          "append")(sdf => streaming.NearDupStream.videoShardedEdges(
+            clips(sdf), "doc_id", shingleK = 2, threshold = 0.5))
+        val es = edges.select("a", "b").as[(Long, Long)].collect().toSet
+        assert(es === bp, s"sharded video edges diverged at chunk $chunk")
+      }
+      val edges = streaming.Replay.replay(spark, ids, "doc_id", 40,
+        "append")(sdf => streaming.NearDupStream.videoShardedEdges(
+          clips(sdf), "doc_id", shingleK = 2, threshold = 0.5))
+        .select("a", "b").as[(Long, Long)].collect()
+      val feed = (0L until 120L).map(i => (i, i, i * 2)) ++
+        edges.map { case (a, b) => (a, b, math.max(a, b) * 2 + 1) }
+      val log = streaming.Replay.replay(spark, feed.toDF("a", "b", "ord"),
+        "ord", 50, "update")(sdf => streaming.NearDupStream.unionFindStage(sdf))
+      val kept = log.groupBy(col("doc_id"))
+        .agg(max_by(col("change"), col("upd_seq")).as("change"))
+        .filter(col("change") === "keep")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = llm.TextDedup.dedupByPairs(ids, "doc_id",
+          llm.TextDedup.frameSequencePairs(
+            llm.Multimodal.videoFrameHashes(clips(ids), "doc_id"),
+            "id", "frame_idx", "fhash", shingleK = 2, threshold = 0.5)
+            .select("id_a", "id_b"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === batch, "sharded video survivors diverged from batch")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("video dedup end-to-end: every base family collapses to its min id") {
     val ids = spark.range(0, 96).toDF("doc_id") // 32 families × v0/v1/v2
     val kept = llm.TextDedup.dedupByPairs(ids, "doc_id",
